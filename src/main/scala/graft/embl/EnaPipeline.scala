@@ -1,0 +1,159 @@
+package graft.embl
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end ENA pipeline as ONE lazy Spark plan (SURVEY.md §3):
+  * pruned text scan -> per-partition EMBL segmentation -> broadcast
+  * idmapping join -> fallback coalesce -> explode -> 7-column relation
+  * -> TSV sink partitioned by source-tree division.
+  *
+  * Replaces the reference's dynamic Dask graph + per-record MySQL
+  * round-trips (dask_tskmgr.py:110-257, mysql_database.py:50-134): file
+  * discovery is Spark's InMemoryFileIndex (S1/S2), the per-record
+  * `IN`-list query amortizes into a single hash join (J1/J2), and the
+  * scratch-then-move staging is the built-in FileOutputCommitter (S11).
+  *
+  * Scale notes (100 TB): gzip inputs are non-splittable so the scan is
+  * one task per file, same granularity as the reference's workers; tiny-
+  * file storms are handled by Spark input packing
+  * (`spark.sql.files.maxPartitionBytes`). The idmapping build side is
+  * broadcast by default (test/SF scale); at true UniProt scale
+  * (~1e9 rows) pass `broadcastIdMap = false` and the planner picks a
+  * shuffled hash / sort-merge join — the join condition is declarative
+  * either way.
+  */
+object EnaPipeline {
+
+  /** Division-token prune for `sequence/` trees (S3, dask_tasks.py:82-85):
+    * keeps bacteria/fungi/phage/env divisions only.
+    */
+  val DivisionTokenRegex = "_(ENV|PRO|FUN|PHG)_"
+
+  /** X11 (dask_tasks.py:138-154): derive the output-layout division from
+    * the source path: `.../wgs/public/wds/x.dat.gz` -> `wgs-public-wds`,
+    * `.../sequence/con/x.dat.gz` -> `sequence-con` (first match wins,
+    * like the reference's `findall(...)[0]`).
+    */
+  def divisionFromPath(path: Column): Column = {
+    val p = "(wgs)/(\\w*)/(\\w*)"
+    val wgs = concat_ws("-",
+      regexp_extract(path, p, 1),
+      regexp_extract(path, p, 2),
+      regexp_extract(path, p, 3))
+    val seqDiv = concat_ws("-",
+      lit("sequence"), regexp_extract(path, "sequence/(\\w*)", 1))
+    when(path.rlike("wgs/\\w*/\\w*"), wgs)
+      .when(path.rlike("sequence/\\w*"), seqDiv)
+      .otherwise(lit("unknown"))
+  }
+
+  /** X12 (dask_tasks.py:141,171): filename stem of a `*.dat.gz` path. */
+  def fileStem(path: Column): Column =
+    regexp_extract(path, "/(\\w+)\\.dat\\.gz$", 1)
+
+  /** S1/S2/S3/S4/S5: recursive discovery + glob + divisional prune +
+    * gzip text scan + record segmentation, yielding the flattened
+    * `loci` relation.
+    */
+  def readLoci(
+      spark: SparkSession,
+      roots: Seq[String],
+      applyDivisionPrune: Boolean = true): Dataset[LocusRow] = {
+    val text = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.dat.gz")
+      .text(roots: _*)
+      .select(input_file_name().as("file_path"), col("value"))
+    val pruned =
+      if (applyDivisionPrune)
+        // reference semantics (dask_tasks.py:82-85): only files whose
+        // DIRECTORY path contains "sequence" are division-pruned
+        text.filter(
+          !col("file_path").rlike("sequence.*/") ||
+            col("file_path").rlike(DivisionTokenRegex))
+      else text
+    segmentLines(spark, pruned)
+  }
+
+  /** S5 proper: ordered `(file_path, value)` lines -> loci. Exposed
+    * separately so tests can feed hand-built line Datasets.
+    */
+  def segmentLines(spark: SparkSession, lines: DataFrame): Dataset[LocusRow] = {
+    import spark.implicits._
+    lines
+      .select(col("file_path"), col("value"))
+      .as[(String, String)]
+      .mapPartitions(EmblSegmenter.segment _)
+  }
+
+  /** J1/J2/A1/X9/X10/F7 (SURVEY.md §2.3-2.4): resolve each locus's
+    * protein ids against the `idmapping(foreign_id, uniprot_id)` side
+    * relation, fall back to parse-time UniProt ids when nothing mapped,
+    * and explode to the reference's 7-column output schema
+    * (parse_embl.py:226-255).
+    *
+    * Reverse-mapped ids keep multiplicity across protein ids (the
+    * reference emits one row per list element, parse_embl.py:236,252) —
+    * dedup happens only per protein id (`collect_set`, the A1 analog of
+    * mysql_database.py:120-129).
+    */
+  def resolveIds(
+      loci: Dataset[LocusRow],
+      idmapping: DataFrame,
+      broadcastIdMap: Boolean = true): DataFrame = {
+    val mapped = idmapping
+      .groupBy(col("foreign_id"))
+      .agg(collect_set(col("uniprot_id")).as("mapped_ids")) // A1
+    val build = if (broadcastIdMap) broadcast(mapped) else mapped
+
+    val withUid = loci.toDF().withColumn("locus_uid", monotonically_increasing_id())
+    withUid
+      .withColumn("pid", explode_outer(col("protein_ids")))
+      .join(build, col("pid") === col("foreign_id"), "left_outer") // J1 (+J2 via null side)
+      .groupBy(col("locus_uid"))
+      .agg(
+        first(col("ena_id")).as("ena_id"),
+        first(col("chr_struct")).as("chr_struct"),
+        first(col("direction")).as("direction"),
+        first(col("start")).as("start"),
+        first(col("end")).as("end"),
+        first(col("locus_idx")).as("locus_count"),
+        first(col("uniprot_ids")).as("parsed_ids"),
+        first(col("file_path")).as("file_path"),
+        flatten(collect_list(col("mapped_ids"))).as("rev_ids"))
+      .withColumn("ids_final",
+        when(size(col("rev_ids")) > 0, col("rev_ids"))
+          .otherwise(col("parsed_ids"))) // X9 fallback coalesce
+      .withColumn("uniprot_id", explode(col("ids_final"))) // X10
+      .select( // F7: the reference's 7-column schema (parse_embl.py:255)
+        col("ena_id"), col("uniprot_id"), col("locus_count"),
+        col("chr_struct"), col("direction"), col("start"), col("end"),
+        col("file_path"))
+  }
+
+  /** Full pipeline: roots + idmapping -> 7-column relation. */
+  def enaTab(
+      spark: SparkSession,
+      roots: Seq[String],
+      idmapping: DataFrame,
+      broadcastIdMap: Boolean = true): DataFrame =
+    resolveIds(readLoci(spark, roots), idmapping, broadcastIdMap)
+
+  /** S9/S10/S12: headerless TSV sink, one directory per source-tree
+    * division (the reference's output layout, dask_tasks.py:138-162),
+    * ordered within partitions by source path like the reference's
+    * lexicographic concat (dask_tskmgr.py:234-241).
+    */
+  def writeTsv(enaTab: DataFrame, outDir: String): Unit =
+    enaTab
+      .withColumn("division", divisionFromPath(col("file_path")))
+      .sortWithinPartitions(col("file_path"))
+      .drop(col("file_path"))
+      .write
+      .partitionBy("division")
+      .option("sep", "\t")
+      .option("header", "false")
+      .mode("overwrite")
+      .csv(outDir)
+}
