@@ -86,6 +86,11 @@ def main() -> int:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if n_pass == 0:
+        # an empty oracle map (or all-fail run) must never read as success —
+        # that is exactly how an unwired SparkEntry went unnoticed in round 1
+        print("FAIL: zero passing queries (empty oracle map?)")
+        return 1
     return 1 if n_fail else 0
 
 

@@ -2,12 +2,22 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full ENA pipeline (SURVEY.md §7.3 slice — scan,
+    * segmentation, taxonomy/division prunes, coordinate normalization,
+    * idmapping broadcast join, fallback coalesce, explode, 7-column
+    * projection) over a self-contained gzipped EMBL fixture. The driver
+    * smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.embl.FlagshipFixture.enaTab(spark)
+
+  /** One entry per implemented operator family from SURVEY.md §2 plus the
+    * LLM-data-pipeline layer (dedup / similarity / text analysis). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.QueryPack.queries
+
+  /** DuckDB-equivalent ANSI SQL per query (same column names/aliases —
+    * the driver sorts columns by name before hashing). */
+  def oracleSql: Map[String, String] =
+    graft.queries.QueryPack.oracleSql
 }

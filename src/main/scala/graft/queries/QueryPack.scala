@@ -33,6 +33,19 @@ object QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
+    * to read natively (PARQUET_TYPE_ILLEGAL). Read `ts` as a nanosecond
+    * long (legacy conf) and convert to a microsecond timestamp — every
+    * events oracle truncates to ≥second granularity, so us precision is
+    * lossless for the compare. `ts div 1000` stays in integer math (a
+    * double division would lose precision on ~1.7e18 ns epoch values).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** exact-decimal cast for money columns */
   private def d12(c: Column): Column = c.cast(DecimalType(12, 2))
   /** exact-decimal cast for rate columns (discount/tax in [0,1)) */
@@ -137,11 +150,14 @@ object QueryPack {
                     WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // predicated so the result is NON-empty at sf0.01 (202 customers have
+  // no >400k order) — an always-empty anti-join would pass vacuously
   private val q05 = Q("q05_anti_join",
     (s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(t(s, dir, "orders").filter($"o_totalprice" > 400000.0),
+          $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_nationkey")
         .agg(count(lit(1)).as("n_cust"))
         .orderBy($"c_nationkey")
@@ -149,7 +165,8 @@ object QueryPack {
     Some("""
       SELECT c_nationkey, count(*) AS n_cust
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
       GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
   private val q06 = Q("q06_outer_join",
@@ -271,18 +288,22 @@ object QueryPack {
       SELECT s_nationkey AS nationkey FROM supplier
       ORDER BY nationkey"""))
 
+  // customers who ordered in 1995 but not 1996 — 261 rows at sf0.01
+  // (the round-1 nationkey EXCEPT was empty: every nation has suppliers)
   private val q12 = Q("q12_except",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
-        .except(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
-        .orderBy($"nationkey")
+      val o = t(s, dir, "orders")
+      o.filter(year($"o_orderdate") === 1995).select($"o_custkey".as("custkey"))
+        .except(o.filter(year($"o_orderdate") === 1996)
+          .select($"o_custkey".as("custkey")))
+        .orderBy($"custkey")
     },
     Some("""
-      SELECT c_nationkey AS nationkey FROM customer
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
       EXCEPT
-      SELECT s_nationkey AS nationkey FROM supplier
-      ORDER BY nationkey"""))
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+      ORDER BY custkey"""))
 
   // --------------------------------------------------- rollup / cube / gid
 
@@ -434,12 +455,14 @@ object QueryPack {
     (s, dir) => {
       t(s, dir, "supplier").createOrReplaceTempView("supplier")
       t(s, dir, "customer").createOrReplaceTempView("customer")
+      // `* 2` keeps the correlated NOT EXISTS non-vacuous: 49 suppliers
+      // survive at sf0.01 (plain `> s_acctbal` matched every supplier)
       s.sql("""
         SELECT s_nationkey, count(*) AS n
         FROM supplier s
         WHERE NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_nationkey = s.s_nationkey
-                            AND c.c_acctbal > s.s_acctbal)
+                            AND c.c_acctbal > s.s_acctbal * 2)
         GROUP BY s_nationkey ORDER BY s_nationkey""")
     },
     Some("""
@@ -447,7 +470,7 @@ object QueryPack {
       FROM supplier s
       WHERE NOT EXISTS (SELECT 1 FROM customer c
                         WHERE c.c_nationkey = s.s_nationkey
-                          AND c.c_acctbal > s.s_acctbal)
+                          AND c.c_acctbal > s.s_acctbal * 2)
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
   // ------------------------------------------------- events: range join etc.
@@ -455,7 +478,7 @@ object QueryPack {
   private val q22 = Q("q22_range_join",
     (s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "events")
+      val e = events(s, dir)
         .withColumn("ts_s", date_trunc("second", $"ts"))
       val sgn = e.filter($"event_type" === "signup")
         .select($"user_id", $"ts_s".as("s_ts"))
@@ -485,7 +508,7 @@ object QueryPack {
     (s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
-      t(s, dir, "events")
+      events(s, dir)
         .select($"user_id", $"event_id",
           unix_timestamp(date_trunc("second", $"ts")).as("tsec"))
         .withColumn("gap", $"tsec" - lag($"tsec", 1).over(w))
@@ -512,7 +535,7 @@ object QueryPack {
   private val q24 = Q("q24_tumbling_window",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "events")
+      events(s, dir)
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum(d12($"value")).cast("double").as("v"))
@@ -529,7 +552,7 @@ object QueryPack {
   private val q25 = Q("q25_json_extract",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "events")
+      events(s, dir)
         .select($"event_type",
           get_json_object($"props", "$.k").cast("long").as("k"))
         .groupBy($"event_type")
