@@ -6,18 +6,23 @@ object SparkEntry {
     * segmentation, taxonomy/division prunes, coordinate normalization,
     * idmapping broadcast join, fallback coalesce, explode, 7-column
     * projection) over a self-contained gzipped EMBL fixture. The driver
-    * smoke-checks rows > 0.
+    * smoke-checks rows > 0; q29_ena_flagship hash-checks the same
+    * relation against its 7 expected rows.
     */
   def entry(spark: SparkSession): DataFrame =
     graft.embl.FlagshipFixture.enaTab(spark)
 
-  /** One entry per implemented operator family from SURVEY.md §2 plus the
-    * LLM-data-pipeline layer (dedup / similarity / text analysis). */
+  /** One entry per implemented operator family from SURVEY.md §2
+    * (QueryPack q01-q26) plus the LLM-data-pipeline layer — exact /
+    * MinHash-LSH / SimHash / fingerprint dedup, ANN similarity search,
+    * text analysis, multimodal metadata — and the flagship oracle
+    * (QueryPackExt q27-q42).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.QueryPack.queries
+    graft.queries.QueryPack.queries ++ graft.queries.QueryPackExt.queries
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/aliases —
     * the driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] =
-    graft.queries.QueryPack.oracleSql
+    graft.queries.QueryPack.oracleSql ++ graft.queries.QueryPackExt.oracleSql
 }

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus a per-partition
+  * decode/feature-extract stage (the Scala analog of a batched
+  * `mapInPandas` decode UDF: one iterator pass per partition, bounded
+  * memory, no driver round-trip).
+  *
+  * The decode step itself is a clearly-marked deterministic STUB — no
+  * codec libraries ship in this environment — but the Spark-side
+  * plumbing is real and tested: schema, encoders, partition-batched
+  * iteration, and the metadata projection, which is also exercised as
+  * an oracle-checked query (q42_multimodal_meta) over text payloads
+  * re-encoded as binary.
+  *
+  * Scale notes: media blobs dominate row size, so the feature extractor
+  * projects blobs away as soon as features are computed (column pruning
+  * does the rest); decode parallelism is partition-count × cores with
+  * no shuffle — repartition upstream by media_id if blob-size skew
+  * starves executors.
+  */
+object Multimodal {
+
+  /** One media object: opaque payload + the metadata a catalog carries. */
+  final case class MediaRow(
+      media_id: Long,
+      mime: String,
+      content: Array[Byte])
+
+  /** Decoded features: pseudo-dimensions + a fixed-width feature vector. */
+  final case class MediaFeatures(
+      media_id: Long,
+      mime: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      feature: Array[Float])
+
+  val FeatureDim = 8
+
+  /** STUB decoder ===========================================================
+    * Stands in for an image/audio decode (JPEG/PNG/WAV...). Deterministic
+    * fake: "dimensions" and the feature vector are derived from the raw
+    * bytes with a rolling hash, so tests are reproducible and the
+    * downstream plumbing (schema, batching, pruning) is exercised for
+    * real. Replace the body with an actual codec call in production.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    var h = 1125899906842597L // rolling polynomial hash over the payload
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val width = 16 + (math.abs(h % 1024)).toInt
+    val height = 16 + (math.abs((h >> 10) % 1024)).toInt
+    val feature = Array.tabulate(FeatureDim) { d =>
+      // spread hash bits into [-1, 1) floats per feature dimension
+      (((h >> (d * 7)) & 0xffff).toFloat / 32768f) - 1f
+    }
+    (width, height, feature)
+  }
+
+  /** Batched decode/feature-extract: one streaming pass per partition
+    * (the mapInPandas shape), blobs dropped from the output row.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, feat) = decodeStub(r.content)
+        MediaFeatures(r.media_id, r.mime, r.content.length.toLong, w, h, feat)
+      }
+    }
+  }
+
+  /** Wrap a text corpus as a binary media table — the test stand-in for
+    * reading real media files (`spark.read.format("binaryFile")` in
+    * production).
+    */
+  def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,211 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a `documents(doc_id, text, ...)` corpus —
+  * the LLM-training-pipeline layer. Four families, each with a distinct
+  * scale profile:
+  *
+  *  - exact (content-hash groupBy): one shuffle on a 128-bit key; the
+  *    only way to dedup 100 TB exactly.
+  *  - MinHash-LSH (banded signatures → bucket self-join → exact-Jaccard
+  *    rerank): candidate generation is keyed on (band, bucket), never
+  *    all-pairs — the standard web-scale near-dedup shape (cf. Spark's
+  *    own `org.apache.spark.ml.feature.MinHashLSH`, re-expressed here as
+  *    pure DataFrame ops so it is SQL-oracle-checkable).
+  *  - SimHash (bitwise signature + pigeonhole band join): constant-size
+  *    signature per doc; hamming-≤h pairs are guaranteed to collide on
+  *    ≥1 of (h+1) bands.
+  *  - n-gram-Jaccard via inverted index (shingle self-join): exact but
+  *    shuffle-heavy — the verify path, not the discovery path, at scale.
+  *
+  * Scale notes (100 TB): every self-join here is equi-keyed (shingle /
+  * bucket / fingerprint), so Catalyst plans shuffle-hash or sort-merge
+  * joins — no CartesianProduct anywhere (asserted in LlmLayerSpec). A
+  * pathological bucket (e.g. a boilerplate shingle shared by millions of
+  * docs) would square inside its key; production runs cap bucket width
+  * (drop buckets with > N members) — semantics preserved here without
+  * the cap because the oracle must mirror exactly.
+  */
+object TextDedup {
+
+  /** Exact dedup: group by content hash, keep the minimum doc_id.
+    * One row per distinct content (n_copies > 1 ⇒ a duplicate group).
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** Near-exact dedup on a normalized prefix key (first k tokens):
+    * groups with >1 member, members listed sorted. The cheap
+    * "same-leading-content" pass that precedes full MinHash in a real
+    * pipeline.
+    */
+  def prefixDupGroups(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        md5(array_join(slice(toks, 1, k), " ")).as("prefix_key"))
+      .groupBy(col("prefix_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("members"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("prefix_key"))
+  }
+
+  /** Per-doc distinct shingle sets (docs with ≥ k tokens). */
+  private def shingleSets(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.shingleSet(col("text"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** MinHash-LSH near-dedup: deterministic seeded signatures, banded
+    * buckets, bucket-keyed candidate self-join, exact-Jaccard rerank.
+    * Emits (da, db, jaccard) for candidate pairs with Jaccard ≥
+    * `threshold`. Recall follows the LSH S-curve
+    * P(candidate) = 1-(1-j^r)^b with r = nHashes/bands rows per band.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      nHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val rows = nHashes / bands
+    val sets = shingleSets(docs, shingleK)
+
+    val mh = sets.select(
+      (col("doc_id") +: TextFns.minhashCols(col("sh"), nHashes)): _*)
+    // one 128-bit bucket key per band: md5 of the band's minhash values
+    // in seed order (order-independent aggregate inputs ⇒ deterministic)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until rows).map(r => col(s"mh_${b * rows + r}").cast("string")): _*))
+          .as("bucket"))
+    }
+    val buckets = mh
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Exact n-gram Jaccard over an inverted shingle index (the verify
+    * path): docs sharing ≥1 shingle meet in the shingle-keyed self-join;
+    * pairs below `maxDocId` with Jaccard ≥ `threshold` survive. At corpus
+    * scale the shingle join shuffles every posting — use minhashLshPairs
+    * for discovery and this only to verify candidates.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      maxDocId: Long = 250,
+      shingleK: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val sets = shingleSets(docs.filter(col("doc_id") < maxDocId), shingleK)
+    val postings = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inter = postings.as("a")
+      .join(postings.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sets.select(col("doc_id").as("da"), size(col("sh")).as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), size(col("sh")).as("nb")), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val SimhashBits = 16
+
+  /** 16-bit SimHash signatures: per token occurrence (term-frequency
+    * weighted), each bit of the token's 16-bit hash votes ±1; signature
+    * bit b is 1 iff the vote sum is strictly positive.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$b")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits)
+          .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`,
+    * found via the pigeonhole band join: the 16-bit signature splits
+    * into 4 nibbles; any pair within hamming 3 must agree on ≥1 nibble
+    * band, so candidates are an equi-join on (band, nibble) — never
+    * all-pairs.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val nibbles = (0 until 4).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), 4 * i).bitwiseAND(15).as("nib"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("simhash"), explode(array(nibbles: _*)).as("bn"))
+      .select(col("doc_id"), col("simhash"),
+        col("bn.band").as("band"), col("bn.nib").as("nib"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Rolling-hash document fingerprint: the minimum hash over the doc's
+    * distinct word-`k`-gram shingles (a 1-permutation MinHash). Docs
+    * sharing a fingerprint are near-dup candidates; emitted as pairs.
+    */
+  def fingerprintPairs(docs: DataFrame, shingleK: Int = 5): DataFrame = {
+    val fp = shingleSets(docs, shingleK)
+      .select(col("doc_id"),
+        array_min(transform(col("sh"), x => TextFns.hash60(x))).as("fp"))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.fp").as("fingerprint"))
+      .orderBy(col("da"), col("db"))
+  }
+}

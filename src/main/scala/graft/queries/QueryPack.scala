@@ -453,17 +453,18 @@ object QueryPack {
 
   private val q21 = Q("q21_correlated_exists",
     (s, dir) => {
-      t(s, dir, "supplier").createOrReplaceTempView("supplier")
-      t(s, dir, "customer").createOrReplaceTempView("customer")
-      // `* 2` keeps the correlated NOT EXISTS non-vacuous: 49 suppliers
-      // survive at sf0.01 (plain `> s_acctbal` matched every supplier)
-      s.sql("""
-        SELECT s_nationkey, count(*) AS n
-        FROM supplier s
-        WHERE NOT EXISTS (SELECT 1 FROM customer c
-                          WHERE c.c_nationkey = s.s_nationkey
-                            AND c.c_acctbal > s.s_acctbal * 2)
-        GROUP BY s_nationkey ORDER BY s_nationkey""")
+      import s.implicits._
+      // correlated NOT EXISTS == left_anti with the correlation predicate
+      // as a join condition (equi key + inequality filter, so the planner
+      // still hashes/merges on nationkey). `* 2` keeps it non-vacuous: 49
+      // suppliers survive at sf0.01 (plain `> s_acctbal` matched all).
+      t(s, dir, "supplier")
+        .join(t(s, dir, "customer"),
+          $"c_nationkey" === $"s_nationkey" &&
+            $"c_acctbal" > $"s_acctbal" * 2, "left_anti")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"s_nationkey")
     },
     Some("""
       SELECT s_nationkey, count(*) AS n
@@ -520,7 +521,7 @@ object QueryPack {
     },
     Some("""
       SELECT user_id,
-             sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+             CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM (
         SELECT user_id,
@@ -561,7 +562,7 @@ object QueryPack {
         .orderBy($"event_type")
     },
     Some("""
-      SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+      SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
              min(k) AS min_k, max(k) AS max_k
       FROM (SELECT event_type,
                    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k

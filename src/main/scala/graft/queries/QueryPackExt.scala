@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.embl.FlagshipFixture
+import graft.llm.{Similarity, TextAnalysis, TextDedup}
+import QueryPack.Q
+
+/** Extension-layer query pack: the LLM-data-pipeline operators (dedup /
+  * similarity / text analysis / multimodal metadata) over the
+  * `documents` and `embeddings` test tables, plus the hash-checked
+  * oracle for the ENA flagship pipeline itself.
+  *
+  * Oracle parity techniques used throughout:
+  *  - hashing is md5-derived (`hash60`: first 60 bits of md5 as BIGINT),
+  *    bit-identical across engines — never engine-native hashes;
+  *  - cosine/dot arithmetic casts each element to double *before*
+  *    multiplying and folds left-to-right; verified bit-identical
+  *    between Spark `aggregate(zip_with(...))` and DuckDB
+  *    `list_sum(list_transform(...))` on the test corpus;
+  *  - integer-exact ratios (counts, sums of ints) divide as
+  *    double/int in both engines — same IEEE result;
+  *  - every integer aggregate is CAST to BIGINT on the DuckDB side
+  *    (DuckDB integer sum returns HUGEINT, the round-2 q23/q25 lesson).
+  */
+object QueryPackExt {
+
+  /** Shared tokenization CTE — the exact mirror of
+    * [[graft.llm.TextFns.tokens]].
+    */
+  private val ToksCte = """
+    toks AS (
+      SELECT doc_id, lang, source, n_chars,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents)"""
+
+  /** DuckDB mirror of [[graft.llm.TextFns.hash60]]. */
+  private def h60(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Distinct word k-gram shingle CTE over `toks` (named `sh`). */
+  private def shingleCte(k: Int): String = {
+    val concat = (0 until k).map(i => s"w[gs + $i]").mkString(" || ' ' || ")
+    s"""
+    sh AS (
+      SELECT DISTINCT doc_id, $concat AS shingle
+      FROM (SELECT doc_id, w FROM toks WHERE len(w) >= $k) t,
+           LATERAL (SELECT unnest(generate_series(1, len(w) - ${k - 1})) AS gs) g)"""
+  }
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------ dedup: exact
+
+  private val q27 = Q("q27_exact_dedup",
+    (s, dir) => TextDedup.exactDupGroups(t(s, dir, "documents")),
+    Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  private val q28 = Q("q28_prefix_dup_groups",
+    (s, dir) => TextDedup.prefixDupGroups(t(s, dir, "documents"), k = 5),
+    Some(s"""
+      WITH $ToksCte
+      SELECT prefix_key, count(*) AS n_docs,
+             array_to_string(list_sort(list(doc_id)), ',') AS members
+      FROM (SELECT doc_id, md5(array_to_string(list_slice(w, 1, 5), ' ')) AS prefix_key
+            FROM toks) x
+      GROUP BY prefix_key HAVING count(*) > 1 ORDER BY prefix_key"""))
+
+  // --------------------------------------------------------- flagship oracle
+
+  /** The ENA flagship pipeline (EMBL segmentation S5 + coordinate kernel
+    * K1 + idmapping join J1/J2 + fallback X9 + explode X10), hash-checked
+    * against its 7 deterministic expected rows — the pipeline's first
+    * CORRECTNESS row beyond the rows>0 smoke (VERDICT r2 next-round #4).
+    */
+  private val q29 = Q("q29_ena_flagship",
+    (s, _) => FlagshipFixture.enaTab(s)
+      .drop("file_path")
+      .orderBy(col("ena_id"), col("uniprot_id")),
+    Some("""
+      SELECT ena_id, uniprot_id, CAST(locus_count AS INTEGER) AS locus_count,
+             CAST(chr_struct AS INTEGER) AS chr_struct,
+             CAST(direction AS INTEGER) AS direction,
+             CAST(st AS BIGINT) AS start, CAST(en AS BIGINT) AS "end"
+      FROM (VALUES
+        ('CIRC01', 'P10001', 1, 0, 1, 900, 70),
+        ('CIRC01', 'P10002', 1, 0, 1, 900, 70),
+        ('CIRC01', 'U_FALL', 2, 0, 0, 200, 300),
+        ('FUN01', 'U_CCC', 1, 1, 1, 5, 100),
+        ('WGS01', 'P10001', 1, 1, 1, 12, 202),
+        ('WGS01', 'P10002', 1, 1, 1, 12, 202),
+        ('WGS01', 'P20001', 1, 1, 1, 12, 202)
+      ) AS t(ena_id, uniprot_id, locus_count, chr_struct, direction, st, en)
+      ORDER BY ena_id, uniprot_id"""))
+
+  // ----------------------------------------------------- dedup: MinHash-LSH
+
+  private val q30 = Q("q30_minhash_lsh_pairs",
+    (s, dir) => TextDedup.minhashLshPairs(t(s, dir, "documents"),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
+    Some(s"""
+      WITH $ToksCte, ${shingleCte(3)},
+      mh AS (
+        SELECT doc_id, se.s AS s,
+               min(${h60("CAST(se.s AS VARCHAR) || '|' || shingle")}) AS m
+        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS s) se
+        GROUP BY doc_id, se.s),
+      bands AS (
+        SELECT doc_id, s // 3 AS band,
+               md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY s)) AS bucket
+        FROM mh GROUP BY doc_id, (s // 3)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      sets AS (SELECT doc_id, list(DISTINCT shingle) AS ss FROM sh GROUP BY doc_id)
+      SELECT da, db, jaccard FROM (
+        SELECT da, db,
+               CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) /
+                 (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jaccard
+        FROM cand JOIN sets x ON x.doc_id = da JOIN sets y ON y.doc_id = db) z
+      WHERE jaccard >= 0.5 ORDER BY da, db"""))
+
+  private val q31 = Q("q31_ngram_jaccard_pairs",
+    (s, dir) => TextDedup.ngramJaccardPairs(t(s, dir, "documents"),
+      maxDocId = 250, shingleK = 3, threshold = 0.2),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id < 250), ${shingleCte(3)},
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db, jaccard FROM (
+        SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db) z
+      WHERE jaccard >= 0.2 ORDER BY da, db"""))
+
+  // --------------------------------------------------------- dedup: SimHash
+
+  private val simhashVotes = (0 until 16)
+    .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+    .mkString(", ")
+  private val simhashExpr = (0 until 16)
+    .map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END")
+    .mkString(" + ")
+  private val simhashCtes = s"""
+      $ToksCte,
+      tok AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+      hh AS (SELECT doc_id,
+                    CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) AS h
+             FROM tok),
+      v AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM v)"""
+
+  private val q32 = Q("q32_simhash_sig",
+    (s, dir) => TextDedup.simhashSignatures(t(s, dir, "documents")),
+    Some(s"""
+      WITH $simhashCtes
+      SELECT doc_id, simhash FROM sig ORDER BY doc_id"""))
+
+  private val q33 = Q("q33_simhash_pairs",
+    (s, dir) => TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3),
+    Some(s"""
+      WITH $simhashCtes,
+      banded AS (
+        SELECT doc_id, simhash, bb.band AS band,
+               (simhash >> (4 * bb.band)) & 15 AS nib
+        FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS band) bb),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               a.simhash AS sa, b.simhash AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+      SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db"""))
+
+  // ---------------------------------------------------- dedup: fingerprint
+
+  private val q34 = Q("q34_doc_fingerprint_pairs",
+    (s, dir) => TextDedup.fingerprintPairs(t(s, dir, "documents"), shingleK = 5),
+    Some(s"""
+      WITH $ToksCte, ${shingleCte(5)},
+      fp AS (SELECT doc_id, min(${h60("shingle")}) AS fp FROM sh GROUP BY doc_id)
+      SELECT a.doc_id AS da, b.doc_id AS db, a.fp AS fingerprint
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      ORDER BY da, db"""))
+
+  // ----------------------------------------------------------- text analysis
+
+  private val q35 = Q("q35_lang_stats",
+    (s, dir) => TextAnalysis.langStats(t(s, dir, "documents")),
+    Some(s"""
+      WITH $ToksCte
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+             CAST(sum(len(w)) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY lang ORDER BY lang"""))
+
+  private val q36 = Q("q36_text_quality",
+    (s, dir) => TextAnalysis.qualityScores(t(s, dir, "documents")),
+    Some(s"""
+      WITH $ToksCte
+      SELECT doc_id, lang,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+               AS mean_tok_len,
+             CAST(len(list_filter(w,
+                    x -> list_contains(['the','a','of','and','to'], x)))
+                  AS DOUBLE) / len(w) AS stopword_ratio
+      FROM toks WHERE len(w) > 0 ORDER BY doc_id"""))
+
+  private val q37 = Q("q37_token_freq",
+    (s, dir) => TextAnalysis.tokenFrequency(t(s, dir, "documents"), k = 50),
+    Some(s"""
+      WITH $ToksCte
+      SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(w) AS token FROM toks) x
+      GROUP BY token ORDER BY n DESC, token LIMIT 50"""))
+
+  private val q38 = Q("q38_lang_id_confusion",
+    (s, dir) => TextAnalysis.langIdConfusion(t(s, dir, "documents")),
+    Some(s"""
+      WITH $ToksCte
+      SELECT lang, predicted, count(*) AS n FROM (
+        SELECT lang,
+               CASE WHEN he = 0 AND hd = 0 AND hs = 0 THEN 'unknown'
+                    WHEN he >= hd AND he >= hs THEN 'en'
+                    WHEN hd >= hs THEN 'de'
+                    ELSE 'es' END AS predicted
+        FROM (SELECT lang,
+                len(list_filter(w, x -> list_contains(['the','a','of'], x))) AS he,
+                len(list_filter(w, x -> list_contains(['der','die','und'], x))) AS hd,
+                len(list_filter(w, x -> list_contains(['el','la','los'], x))) AS hs
+              FROM toks) y) z
+      GROUP BY lang, predicted ORDER BY lang, predicted"""))
+
+  // ------------------------------------------------------------- similarity
+
+  /** DuckDB mirror of [[Similarity.dot]] — per-element double casts,
+    * left-to-right fold (verified bit-identical to Spark).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def normCte(extra: String = ""): String = s"""
+      e AS (SELECT vec_id, embedding$extra,
+                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM embeddings)"""
+
+  private def signBucketSql(bits: Int): String =
+    (0 until bits)
+      .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString(" + ")
+
+  private val q39 = Q("q39_ann_topk",
+    (s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+      nQueries = 5, k = 10),
+    Some(s"""
+      WITH ${normCte()},
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               ${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm) AS sim
+        FROM e JOIN q ON e.vec_id <> q.query_id),
+      r AS (SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, sim
+      FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  private val q40 = Q("q40_ann_lsh_topk",
+    (s, dir) => Similarity.signLshTopK(t(s, dir, "embeddings"),
+      bits = 4, nQueries = 5, k = 5),
+    Some(s"""
+      WITH ${normCte(s", ${signBucketSql(4)} AS bucket")},
+      q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket,
+                   nrm AS qn
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               ${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm) AS sim
+        FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id),
+      r AS (SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  private val q41 = Q("q41_embed_neardup",
+    (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),
+      bits = 2, threshold = 0.4),
+    Some(s"""
+      WITH ${normCte(s", ${signBucketSql(2)} AS bucket")}
+      SELECT va, vb, sim FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) z
+      WHERE sim >= 0.4 ORDER BY va, vb"""))
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Binary-column plumbing (the oracle-checkable slice of
+    * [[graft.llm.Multimodal]]): text payloads re-encoded as binary,
+    * byte-level metadata projected out. The stubbed decode itself is
+    * covered by LlmLayerSpec (not SQL-expressible).
+    */
+  private val q42 = Q("q42_multimodal_meta",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("octet_length(text)").cast("long").as("byte_len"),
+        md5(col("text")).as("content_md5"),
+        upper(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             md5(text) AS content_md5,
+             upper(hex(encode(substr(text, 1, 8)))) AS head_hex
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
+    q37, q38, q39, q40, q41, q42)
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
+}

@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Unit + scale-plan coverage for the LLM-data-pipeline layer. The
+  * value-level correctness of every operator is hash-checked against
+  * DuckDB by the driver harness (q27-q42); these tests pin the
+  * semantics on hand-built micro-corpora and assert the 100 TB plan
+  * properties the harness can't see: no CartesianProduct in any
+  * dedup/similarity plan (candidate generation must be equi-keyed).
+  */
+class LlmLayerSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private lazy val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
+    3L -> "completely different content about spark engines here",
+    4L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+    5L -> "tiny")
+
+  private def assertNoCartesian(df: DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"plan must not contain a cartesian product:\n$plan")
+  }
+
+  test("exactDupGroups: identical texts collapse, keeper is min doc_id") {
+    val out = TextDedup.exactDupGroups(corpus).collect()
+    val dup = out.filter(_.getAs[Long]("n_copies") > 1)
+    assert(dup.length === 1)
+    assert(dup.head.getAs[Long]("keeper_id") === 1L)
+    assert(dup.head.getAs[Long]("n_copies") === 2L)
+    assert(out.length === 4) // 4 distinct contents
+  }
+
+  test("minhashLshPairs: finds near+exact dup pairs, no cartesian") {
+    val q = TextDedup.minhashLshPairs(corpus, shingleK = 3,
+      nHashes = 12, bands = 4, threshold = 0.5)
+    assertNoCartesian(q)
+    val out = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact dups (jaccard 1.0) always collide in every band
+    assert(out.get((1L, 4L)).contains(1.0))
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L)) // 3 unrelated
+    // (1,2)/(2,4) at jaccard 0.75 are probabilistic LSH candidates
+    // (P ≈ 0.89 at r=3,b=4) — assert the value only when surfaced
+    out.get((1L, 2L)).foreach(j => assert(j === 0.75))
+  }
+
+  test("ngramJaccardPairs: exact jaccard via inverted index, no cartesian") {
+    val q = TextDedup.ngramJaccardPairs(corpus, maxDocId = 100,
+      shingleK = 3, threshold = 0.2)
+    assertNoCartesian(q)
+    val j = q.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 4L)) === 1.0)
+    // docs 1 and 2 share 6 of their 7 distinct 3-gram shingles: 6/8
+    assert(j((1L, 2L)) === 0.75)
+  }
+
+  test("simhash: exact dups share signatures; pair scan is banded, no cartesian") {
+    val sig = TextDedup.simhashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(4L)) // identical token multiset
+    assert(sig.values.forall(s => s >= 0 && s <= 0xFFFFL))
+    val q = TextDedup.simhashPairs(corpus, maxHamming = 3)
+    assertNoCartesian(q)
+    val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("fingerprintPairs: min-shingle-hash fingerprint matches dups, no cartesian") {
+    val q = TextDedup.fingerprintPairs(corpus, shingleK = 5)
+    assertNoCartesian(q)
+    val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // <5 tokens: no fp
+  }
+
+  test("shingles: docs shorter than k yield empty, not descending sequences") {
+    val out = docs(1L -> "a b").select(TextFns.shingleSet(col("text"), 3))
+      .head().getSeq[String](0)
+    assert(out.isEmpty)
+  }
+
+  test("quality + lang stats run on tiny docs without div-by-zero rows") {
+    val q = TextAnalysis.qualityScores(
+      docs(1L -> "x y x", 2L -> "").withColumn("lang", lit("en")))
+    val rows = q.collect()
+    assert(rows.length === 1) // empty doc filtered, no NaN/div-zero row
+    assert(rows.head.getAs[Double]("ttr") === 2.0 / 3.0)
+  }
+
+  test("similarity: topk exact on a hand-built frame; lsh/neardup no cartesian") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(-1f, 0f, 0f, 0f), 1),
+      (4L, Array(0.8f, 0.2f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, nQueries = 1, k = 2).collect()
+    assert(top.map(_.getLong(2)).toSeq === Seq(1L, 4L)) // nearest first
+    assert(top.head.getDouble(3) > 0.99)
+    assertNoCartesian(Similarity.signLshTopK(emb, bits = 2, nQueries = 1, k = 2))
+    assertNoCartesian(Similarity.nearDupPairs(emb, bits = 2, threshold = 0.5))
+    // vec 0 has dim2 == 0 (not > 0) so it sketches into a different
+    // bucket than 1 and 4 — the LSH recall trade: only (1,4) surfaces
+    val nd = Similarity.nearDupPairs(emb, bits = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd === Set((1L, 4L)))
+  }
+
+  test("multimodal: stub decode is deterministic; plumbing drops blobs") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/fake", Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaRow(2L, "image/fake", Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaRow(3L, "audio/fake", Array[Byte](9, 9))
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature.toSeq === feats(2L).feature.toSeq) // deterministic
+    assert(feats(1L).byte_len === 4L && feats(3L).byte_len === 2L)
+    assert(feats(1L).feature.length === Multimodal.FeatureDim)
+    assert(feats(1L).width >= 16 && feats(1L).height >= 16)
+    assert(!Multimodal.extractFeatures(media).columns.contains("content"))
+  }
+
+  test("documentsAsMedia wraps a text corpus as binary rows") {
+    val docsDf = docs(7L -> "hello").withColumn("doc_id", col("doc_id"))
+    val media = Multimodal.documentsAsMedia(spark, docsDf).collect()
+    assert(media.head.media_id === 7L)
+    assert(new String(media.head.content, "UTF-8") === "hello")
+  }
+}
