@@ -20,6 +20,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm-up (untimed): one representative query end-to-end so session
+    // startup + first-job codegen/scheduler costs aren't billed to the
+    // alphabetically-first timed query (BENCH_r02 charged ~10s of session
+    // warm-up to q01).
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

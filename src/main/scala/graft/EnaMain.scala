@@ -1,26 +1,55 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import graft.embl.EnaPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.embl.{EnaPipeline, SegMetrics}
 
 /** CLI entry point for the ENA build pipeline — the engine's analog of
   * the reference's `ena_dask_tskmgr` console script
   * (reference pyproject.toml:23, dask_tskmgr.py:45-257).
   *
   * Usage:
-  *   EnaMain <outDir> <idmappingParquet> <enaRoot> [<enaRoot> ...]
+  *   EnaMain <outDir> <idmappingSource> <enaRoot> [<enaRoot> ...]
+  *
+  * `idmappingSource` is either a parquet path or a JDBC URL
+  * (`jdbc:...`) — the reference's MySQL side input
+  * (mysql_database.py:92-117). For JDBC, credentials come from
+  * ENA_DB_USER / ENA_DB_PASSWORD and the table name from
+  * ENA_IDMAPPING_TABLE (default `idmapping`); rows stream with
+  * fetchsize=1000, matching the reference's cursor batching (S7).
+  *
+  * Env toggles: ENA_SINGLE_FILE=1 writes one globally ordered TSV
+  * (the reference's `ena.tab` concat, S12/O2) instead of the parallel
+  * division-partitioned layout.
   *
   * Reads gzipped EMBL flat files under the given roots (recursive,
   * `*.dat.gz`, sequence-tree division prune applied), resolves protein
-  * ids against the idmapping parquet snapshot, and writes the 7-column
-  * headerless TSV partitioned by source-tree division.
+  * ids against the idmapping relation, writes the 7-column headerless
+  * TSV, and logs the segmentation counters (A5).
   */
 object EnaMain {
+
+  /** S6/S7: idmapping side input from parquet snapshot or JDBC. */
+  def readIdmapping(spark: SparkSession, source: String): DataFrame =
+    if (source.startsWith("jdbc:")) {
+      val reader = spark.read.format("jdbc")
+        .option("url", source)
+        .option("dbtable", sys.env.getOrElse("ENA_IDMAPPING_TABLE", "idmapping"))
+        .option("fetchsize", "1000") // S7: cursor batch size (mysql_database.py:50)
+      val withUser = sys.env.get("ENA_DB_USER")
+        .fold(reader)(u => reader.option("user", u))
+      val withPass = sys.env.get("ENA_DB_PASSWORD")
+        .fold(withUser)(p => withUser.option("password", p))
+      withPass.load().select(col("foreign_id"), col("uniprot_id"))
+    } else {
+      spark.read.parquet(source).select(col("foreign_id"), col("uniprot_id"))
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: EnaMain <outDir> <idmappingParquet> <enaRoot> [<enaRoot>...]")
+      "usage: EnaMain <outDir> <idmappingSource> <enaRoot> [<enaRoot>...]")
     val outDir = args(0)
-    val idmappingPath = args(1)
+    val idmappingSource = args(1)
     val roots = args.drop(2).toSeq
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,9 +62,24 @@ object EnaMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val idmapping = spark.read.parquet(idmappingPath)
-    val enaTab = EnaPipeline.enaTab(spark, roots, idmapping)
-    EnaPipeline.writeTsv(enaTab, outDir)
+    val idmapping = readIdmapping(spark, idmappingSource)
+    // S8 connection preflight (dask_tskmgr.py:122-126): fail fast on bad
+    // credentials/URL before the multi-hour scan launches
+    if (idmappingSource.startsWith("jdbc:")) idmapping.limit(1).count()
+
+    val metrics = Some(SegMetrics(spark.sparkContext))
+    val enaTab = EnaPipeline.enaTab(spark, roots, idmapping, metrics = metrics)
+    if (sys.env.get("ENA_SINGLE_FILE").contains("1"))
+      EnaPipeline.writeTsvConcat(enaTab, outDir)
+    else
+      EnaPipeline.writeTsv(enaTab, outDir)
+
+    metrics.foreach { m =>
+      println(s"[ena] tombstoned_records=${m.tombstonedRecords.value} " +
+        s"taxonomy_dropped=${m.taxonomyDropped.value} " +
+        s"dropped_cds_blocks=${m.droppedCdsBlocks.value} " +
+        s"emitted_loci=${m.emittedLoci.value}")
+    }
     spark.stop()
   }
 }

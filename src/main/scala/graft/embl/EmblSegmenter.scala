@@ -2,6 +2,30 @@ package graft.embl
 
 import scala.collection.mutable
 
+import org.apache.spark.SparkContext
+import org.apache.spark.util.LongAccumulator
+
+/** Observability counters for the segmentation stage (A5 — the analog
+  * of the reference's per-task logging, parse_embl.py:150-154 and the
+  * driver-loop tallies, dask_tskmgr.py:160-163). Spark accumulators:
+  * cheap, executor-side, readable on the driver after any action.
+  * (Task retries can over-count — fine for observability, never used
+  * for semantics.)
+  */
+final case class SegMetrics(
+    tombstonedRecords: LongAccumulator,
+    taxonomyDropped: LongAccumulator,
+    droppedCdsBlocks: LongAccumulator,
+    emittedLoci: LongAccumulator) extends Serializable
+
+object SegMetrics {
+  def apply(sc: SparkContext): SegMetrics = SegMetrics(
+    sc.longAccumulator("ena.tombstoned_records"),
+    sc.longAccumulator("ena.taxonomy_dropped_records"),
+    sc.longAccumulator("ena.dropped_cds_blocks"),
+    sc.longAccumulator("ena.emitted_loci"))
+}
+
 /** One CDS locus, flattened with its chromosome (Record) attributes —
   * the `loci` relation of SURVEY.md §1.3. Replaces the reference's
   * mutable `Record`/`Locus` object graph (parse_embl.py:53-303).
@@ -47,7 +71,8 @@ object EmblSegmenter {
       val enaId: String,
       val chrStruct: Int,
       val chrLen: Long,
-      val filePath: String) {
+      val filePath: String,
+      metrics: Option[SegMetrics]) {
     private var count = 1
     private val loci = mutable.ArrayBuffer.empty[LocusRow]
     private val curLines = mutable.ArrayBuffer.empty[String]
@@ -78,8 +103,11 @@ object EmblSegmenter {
         loci += LocusRow(filePath, enaId, chrStruct, chrLen, count,
           direction, s, e, uniprot.toSeq, protein.toSeq)
         count += 1
+        metrics.foreach(_.emittedLoci.add(1))
+      } else {
+        // loc-parse failure: drop the block, don't increment (py:150-154)
+        metrics.foreach(_.droppedCdsBlocks.add(1))
       }
-      // loc-parse failure: drop the block, don't increment (py:150-154)
       curLines.clear()
     }
 
@@ -94,10 +122,12 @@ object EmblSegmenter {
     }
   }
 
-  private def dead(path: String) = new RecordState("", -1, 0L, path)
+  private def dead(path: String) = new RecordState("", -1, 0L, path, None)
 
   /** Segment an ordered stream of `(file_path, line)` into loci. */
-  def segment(rows: Iterator[(String, String)]): Iterator[LocusRow] = {
+  def segment(
+      rows: Iterator[(String, String)],
+      metrics: Option[SegMetrics] = None): Iterator[LocusRow] = {
     var state: RecordState = dead("")
     var curPath: String = null
 
@@ -118,11 +148,14 @@ object EmblSegmenter {
         // flush + emit previous record, start the next (py:494-520)
         val out = crossed ++ state.finishRecord()
         val id = EmblLines.parseIdLine(line)
-        state = new RecordState(id.enaId, id.chrStruct, id.chrLen, path)
+        if (id.enaId.isEmpty) metrics.foreach(_.tombstonedRecords.add(1))
+        state = new RecordState(id.enaId, id.chrStruct, id.chrLen, path, metrics)
         out
       } else if (line.startsWith("OC   ") &&
                  EmblLines.ocLineDropsRecord(line)) {
-        // F2 taxonomy anti-filter (py:527-535)
+        // F2 taxonomy anti-filter (py:527-535); count only live records
+        // so a dead record's OC lines don't double-count
+        if (state.isLive) metrics.foreach(_.taxonomyDropped.add(1))
         state = dead(path)
         crossed
       } else if (!state.isLive) {

@@ -59,7 +59,8 @@ object EnaPipeline {
   def readLoci(
       spark: SparkSession,
       roots: Seq[String],
-      applyDivisionPrune: Boolean = true): Dataset[LocusRow] = {
+      applyDivisionPrune: Boolean = true,
+      metrics: Option[SegMetrics] = None): Dataset[LocusRow] = {
     val text = spark.read
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.dat.gz")
@@ -73,18 +74,21 @@ object EnaPipeline {
           !col("file_path").rlike("sequence.*/") ||
             col("file_path").rlike(DivisionTokenRegex))
       else text
-    segmentLines(spark, pruned)
+    segmentLines(spark, pruned, metrics)
   }
 
   /** S5 proper: ordered `(file_path, value)` lines -> loci. Exposed
     * separately so tests can feed hand-built line Datasets.
     */
-  def segmentLines(spark: SparkSession, lines: DataFrame): Dataset[LocusRow] = {
+  def segmentLines(
+      spark: SparkSession,
+      lines: DataFrame,
+      metrics: Option[SegMetrics] = None): Dataset[LocusRow] = {
     import spark.implicits._
     lines
       .select(col("file_path"), col("value"))
       .as[(String, String)]
-      .mapPartitions(EmblSegmenter.segment _)
+      .mapPartitions(it => EmblSegmenter.segment(it, metrics))
   }
 
   /** J1/J2/A1/X9/X10/F7 (SURVEY.md §2.3-2.4): resolve each locus's
@@ -105,29 +109,56 @@ object EnaPipeline {
     val mapped = idmapping
       .groupBy(col("foreign_id"))
       .agg(collect_set(col("uniprot_id")).as("mapped_ids")) // A1
-    val build = if (broadcastIdMap) broadcast(mapped) else mapped
 
-    val withUid = loci.toDF().withColumn("locus_uid", monotonically_increasing_id())
-    withUid
-      .withColumn("pid", explode_outer(col("protein_ids")))
-      .join(build, col("pid") === col("foreign_id"), "left_outer") // J1 (+J2 via null side)
-      .groupBy(col("locus_uid"))
-      .agg(
-        first(col("ena_id")).as("ena_id"),
-        first(col("chr_struct")).as("chr_struct"),
-        first(col("direction")).as("direction"),
-        first(col("start")).as("start"),
-        first(col("end")).as("end"),
-        first(col("locus_idx")).as("locus_count"),
-        first(col("uniprot_ids")).as("parsed_ids"),
-        first(col("file_path")).as("file_path"),
-        flatten(collect_list(col("mapped_ids"))).as("rev_ids"))
+    val resolved =
+      if (broadcastIdMap) {
+        // Broadcast regime: ship the aggregated foreign_id -> ids map to
+        // every executor and resolve each locus's protein_ids per-row —
+        // a map-side hash join with NO explode / join / regroup. The
+        // former declarative path exploded protein_ids and then
+        // re-assembled rows with a groupBy on a unique locus id: a full
+        // shuffle of every locus whose grouping reduces nothing
+        // (VERDICT r1+r2). The map materializes driver-side exactly when
+        // a broadcast build side would have anyway.
+        val spark = loci.sparkSession
+        val idMap: Map[String, Array[String]] = mapped.collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1).toArray).toMap
+        val bc = spark.sparkContext.broadcast(idMap)
+        val resolve = udf { pids: Seq[String] =>
+          // reference semantics (parse_embl.py:236): per-pid dedup (A1's
+          // collect_set) but multiplicity KEPT across protein ids
+          if (pids == null) Seq.empty[String]
+          else pids.flatMap(p => bc.value.getOrElse(p, Array.empty[String]))
+        }
+        loci.toDF().withColumn("rev_ids", resolve(col("protein_ids")))
+      } else {
+        // Shuffle regime (true UniProt scale, ~1e9 mapping rows): the
+        // declarative explode -> join -> regroup plan; the planner picks
+        // sort-merge/shuffled-hash on pid = foreign_id.
+        loci.toDF()
+          .withColumn("locus_uid", monotonically_increasing_id())
+          .withColumn("pid", explode_outer(col("protein_ids")))
+          .join(mapped, col("pid") === col("foreign_id"), "left_outer") // J1 (+J2 via null side)
+          .groupBy(col("locus_uid"))
+          .agg(
+            first(col("ena_id")).as("ena_id"),
+            first(col("chr_struct")).as("chr_struct"),
+            first(col("direction")).as("direction"),
+            first(col("start")).as("start"),
+            first(col("end")).as("end"),
+            first(col("locus_idx")).as("locus_idx"),
+            first(col("uniprot_ids")).as("uniprot_ids"),
+            first(col("file_path")).as("file_path"),
+            flatten(collect_list(col("mapped_ids"))).as("rev_ids"))
+      }
+
+    resolved
       .withColumn("ids_final",
         when(size(col("rev_ids")) > 0, col("rev_ids"))
-          .otherwise(col("parsed_ids"))) // X9 fallback coalesce
+          .otherwise(col("uniprot_ids"))) // X9 fallback coalesce
       .withColumn("uniprot_id", explode(col("ids_final"))) // X10
       .select( // F7: the reference's 7-column schema (parse_embl.py:255)
-        col("ena_id"), col("uniprot_id"), col("locus_count"),
+        col("ena_id"), col("uniprot_id"), col("locus_idx").as("locus_count"),
         col("chr_struct"), col("direction"), col("start"), col("end"),
         col("file_path"))
   }
@@ -137,8 +168,10 @@ object EnaPipeline {
       spark: SparkSession,
       roots: Seq[String],
       idmapping: DataFrame,
-      broadcastIdMap: Boolean = true): DataFrame =
-    resolveIds(readLoci(spark, roots), idmapping, broadcastIdMap)
+      broadcastIdMap: Boolean = true,
+      metrics: Option[SegMetrics] = None): DataFrame =
+    resolveIds(readLoci(spark, roots, metrics = metrics), idmapping,
+      broadcastIdMap)
 
   /** S9/S10/S12: headerless TSV sink, one directory per source-tree
     * division (the reference's output layout, dask_tasks.py:138-162),
@@ -152,6 +185,26 @@ object EnaPipeline {
       .drop(col("file_path"))
       .write
       .partitionBy("division")
+      .option("sep", "\t")
+      .option("header", "false")
+      .mode("overwrite")
+      .csv(outDir)
+
+  /** S12/O2 full-fidelity mode: ONE globally ordered TSV, the analog of
+    * the reference's lexicographically sorted byte-concat into `ena.tab`
+    * (dask_tskmgr.py:234-241). Total order: source path first (the
+    * reference's file sort), then a deterministic within-file key.
+    * `coalesce(1)` funnels the final write through a single task — a
+    * deliberate single-writer bottleneck, same as the reference's
+    * client-side concat; use [[writeTsv]] for the parallel layout.
+    */
+  def writeTsvConcat(enaTab: DataFrame, outDir: String): Unit =
+    enaTab
+      .orderBy(col("file_path"), col("ena_id"), col("locus_count"),
+        col("uniprot_id"))
+      .drop(col("file_path"))
+      .coalesce(1)
+      .write
       .option("sep", "\t")
       .option("header", "false")
       .mode("overwrite")

@@ -51,7 +51,7 @@ object Similarity {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         l2norm(col("embedding")).as("qn"))
-    val cand = emb
+    val cand = TextDedup.spread(emb, "vec_id")
       .select(col("vec_id"), col("embedding").as("cv"),
         l2norm(col("embedding")).as("cn"))
     import org.apache.spark.sql.expressions.Window
@@ -74,7 +74,7 @@ object Similarity {
     */
   def signLshTopK(
       emb: DataFrame, bits: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame = {
-    val sketched = emb.select(col("vec_id"), col("embedding"),
+    val sketched = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"),
       l2norm(col("embedding")).as("nrm"))
     val q = sketched
@@ -100,7 +100,7 @@ object Similarity {
     */
   def nearDupPairs(
       emb: DataFrame, bits: Int = 2, threshold: Double = 0.4): DataFrame = {
-    val sketched = emb.select(col("vec_id"), col("embedding"),
+    val sketched = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"),
       l2norm(col("embedding")).as("nrm"))
     sketched.as("a")

@@ -58,9 +58,23 @@ object TextDedup {
       .orderBy(col("prefix_key"))
   }
 
+  /** Hash-distribute a corpus scan across the session's shuffle
+    * parallelism before a CPU-bound stage. Small-file corpora (and any
+    * non-splittable input) can scan as a handful of partitions, which
+    * would serialize the hashing work onto a few cores; one shuffle of
+    * the raw text is negligible against the signature computation it
+    * parallelizes. The partition count is pinned explicitly so AQE
+    * doesn't coalesce the (byte-small, CPU-heavy) exchange back down.
+    */
+  private[llm] def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(200)
+    df.repartition(n, col(key))
+  }
+
   /** Per-doc distinct shingle sets (docs with ≥ k tokens). */
   private def shingleSets(docs: DataFrame, k: Int): DataFrame =
-    docs
+    spread(docs, "doc_id")
       .select(col("doc_id"), TextFns.shingleSet(col("text"), k).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -78,10 +92,28 @@ object TextDedup {
       threshold: Double = 0.5): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
-    val sets = shingleSets(docs, shingleK)
+    // the shingle-set table is read three times (signatures + both
+    // rerank probes) and the banded table twice (candidate self-join):
+    // materialize each once instead of recomputing the text pipeline
+    // per consumer — the in-session analog of the persisted signature
+    // table a production dedup job writes between stages
+    val sets = shingleSets(docs, shingleK).localCheckpoint()
 
-    val mh = sets.select(
-      (col("doc_id") +: TextFns.minhashCols(col("sh"), nHashes)): _*)
+    // signature via explode -> scalar permutations -> partial-aggregated
+    // min: ONE md5 per (doc, shingle) posting and 12 cheap linear perms,
+    // combined map-side down to one 12-column row per doc before the
+    // shuffle. (An array-transform formulation keeps it shuffle-free but
+    // generates 13 nested array loops per row — measured 3-6x slower in
+    // codegen+exec than this partial-agg shape.)
+    val mh = sets
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h31", TextFns.hash31(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(TextFns.minhashPerm(0, col("h31"))).as("mh_0"),
+        (1 until nHashes).map(s =>
+          min(TextFns.minhashPerm(s, col("h31"))).as(s"mh_$s")): _*)
+      .localCheckpoint()
     // one 128-bit bucket key per band: md5 of the band's minhash values
     // in seed order (order-independent aggregate inputs ⇒ deterministic)
     val bandStructs = (0 until bands).map { b =>
@@ -148,7 +180,7 @@ object TextDedup {
     * bit b is 1 iff the vote sum is strictly positive.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = spread(docs, "doc_id")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
     val votes = (0 until SimhashBits).map { b =>
@@ -171,7 +203,7 @@ object TextDedup {
     * all-pairs.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs)
+    val sig = simhashSignatures(docs).localCheckpoint() // reused by both join sides
     val nibbles = (0 until 4).map { i =>
       struct(lit(i).as("band"),
         shiftright(col("simhash"), 4 * i).bitwiseAND(15).as("nib"))
@@ -199,8 +231,10 @@ object TextDedup {
     */
   def fingerprintPairs(docs: DataFrame, shingleK: Int = 5): DataFrame = {
     val fp = shingleSets(docs, shingleK)
-      .select(col("doc_id"),
-        array_min(transform(col("sh"), x => TextFns.hash60(x))).as("fp"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(min(TextFns.hash60(col("shingle"))).as("fp"))
+      .localCheckpoint() // reused by both join sides
     fp.as("a")
       .join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

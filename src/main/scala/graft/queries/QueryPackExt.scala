@@ -104,9 +104,13 @@ object QueryPackExt {
     Some(s"""
       WITH $ToksCte, ${shingleCte(3)},
       mh AS (
+        -- universal-hash MinHash, mirror of TextFns.minhashPerm:
+        -- one md5 per shingle, 12 linear permutations mod 2^31-1
         SELECT doc_id, se.s AS s,
-               min(${h60("CAST(se.s AS VARCHAR) || '|' || shingle")}) AS m
-        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS s) se
+               min((h31 * (1000003 + 97 * se.s) + (12345 + 31 * se.s))
+                   % 2147483647) AS m
+        FROM (SELECT doc_id, ${h60("shingle")} & 2147483647 AS h31 FROM sh) hh,
+             LATERAL (SELECT unnest(generate_series(0, 11)) AS s) se
         GROUP BY doc_id, se.s),
       bands AS (
         SELECT doc_id, s // 3 AS band,

@@ -135,6 +135,51 @@ class EnaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(back.columns.length === 8)
   }
 
+  test("broadcast resolveIds is shuffle-free and agrees with the shuffle path") {
+    val bcast = EnaPipeline.enaTab(spark, Seq(root.toString), idmapping)
+    // the whole broadcast-regime pipeline is one shuffle-free pass:
+    // scan -> segment -> map-side resolve -> explode -> project
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in plan:\n$plan")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.drop("file_path").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getLong(5), r.getLong(6))).toSet
+    val shuffled = EnaPipeline.enaTab(spark, Seq(root.toString), idmapping,
+      broadcastIdMap = false)
+    assert(rows(bcast) === rows(shuffled))
+  }
+
+  test("segmentation counters (A5): tombstones, taxonomy drops, CDS drops") {
+    val metrics = SegMetrics(spark.sparkContext)
+    EnaPipeline.readLoci(spark, Seq(root.toString), metrics = Some(metrics))
+      .collect() // action materializes the accumulators
+    assert(metrics.emittedLoci.value === 4L) // CIRC01 x2, FUN01, WGS01
+    assert(metrics.tombstonedRecords.value === 1L) // XXX01 invalid structure
+    assert(metrics.taxonomyDropped.value === 1L) // DROP01 eukaryote non-fungi
+    assert(metrics.droppedCdsBlocks.value === 1L) // CIRC01's rangeless "CDS 467"
+  }
+
+  test("ordered single-file concat sink (S12/O2)") {
+    val out = EnaPipeline.enaTab(spark, Seq(root.toString), idmapping)
+    val outDir = Files.createTempDirectory("ena_concat")
+    EnaPipeline.writeTsvConcat(out, outDir.toString + "/ena_tab")
+    val parts = new java.io.File(outDir.toString + "/ena_tab").listFiles()
+      .filter(f => f.getName.startsWith("part") && f.getName.endsWith(".csv"))
+    assert(parts.length === 1) // one ena.tab analog
+    val lines = scala.io.Source.fromFile(parts.head).getLines().toSeq
+    val expected = Seq(
+      "CIRC01\tP10001\t1\t0\t1\t900\t70",
+      "CIRC01\tP10002\t1\t0\t1\t900\t70",
+      "CIRC01\tU_FALL\t2\t0\t0\t200\t300",
+      "FUN01\tU_CCC\t1\t1\t1\t5\t100",
+      "WGS01\tP10001\t1\t1\t1\t12\t202",
+      "WGS01\tP10002\t1\t1\t1\t12\t202",
+      "WGS01\tP20001\t1\t1\t1\t12\t202")
+    assert(lines === expected) // global order: file path, then record keys
+  }
+
   test("locus numbering survives multi-record files (W1 fidelity)") {
     val loci = EnaPipeline.readLoci(spark, Seq(root.toString))
       .collect().map(l => (l.ena_id, l.locus_idx)).sorted
