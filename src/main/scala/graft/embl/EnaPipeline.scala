@@ -32,8 +32,16 @@ object EnaPipeline {
 
   /** X11 (dask_tasks.py:138-154): derive the output-layout division from
     * the source path: `.../wgs/public/wds/x.dat.gz` -> `wgs-public-wds`,
-    * `.../sequence/con/x.dat.gz` -> `sequence-con` (first match wins,
-    * like the reference's `findall(...)[0]`).
+    * `.../sequence/con/x.dat.gz` -> `sequence-con`.
+    *
+    * Documented divergence from the reference (ADVICE r2): the
+    * reference's `findall((wgs)/(\w*)/(\w*)|(sequence)/(\w*))[0]` takes
+    * the LEFTMOST match in the path string, so a pathological path
+    * containing both `sequence/x/` and later `wgs/a/b/` would classify
+    * as `sequence-x` there but `wgs-a-b` here (wgs pattern checked
+    * first). Real ENA trees never nest one tree inside the other, so
+    * the branch order is unobservable in practice; kept for the simpler
+    * column expression.
     */
   def divisionFromPath(path: Column): Column = {
     val p = "(wgs)/(\\w*)/(\\w*)"
@@ -177,6 +185,16 @@ object EnaPipeline {
     * division (the reference's output layout, dask_tasks.py:138-162),
     * ordered within partitions by source path like the reference's
     * lexicographic concat (dask_tskmgr.py:234-241).
+    *
+    * Documented layout divergences from the reference (ADVICE r2):
+    * directories are Hive-style `division=wgs-public-wds` (Spark's
+    * partitioned-write convention, self-describing on read-back) vs the
+    * reference's bare `wgs-public-wds`; and the CSV writer quotes a
+    * field if it ever contained a tab/quote, where the reference writes
+    * raw `\t`-joined lines (parse_embl.py:255) — unobservable for ENA
+    * ids, which are `\w+` tokens. Renaming dirs post-write would re-add
+    * the reference layout if a downstream consumer required it; use
+    * [[writeTsvConcat]] for the reference's single-`ena.tab` shape.
     */
   def writeTsv(enaTab: DataFrame, outDir: String): Unit =
     enaTab

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration surface for the engine's native Catalyst expressions —
+  * both imperative (per-session, idempotent) and declarative via
+  * `SparkSessionExtensions` for
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  val VecDotName = "graft_vec_dot"
+
+  private val vecDotInfo = new ExpressionInfo(
+    classOf[FloatVecDot].getName, VecDotName)
+
+  private def vecDotBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$VecDotName expects exactly 2 arguments")
+    FloatVecDot(args.head, args(1))
+  }
+
+  /** Idempotent per-session registration (the analyzer resolves
+    * `call_function` names through the session's FunctionRegistry).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(VecDotName)
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id, vecDotInfo, vecDotBuilder _)
+    }
+  }
+
+  /** Hook for [[GraftExtensions]]. */
+  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _))
+}
+
+/** `spark.sql.extensions` entry point: registers the engine's native
+  * functions at session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ with per-element double casts, summed left-to-right. */
+  /** Σ aᵢ·bᵢ with per-element double casts, summed left-to-right —
+    * compiled via the native [[graft.functions.FloatVecDot]] codegen
+    * expression (numerically identical to the HOF composition
+    * `aggregate(zip_with(a,b,(x,y) -> double(x)*double(y)), 0.0, +)`
+    * it replaced, but a tight primitive loop: no per-pair intermediate
+    * array). Callers must have run [[graft.functions.GraftFunctions
+    * .ensureRegistered]] on the session first — every public entry
+    * point here does.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function(graft.functions.GraftFunctions.VecDotName, a, b)
 
   /** ‖v‖₂ (double). */
   def l2norm(v: Column): Column = sqrt(dot(v, v))
@@ -48,6 +54,7 @@ object Similarity {
     * each query in one corpus pass. Emits (query_id, rank, vec_id, sim).
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         l2norm(col("embedding")).as("qn"))
@@ -74,6 +81,7 @@ object Similarity {
     */
   def signLshTopK(
       emb: DataFrame, bits: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val sketched = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"),
       l2norm(col("embedding")).as("nrm"))
@@ -100,6 +108,7 @@ object Similarity {
     */
   def nearDupPairs(
       emb: DataFrame, bits: Int = 2, threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val sketched = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"),
       l2norm(col("embedding")).as("nrm"))

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class FloatVecDotSpec extends AnyFunSuite with SparkSpec {
+
+  test("graft_vec_dot: SQL-registered, exact value") {
+    GraftFunctions.ensureRegistered(spark)
+    val v = spark.sql(
+      """SELECT graft_vec_dot(
+        |  array(cast(1.5 as float), cast(-2.0 as float), cast(0.5 as float)),
+        |  array(cast(2.0 as float), cast(3.0 as float), cast(4.0 as float)))
+        |""".stripMargin).head().getDouble(0)
+    assert(v === 1.5 * 2.0 + (-2.0) * 3.0 + 0.5 * 4.0)
+  }
+
+  test("bit-identical to the HOF fold it replaced, on real embeddings") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val native = call_function(GraftFunctions.VecDotName,
+      col("embedding"), col("embedding"))
+    val mismatches = emb.select(hof.as("a"), native.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("null-safe and codegen-compiled") {
+    GraftFunctions.ensureRegistered(spark)
+    // null input -> null out (and the analyzer constant-folds it via the
+    // interpreted eval path, which exercises nullSafeEval)
+    val nullDf = spark.sql(
+      "SELECT graft_vec_dot(cast(null as array<float>), array(cast(1.0 as float))) AS d")
+    assert(nullDf.head().isNullAt(0))
+    // a non-foldable query stays inside whole-stage codegen (rendered as
+    // the `*(n)` stage prefix in the executed plan)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(call_function(GraftFunctions.VecDotName,
+        col("embedding"), col("embedding")).as("d"))
+    val plan = emb.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_vec_dot"))
+    assert(plan.contains("*(1)"), s"expected codegen stage marker in:\n$plan")
+  }
+}
