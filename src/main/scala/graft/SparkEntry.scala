@@ -16,7 +16,7 @@ object SparkEntry {
     * (QueryPack q01-q26) plus the LLM-data-pipeline layer — exact /
     * MinHash-LSH / SimHash / fingerprint dedup, ANN similarity search,
     * text analysis, multimodal metadata — and the flagship oracle
-    * (QueryPackExt q27-q42).
+    * (QueryPackExt q27-q43).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.QueryPack.queries ++ graft.queries.QueryPackExt.queries

@@ -102,6 +102,84 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Σᵢ (xᵢ - cᵢ)² between a float vector and a double centroid —
+    * HOF form (tiny cardinality: vectors × nCells), sequential fold to
+    * match the oracle's `list_sum`.
+    */
+  private def dist2(v: Column, c: Column): Column =
+    aggregate(
+      zip_with(v, c, (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale
+    * structure, built declaratively:
+    *
+    *  1. "train": centroids = per-cell means, seeded from the `label`
+    *     column, then every vector re-assigns to its NEAREST centroid
+    *     (one k-means Lloyd step) — that assignment IS the inverted
+    *     file, a plain `(cell, vec_id)` relation;
+    *  2. query: rank centroids by distance, probe the nearest `nProbe`
+    *     cells only, exact-cosine rerank inside the probed cells.
+    *
+    * Work per query drops from O(N) to O(N·nProbe/nCells) at the
+    * standard IVF recall trade. Centroid elements are rounded to 3
+    * decimals so both engines (and repeated Spark runs, whose partial
+    * double sums merge in partition order) agree exactly.
+    *
+    * At 100 TB: centroids are a broadcast-sized side table by
+    * construction; the inverted file is a shuffle-keyed relation; the
+    * probe is an equi-join on cell id — no cartesian anywhere.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      dims: Int = 64,
+      nProbe: Int = 2,
+      nQueries: Int = 5,
+      k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val e = TextDedup.spread(emb, "vec_id")
+
+    val cent = e.groupBy(col("label"))
+      .agg(array((1 to dims).map(i =>
+        round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
+        .as("cv"))
+      .select(col("label").as("ccell"), col("cv")) // avoid `label` clash
+
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("ccell"))
+    val cells = e
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccell").as("cell"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("ccell"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qn"),
+        col("ccell").as("cell"))
+
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cells
+      .join(broadcast(probes),
+        cells("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        cells("cell").as("cell"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Embedding-cosine near-dup pairs: sign-sketch bucket self-join for
     * candidates (equi-keyed, never all-pairs), exact cosine ≥ threshold
     * to confirm. Emits (va, vb, sim).

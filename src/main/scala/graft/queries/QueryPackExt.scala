@@ -314,6 +314,50 @@ object QueryPackExt {
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) z
       WHERE sim >= 0.4 ORDER BY va, vb"""))
 
+  /** DuckDB mirror of the IVF centroid distance Σ(xᵢ-cᵢ)². */
+  private def dist2Sql(a: String, c: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - $c[i]) * (CAST($a[i] AS DOUBLE) - $c[i])))"
+
+  private val centroidList = (1 to 64)
+    .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 3)")
+    .mkString("[", ", ", "]")
+
+  private val q43 = Q("q43_ann_ivf",
+    (s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"),
+      dims = 64, nProbe = 2, nQueries = 5, k = 3),
+    Some(s"""
+      WITH cent AS (
+        SELECT label, $centroidList AS cv FROM embeddings GROUP BY label),
+      assign AS (
+        SELECT vec_id, cell, embedding, nrm FROM (
+          SELECT e.vec_id, c.label AS cell, e.embedding,
+                 sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${dist2Sql("e.embedding", "c.cv")},
+                                             c.label) AS rn
+          FROM embeddings e, cent c) x WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qv, qn, cell FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qv,
+                 sqrt(${dotSql("q.embedding", "q.embedding")}) AS qn,
+                 c.label AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${dist2Sql("q.embedding", "c.cv")},
+                                             c.label) AS crn
+          FROM embeddings q, cent c WHERE q.vec_id < 5) y WHERE crn <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id, a.cell,
+               ${dotSql("p.qv", "a.embedding")} / (p.qn * a.nrm) AS sim
+        FROM assign a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      r AS (SELECT query_id, vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cell, sim
+      FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""))
+
   // ------------------------------------------------------------- multimodal
 
   /** Binary-column plumbing (the oracle-checkable slice of
@@ -335,7 +379,7 @@ object QueryPackExt {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42)
+    q37, q38, q39, q40, q41, q42, q43)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.embl.{EmblSegmenter, LocusRow, SegMetrics}
+
+/** Structured Streaming surface (SURVEY.md §2.10). The reference is
+  * pure batch, so nothing here is required for parity — this is the
+  * engine's incremental path: the same transforms run on
+  * `spark.readStream` sources, with watermarks bounding state.
+  *
+  * Every transform below is source-agnostic: pass a batch DataFrame
+  * and it runs as a batch query; pass a streaming one and Catalyst
+  * plans the incremental version — that symmetry is the point of
+  * building on the DataFrame API rather than a bespoke stream runtime.
+  */
+object StreamOps {
+
+  /** Tumbling-window event counts with a watermark (the streaming twin
+    * of q24): late events beyond `watermarkDelay` are dropped and window
+    * state is reclaimed — bounded memory at any volume.
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("v"))
+
+  /** One user event (the `events` table's streaming shape). */
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  /** A closed activity session. */
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long)
+
+  /** State-store record for [[sessionize]] (not private: the state
+    * encoder's generated code must access the constructor/accessors).
+    */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` (the
+    * streaming twin of q23): per user, events closer than `gapSeconds`
+    * chain into one session; a closed session is emitted as soon as a
+    * later event proves the gap. The open tail session is held in the
+    * state store across micro-batches.
+    *
+    * State is O(1) per active user (three longs); at 100 TB/day scale
+    * the state store partitions by user hash across executors, and an
+    * event-time timeout (not used here to keep tests deterministic)
+    * would evict idle users.
+    */
+  def sessionize(
+      events: Dataset[UserEvent],
+      gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[UserEvent],
+        state: GroupState[OpenSession]): Iterator[Session] = {
+      val closed = Seq.newBuilder[Session]
+      var open = state.getOption
+      // iterator order within a micro-batch is not time-ordered
+      batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime / 1000
+        open match {
+          case Some(s) if t - s.last <= gapSeconds =>
+            open = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            closed += Session(userId, new Timestamp(s.start * 1000),
+              new Timestamp(s.last * 1000), s.n)
+            open = Some(OpenSession(t, t, 1))
+          case None =>
+            open = Some(OpenSession(t, t, 1))
+        }
+      }
+      open.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Streaming EMBL ingest: the batch scan/segmentation stage
+    * (EnaPipeline S1-S5) under `readStream` — incremental ENA releases
+    * process file-at-a-time with `Trigger.AvailableNow`. Safe because
+    * gzip files are non-splittable: each file arrives whole inside one
+    * partition of a micro-batch, so the per-partition state machine
+    * sees complete records exactly as in batch.
+    */
+  def streamLoci(
+      spark: SparkSession,
+      roots: Seq[String],
+      applyDivisionPrune: Boolean = true,
+      metrics: Option[SegMetrics] = None): Dataset[LocusRow] = {
+    import spark.implicits._
+    import graft.embl.EnaPipeline.DivisionTokenRegex
+
+    def read(root: String): Dataset[(String, String)] =
+      spark.readStream
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.dat.gz")
+        .text(root) // streaming text source takes one root; union the rest
+        .select(input_file_name().as("file_path"), col("value"))
+        .as[(String, String)]
+
+    val text = roots.tail.foldLeft(read(roots.head))((acc, r) => acc.union(read(r)))
+    val pruned =
+      if (applyDivisionPrune) // S3, same predicate as the batch readLoci
+        text.filter(
+          !col("file_path").rlike("sequence.*/") ||
+            col("file_path").rlike(DivisionTokenRegex))
+      else text
+    pruned.mapPartitions(it => EmblSegmenter.segment(it, metrics))
+  }
+}

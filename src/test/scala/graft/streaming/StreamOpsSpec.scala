@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.embl.FlagshipFixture
+import StreamOps.{Session, UserEvent}
+
+class StreamOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000)
+
+  test("windowed counts with watermark run incrementally (memory sink)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowedEventCounts(
+        in.toDF().toDF("ts", "event_type", "value"),
+        watermarkDelay = "5 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), "click", 1.0), (ts(60), "click", 2.0),
+        (ts(120), "buy", 5.0))
+      q.processAllAvailable()
+      // watermark still inside hour 0: nothing finalized yet
+      assert(spark.table("win_counts").count() === 0)
+      // an event far in the future advances the watermark past hour 0
+      in.addData((ts(3600 * 3), "click", 1.0))
+      q.processAllAvailable()
+      in.addData((ts(3600 * 3 + 1), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000,
+          r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set((0L, "click", 2L, 3.0), (0L, "buy", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamOps.sessionize(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session, still open)
+      in.addData(UserEvent(1L, ts(0), "click"), UserEvent(1L, ts(600), "click"))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // nothing closed yet
+      // a later event proves a >30min gap: the first session closes
+      in.addData(UserEvent(1L, ts(600 + 1801), "click"))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect().toSeq
+      assert(got === Seq(Session(1L, ts(0), ts(600), 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming EMBL ingest matches the batch segmentation") {
+    val s = spark
+    import s.implicits._
+    val root = FlagshipFixture.ensureFixture()
+    val q = StreamOps.streamLoci(spark, Seq(root.toString))
+      .writeStream.format("memory").queryName("stream_loci")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val got = spark.table("stream_loci")
+      .collect().map(r => (r.getAs[String]("ena_id"), r.getAs[Int]("locus_idx")))
+      .sorted.toSeq
+    assert(got === Seq(("CIRC01", 1), ("CIRC01", 2), ("FUN01", 1), ("WGS01", 1)))
+  }
+}
