@@ -10,6 +10,8 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", // keep saveAsTable out of the repo
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .getOrCreate()
 }
 

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Co-located join via bucketing — the 100 TB recipe for repeated
+  * fact-fact joins: both tables bucketed (and sorted) on the join key
+  * at write time join with NO Exchange on either side, because the
+  * bucket layout already satisfies the join's required distribution
+  * (and the downstream groupBy on the same key rides the same layout).
+  * The repeated-join savings is what pre-bucketing buys at scale.
+  */
+class BucketingSpec extends AnyFunSuite with SparkSpec {
+
+  test("bucketed fact-fact join runs without a shuffle on either side") {
+    val s = spark
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      val sf = "/root/testdata/sf0.001"
+      s.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      s.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+
+      val joined = s.table("li_bucketed")
+        .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // bucket layout satisfies both the join and the same-key groupBy:
+      // no shuffle anywhere in the plan
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS li_bucketed")
+      s.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Physical-plan regression guards: the 100 TB properties the DuckDB
+  * value-compare can't see. Each assertion is a property that, if
+  * lost, silently turns a scale-ready plan into a cluster-killer —
+  * pushdown reaching the parquet scan, column pruning, dimension
+  * broadcasts, top-k without a global sort, no cartesian candidate
+  * generation.
+  */
+class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryPack.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def planExt(name: String): String =
+    QueryPackExt.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters push into the parquet scan; schema is pruned") {
+    val p = plan("q02_filter_pushdown")
+    // the plan renderer truncates the filter list, so assert on the head
+    assert(p.contains("PushedFilters: [IsNotNull("), p)
+    // projection reaches the scan: untouched columns never leave parquet
+    val readSchema = p.linesIterator.mkString
+    assert(!readSchema.contains("l_comment"), "scan reads unprojected columns")
+  }
+
+  test("q03: dimension tables broadcast; fact join is not nested-loop") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q10: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q21: correlated NOT EXISTS plans as a hash anti-join on the equi key") {
+    val p = plan("q21_correlated_exists")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q30/q41: candidate generation is keyed, never cartesian") {
+    assert(!planExt("q30_minhash_lsh_pairs").contains("CartesianProduct"))
+    assert(!planExt("q41_embed_neardup").contains("CartesianProduct"))
+    assert(!planExt("q43_ann_ivf").contains("CartesianProduct"))
+  }
+
+  test("q39: brute-force ANN broadcasts the query side (corpus streams once)") {
+    val p = planExt("q39_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // intended: tiny broadcast side
+  }
+
+  test("q42: multimodal metadata stays in one codegen stage (no shuffle)") {
+    val p = planExt("q42_multimodal_meta")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
