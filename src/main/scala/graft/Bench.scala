@@ -28,21 +28,29 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // best-of-N per query (default 2): single-run numbers on a shared
+    // 32-thread JVM swing 2-5x from GC/JIT/scheduler noise; the min is
+    // the stable measure of what the plan costs
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt max 1
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch {
-          case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            errors ::= (name -> msg.linesIterator.take(1).mkString.take(200))
-            false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -secs)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              errors ::= (name -> msg.linesIterator.take(1).mkString.take(200))
+              false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (ok) secs else -secs
+      }
+      val good = times.filter(_ > 0)
+      name -> (if (good.nonEmpty) good.min else times.min)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -32,10 +32,21 @@ object EnaMain {
   /** S6/S7: idmapping side input from parquet snapshot or JDBC. */
   def readIdmapping(spark: SparkSession, source: String): DataFrame =
     if (source.startsWith("jdbc:")) {
-      val reader = spark.read.format("jdbc")
+      val base = spark.read.format("jdbc")
         .option("url", source)
         .option("dbtable", sys.env.getOrElse("ENA_IDMAPPING_TABLE", "idmapping"))
         .option("fetchsize", "1000") // S7: cursor batch size (mysql_database.py:50)
+      // at real UniProt scale (~1e9 rows) a single-cursor read is the
+      // bottleneck: ENA_JDBC_PARTITIONS=n splits the snapshot into n
+      // parallel range-bounded cursors on a numeric column
+      val reader = (sys.env.get("ENA_JDBC_PARTITIONS"),
+          sys.env.get("ENA_JDBC_PARTITION_COLUMN")) match {
+        case (Some(n), Some(c)) =>
+          base.option("numPartitions", n).option("partitionColumn", c)
+            .option("lowerBound", sys.env.getOrElse("ENA_JDBC_LOWER", "0"))
+            .option("upperBound", sys.env.getOrElse("ENA_JDBC_UPPER", "1000000000"))
+        case _ => base
+      }
       val withUser = sys.env.get("ENA_DB_USER")
         .fold(reader)(u => reader.option("user", u))
       val withPass = sys.env.get("ENA_DB_PASSWORD")

@@ -16,7 +16,7 @@ object TextAnalysis {
     * average length (exact integer sum ÷ count), token totals.
     */
   def langStats(docs: DataFrame): DataFrame =
-    docs
+    TextDedup.spread(docs, "doc_id")
       .withColumn("n_toks", size(TextFns.tokens(col("text"))).cast("long"))
       .groupBy(col("lang"))
       .agg(
@@ -34,7 +34,7 @@ object TextAnalysis {
     */
   def qualityScores(docs: DataFrame): DataFrame = {
     val w = col("w")
-    docs
+    TextDedup.spread(docs, "doc_id")
       .withColumn("w", TextFns.tokens(col("text")))
       // filter BEFORE the ratio projection: an empty doc would otherwise
       // divide by zero under ANSI mode (real corpora contain empty docs)
@@ -56,7 +56,7 @@ object TextAnalysis {
     * with document frequency (deterministic order: count desc, token).
     */
   def tokenFrequency(docs: DataFrame, k: Int = 50): DataFrame =
-    docs
+    TextDedup.spread(docs, "doc_id")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
@@ -80,7 +80,7 @@ object TextAnalysis {
     */
   def langIdConfusion(docs: DataFrame): DataFrame = {
     val w = TextFns.tokens(col("text"))
-    docs
+    TextDedup.spread(docs, "doc_id")
       .select(col("lang"),
         hits(w, EnMarkers).as("he"),
         hits(w, DeMarkers).as("hd"),

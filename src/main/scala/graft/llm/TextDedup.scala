@@ -230,8 +230,12 @@ object TextDedup {
     * sharing a fingerprint are near-dup candidates; emitted as pairs.
     */
   def fingerprintPairs(docs: DataFrame, shingleK: Int = 5): DataFrame = {
-    val fp = shingleSets(docs, shingleK)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // no array_distinct here: a min over shingle hashes is unaffected by
+    // duplicate shingles, and the O(n²) string dedup dominates otherwise
+    val fp = spread(docs, "doc_id")
+      .select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), shingleK))
+          .as("shingle"))
       .groupBy(col("doc_id"))
       .agg(min(TextFns.hash60(col("shingle"))).as("fp"))
       .localCheckpoint() // reused by both join sides

@@ -180,6 +180,17 @@ class EnaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(lines === expected) // global order: file path, then record keys
   }
 
+  test("filename stem extraction (X12)") {
+    import org.apache.spark.sql.functions.lit
+    val s = spark
+    import s.implicits._
+    val got = Seq("/a/b/rel_std_PRO_01_r143.dat.gz", "/x/ABZA01.dat.gz", "/no/match.txt")
+      .toDF("p")
+      .select(EnaPipeline.fileStem($"p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("rel_std_PRO_01_r143", "ABZA01", ""))
+  }
+
   test("locus numbering survives multi-record files (W1 fidelity)") {
     val loci = EnaPipeline.readLoci(spark, Seq(root.toString))
       .collect().map(l => (l.ena_id, l.locus_idx)).sorted
