@@ -65,15 +65,11 @@ object Coords {
 
   /** SQL/DataFrame exposure: `normalize_location(los, his, chr_struct,
     * chr_len)` returns a `struct<start:bigint, end:bigint>`. The parser
-    * itself calls [[normalizeLocation]] directly (no serialization cost);
-    * this UDF exists so ad-hoc SQL over extracted ranges can reuse the
-    * kernel.
+    * itself calls [[normalizeLocation]] directly (no serialization
+    * cost); SQL users get the native codegen expression
+    * [[graft.functions.NormalizeLocation]] (upgraded from a Scala UDF —
+    * no encoder boxing, call compiled inside WholeStageCodegen).
     */
-  def registerUdf(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val f = (los: Seq[Long], his: Seq[Long], chrStruct: Int, chrLen: Long) => {
-      val r = normalizeLocation(los.zip(his), chrStruct, chrLen)
-      (r._1, r._2)
-    }
-    spark.udf.register("normalize_location", f)
-  }
+  def registerUdf(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftFunctions.ensureRegistered(spark)
 }

@@ -14,30 +14,42 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val VecDotName = "graft_vec_dot"
+  val NormalizeLocationName = "normalize_location"
 
   private val vecDotInfo = new ExpressionInfo(
     classOf[FloatVecDot].getName, VecDotName)
+  private val normLocInfo = new ExpressionInfo(
+    classOf[NormalizeLocation].getName, NormalizeLocationName)
 
   private def vecDotBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"$VecDotName expects exactly 2 arguments")
     FloatVecDot(args.head, args(1))
   }
 
+  private def normLocBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 4, s"$NormalizeLocationName expects exactly 4 arguments")
+    NormalizeLocation(args(0), args(1), args(2), args(3))
+  }
+
+  private val allFunctions = Seq(
+    (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
+    (FunctionIdentifier(NormalizeLocationName), normLocInfo, normLocBuilder _))
+
   /** Idempotent per-session registration (the analyzer resolves
     * `call_function` names through the session's FunctionRegistry).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(VecDotName)
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(id, vecDotInfo, vecDotBuilder _)
+    allFunctions.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 
   /** Hook for [[GraftExtensions]]. */
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _))
+    allFunctions.foreach(ext.injectFunction)
 }
 
 /** `spark.sql.extensions` entry point: registers the engine's native
