@@ -40,7 +40,7 @@ object QueryPack {
     * lossless for the compare. `ts div 1000` stays in integer math (a
     * double division would lose precision on ~1.7e18 ns epoch values).
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -378,8 +378,64 @@ object QueryPackExt {
              upper(hex(encode(substr(text, 1, 8)))) AS head_hex
       FROM documents ORDER BY doc_id"""))
 
+  // ------------------------------------------------- skew / as-of operators
+
+  private val q44 = Q("q44_salted_join",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d12 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
+      val d4 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(4, 2))
+      val one = lit(1).cast(DecimalType(4, 2))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", factor = 8)
+        .groupBy(col("s_name"))
+        .agg(sum(d12(col("l_extendedprice")) * (one - d4(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_name"))
+    },
+    // the salt is partitioning-only: the oracle is the PLAIN join
+    Some("""
+      SELECT s_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                  AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""))
+
+  private val q45 = Q("q45_asof_join",
+    (s, dir) => {
+      val e = QueryPack.events(s, dir)
+      val sec = unix_timestamp(date_trunc("second", col("ts")))
+      // right side deduped per (key, ts): as-of requires a unique build
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), sec.as("s_sec")).distinct()
+      val pu = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), sec.as("p_sec"))
+      graft.operators.AsofJoin
+        .joinAsof(pu, sg, "user_id", "p_sec", "s_sec", Seq("s_sec"))
+        .select(col("event_id"), col("user_id"), col("p_sec"),
+          col("asof_s_sec").as("s_sec"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH sg AS (SELECT DISTINCT user_id,
+                         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s_sec
+                  FROM events WHERE event_type = 'signup'),
+      pu AS (SELECT event_id, user_id,
+                    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS p_sec
+             FROM events WHERE event_type = 'purchase')
+      SELECT pu.event_id, pu.user_id, pu.p_sec, sg.s_sec
+      FROM pu ASOF LEFT JOIN sg
+        ON pu.user_id = sg.user_id AND pu.p_sec >= sg.s_sec
+      ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

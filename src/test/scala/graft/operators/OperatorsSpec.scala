@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+
+  test("asof join: latest right row at-or-before, inclusive, null when none") {
+    val s = spark
+    import s.implicits._
+    val right = Seq((1L, 10L, "early"), (1L, 50L, "late"), (2L, 20L, "only"))
+      .toDF("k", "ts", "tag")
+    val left = Seq((1L, 60L), (1L, 50L), (1L, 30L), (1L, 5L), (2L, 25L), (3L, 99L))
+      .toDF("k", "t")
+    val out = AsofJoin.joinAsof(left, right, "k", "t", "ts", Seq("tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[String]("asof_tag")))).toSet
+    assert(out === Set(
+      (1L, 60L, Some("late")),
+      (1L, 50L, Some("late")), // inclusive: equal timestamps match
+      (1L, 30L, Some("early")),
+      (1L, 5L, None), // nothing at or before
+      (2L, 25L, Some("only")),
+      (3L, 99L, None))) // key with no right rows at all
+  }
+
+  test("asof join plans as ONE exchange + window, no join operator") {
+    val s = spark
+    import s.implicits._
+    val right = Seq((1L, 10L, "x")).toDF("k", "ts", "tag")
+    val left = Seq((1L, 60L)).toDF("k", "t")
+    val plan = AsofJoin.joinAsof(left, right, "k", "t", "ts", Seq("tag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should not plan a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+    // exactly one shuffle: the window's partitionBy(key)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("salted join equals the plain join; shuffle keys include the salt") {
+    val s = spark
+    import s.implicits._
+    val big = Seq((1L, 10.0), (1L, 20.0), (1L, 30.0), (2L, 5.0))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "cold"), (3L, "unused"))
+      .toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, "k", factor = 4)
+    val plain = big.join(small, "k")
+    assert(salted.select("k", "v", "name").collect().toSeq.sortBy(_.toString)
+      === plain.select("k", "v", "name").collect().toSeq.sortBy(_.toString))
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan) // hint respected
+    assert(plan.contains("__salt"), s"join keys should include the salt:\n$plan")
+  }
+}
