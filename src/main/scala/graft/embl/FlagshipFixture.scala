@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FlagshipFixture {
 
-  private def writeGz(path: Path, content: String): Unit = {
+  /** Shared with the e2e spec fixtures (was duplicated there). */
+  private[embl] def writeGz(path: Path, content: String): Unit = {
     Files.createDirectories(path.getParent)
     val w = new BufferedWriter(new OutputStreamWriter(
       new GZIPOutputStream(new FileOutputStream(path.toFile)), "UTF-8"))

@@ -1,8 +1,6 @@
 package graft.embl
 
-import java.io.{BufferedWriter, OutputStreamWriter, FileOutputStream}
 import java.nio.file.{Files, Path}
-import java.util.zip.GZIPOutputStream
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
@@ -14,12 +12,8 @@ import graft.SparkSpec
   */
 class EnaPipelineSpec extends AnyFunSuite with SparkSpec {
 
-  private def writeGz(path: Path, content: String): Unit = {
-    Files.createDirectories(path.getParent)
-    val w = new BufferedWriter(new OutputStreamWriter(
-      new GZIPOutputStream(new FileOutputStream(path.toFile)), "UTF-8"))
-    try w.write(content) finally w.close()
-  }
+  private def writeGz(path: Path, content: String): Unit =
+    FlagshipFixture.writeGz(path, content)
 
   private lazy val root: Path = {
     val dir = Files.createTempDirectory("ena_fixture")
