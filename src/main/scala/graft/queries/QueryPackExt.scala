@@ -434,8 +434,89 @@ object QueryPackExt {
         ON pu.user_id = sg.user_id AND pu.p_sec >= sg.s_sec
       ORDER BY event_id"""))
 
+  // ------------------------------------------- remaining window families
+
+  private val q46 = Q("q46_sliding_window",
+    (s, dir) => {
+      val e = QueryPack.events(s, dir)
+      e.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    // a 1h window sliding 30min: every event lands in exactly the two
+    // windows starting at (t - t mod 1800) and 1800s earlier (integer
+    // seconds suffice: sub-second parts never straddle an 1800s grid)
+    Some("""
+      SELECT win_start, event_type, count(*) AS n
+      FROM (
+        SELECT unnest([sec - sec % 1800, sec - sec % 1800 - 1800]) AS win_start,
+               event_type
+        FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+              FROM events) x) y
+      GROUP BY win_start, event_type
+      ORDER BY win_start, event_type"""))
+
+  private val q47 = Q("q47_session_window",
+    (s, dir) => {
+      val e = QueryPack.events(s, dir)
+        .withColumn("tsec", date_trunc("second", col("ts")))
+      e.groupBy(session_window(col("tsec"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    // gap-based sessionization; Spark's session windows are
+    // end-EXCLUSIVE ([t, t+gap)), so a gap of exactly 1800s starts a
+    // new session: is_new on gap >= 1800, not > 1800
+    Some("""
+      WITH t AS (
+        SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+               event_id
+        FROM events),
+      flagged AS (
+        SELECT user_id, sec,
+               CASE WHEN sec - lag(sec) OVER w IS NULL
+                         OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      numbered AS (
+        SELECT user_id, sec,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY sec
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, min(sec) AS session_start,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  // ------------------------------------------------------------- map fns
+
+  private val q48 = Q("q48_map_fns",
+    (s, dir) => t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(map_from_arrays(
+        collect_list(col("n_name")), collect_list(col("n_nationkey")))
+        .as("m"))
+      .select(col("n_regionkey"),
+        size(map_keys(col("m"))).cast("long").as("n_entries"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("names"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("key_sum"))
+      .orderBy(col("n_regionkey")),
+    Some("""
+      SELECT n_regionkey,
+             CAST(len(map_keys(m)) AS BIGINT) AS n_entries,
+             array_to_string(list_sort(map_keys(m)), ',') AS names,
+             CAST(list_sum(map_values(m)) AS BIGINT) AS key_sum
+      FROM (SELECT n_regionkey, map(list(n_name), list(n_nationkey)) AS m
+            FROM nation GROUP BY n_regionkey) x
+      ORDER BY n_regionkey"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
