@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,11 +81,29 @@ private[sources] class EmblTable(properties: Map[String, String])
 
 private[sources] class EmblScanBuilder(
     options: CaseInsensitiveStringMap, tableProps: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = EmblDataSource.Schema
+  private var pathFilters: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** `file_path` predicates prune at FILE level (every row of a
+    * partition shares its file_path — a whole-file skip, the scan-time
+    * analog of partition pruning). All filters are also returned for
+    * post-scan re-evaluation, which keeps the contract trivially
+    * correct.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pathFilters = filters.filter {
+      case EqualTo("file_path", _) | StringContains("file_path", _) |
+           StringStartsWith("file_path", _) | StringEndsWith("file_path", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pathFilters
 
   // DataFrame reads deliver path via scan options; CREATE TABLE ...
   // USING embl delivers it via the table properties (OPTIONS/LOCATION)
@@ -98,12 +116,13 @@ private[sources] class EmblScanBuilder(
       .orElse(opt("location").map(Seq(_)))
       .getOrElse(Seq.empty)
     val prune = opt("divisionPrune").forall(_.toBoolean)
-    new EmblScan(paths, prune, required)
+    new EmblScan(paths, prune, required, pathFilters)
   }
 }
 
 private[sources] class EmblScan(
-    roots: Seq[String], divisionPrune: Boolean, required: StructType)
+    roots: Seq[String], divisionPrune: Boolean, required: StructType,
+    pathFilters: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -130,10 +149,20 @@ private[sources] class EmblScan(
           .filter(_.endsWith(".dat.gz"))
           .filter(f => !divisionPrune ||
             !f.matches(".*sequence.*/.*") || tokenRe.findFirstIn(f).isDefined)
+          .filter(matchesPathFilters)
       }
     }
     files.sorted.map(f => EmblInputPartition(f): InputPartition).toArray
   }
+
+  private def matchesPathFilters(f: String): Boolean =
+    pathFilters.forall {
+      case EqualTo("file_path", v) => f == v.toString
+      case StringContains("file_path", v) => f.contains(v)
+      case StringStartsWith("file_path", v) => f.startsWith(v)
+      case StringEndsWith("file_path", v) => f.endsWith(v)
+      case _ => true
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EmblReaderFactory(required)

@@ -38,6 +38,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("asof join equals in-memory brute force on randomized data (seeded)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val right = Seq.fill(100)((rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+      .distinct.map { case (k, ts) => (k, ts, s"r$k-$ts") }
+    val left = Seq.fill(200)((rnd.nextInt(12).toLong, rnd.nextInt(1100).toLong))
+    val got = AsofJoin.joinAsof(
+        left.toDF("k", "t"), right.toDF("k", "ts", "tag"),
+        "k", "t", "ts", Seq("tag"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getAs[String]("asof_tag"))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val expected = left.map { case (k, t) =>
+      val m = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      (k, t, m)
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got === expected) // multiset equality incl. duplicate left rows
+  }
+
   test("salted join equals the plain join; shuffle keys include the salt") {
     val s = spark
     import s.implicits._

@@ -43,6 +43,15 @@ class EmblDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("file_path filters prune whole files at listing time") {
+    val df = spark.read.format("embl")
+      .option("divisionPrune", "false").load(root)
+      .filter(col("file_path").contains("wgs"))
+    assert(df.rdd.getNumPartitions === 1) // 1 of 3 files survives listing
+    val ids = df.select("ena_id").distinct().collect().map(_.getString(0)).toSet
+    assert(ids === Set("WGS01"))
+  }
+
   test("usable from pure SQL via CREATE TABLE ... USING embl") {
     spark.sql("DROP TABLE IF EXISTS ena_sql")
     try {
