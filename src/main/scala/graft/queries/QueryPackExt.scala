@@ -470,9 +470,10 @@ object QueryPackExt {
           unix_timestamp(col("sw.start")).as("session_start"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     },
-    // gap-based sessionization; Spark's session windows are
-    // end-EXCLUSIVE ([t, t+gap)), so a gap of exactly 1800s starts a
-    // new session: is_new on gap >= 1800, not > 1800
+    // gap-based sessionization; Spark merges ABUTTING sessions
+    // (UpdatingSessionsIterator: new start <= current end, inclusive),
+    // so a gap of exactly 1800s still merges: is_new on gap > 1800.
+    // Caught at sf0.1 — sf0.01 has no exact-1800s gap to distinguish.
     Some("""
       WITH t AS (
         SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
@@ -481,7 +482,7 @@ object QueryPackExt {
       flagged AS (
         SELECT user_id, sec,
                CASE WHEN sec - lag(sec) OVER w IS NULL
-                         OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+                         OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
         FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
       numbered AS (
         SELECT user_id, sec,
