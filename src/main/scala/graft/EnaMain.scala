@@ -70,6 +70,8 @@ object EnaMain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Java serialization of the broadcast id-map measured 7x slower
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -79,11 +81,28 @@ object EnaMain {
     if (idmappingSource.startsWith("jdbc:")) idmapping.limit(1).count()
 
     val metrics = Some(SegMetrics(spark.sparkContext))
-    val enaTab = EnaPipeline.enaTab(spark, roots, idmapping, metrics = metrics)
+    // regime selection: a driver-collected broadcast map only pays off
+    // while it is small (the collect + map build is driver-serial);
+    // past the threshold the declarative shuffle join wins. Override
+    // with ENA_BROADCAST=0/1.
+    val maxBroadcastRows =
+      sys.env.getOrElse("ENA_BROADCAST_MAX_ROWS", "1000000").toLong
+    val broadcastIdMap = sys.env.get("ENA_BROADCAST") match {
+      case Some("0") => false
+      case Some("1") => true
+      case _ => idmapping.count() <= maxBroadcastRows
+    }
+    val t0 = System.nanoTime()
+    val enaTab = EnaPipeline.enaTab(spark, roots, idmapping,
+      broadcastIdMap = broadcastIdMap, metrics = metrics)
+    val tPlan = System.nanoTime()
     if (sys.env.get("ENA_SINGLE_FILE").contains("1"))
       EnaPipeline.writeTsvConcat(enaTab, outDir)
     else
       EnaPipeline.writeTsv(enaTab, outDir)
+    val tWrite = System.nanoTime()
+    println(f"[ena] plan_build_s=${(tPlan - t0) / 1e9}%.1f " +
+      f"write_s=${(tWrite - tPlan) / 1e9}%.1f")
 
     metrics.foreach { m =>
       println(s"[ena] tombstoned_records=${m.tombstonedRecords.value} " +

@@ -140,24 +140,23 @@ object EnaPipeline {
         }
         loci.toDF().withColumn("rev_ids", resolve(col("protein_ids")))
       } else {
-        // Shuffle regime (true UniProt scale, ~1e9 mapping rows): the
-        // declarative explode -> join -> regroup plan; the planner picks
-        // sort-merge/shuffled-hash on pid = foreign_id.
-        loci.toDF()
+        // Shuffle regime (true UniProt scale, ~1e9 mapping rows). The
+        // wide locus rows go through ONE exchange (the final join-back);
+        // the J1 join and its regroup shuffle only the narrow
+        // (locus_uid, pid) projection — not the full rows, which the
+        // earlier explode->join->regroup-on-everything plan dragged
+        // through every stage.
+        val withUid = loci.toDF()
           .withColumn("locus_uid", monotonically_increasing_id())
-          .withColumn("pid", explode_outer(col("protein_ids")))
-          .join(mapped, col("pid") === col("foreign_id"), "left_outer") // J1 (+J2 via null side)
+        val rev = withUid
+          .select(col("locus_uid"), explode(col("protein_ids")).as("pid"))
+          .join(mapped, col("pid") === col("foreign_id")) // J1 inner: misses add nothing
           .groupBy(col("locus_uid"))
-          .agg(
-            first(col("ena_id")).as("ena_id"),
-            first(col("chr_struct")).as("chr_struct"),
-            first(col("direction")).as("direction"),
-            first(col("start")).as("start"),
-            first(col("end")).as("end"),
-            first(col("locus_idx")).as("locus_idx"),
-            first(col("uniprot_ids")).as("uniprot_ids"),
-            first(col("file_path")).as("file_path"),
-            flatten(collect_list(col("mapped_ids"))).as("rev_ids"))
+          .agg(flatten(collect_list(col("mapped_ids"))).as("rev_ids"))
+        withUid
+          .join(rev, Seq("locus_uid"), "left_outer") // J2 via the null side
+          .withColumn("rev_ids",
+            coalesce(col("rev_ids"), typedLit(Seq.empty[String])))
       }
 
     resolved
