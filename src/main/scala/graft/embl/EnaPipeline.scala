@@ -146,6 +146,15 @@ object EnaPipeline {
         // (locus_uid, pid) projection — not the full rows, which the
         // earlier explode->join->regroup-on-everything plan dragged
         // through every stage.
+        // locus_uid must agree between the two evaluations of this
+        // subtree (rev and the join-back). monotonically_increasing_id
+        // is partition-index + row-order based, which IS deterministic
+        // here: the upstream is a pure file scan + per-partition
+        // segmentation with no shuffle, and file listing order is
+        // stable — every evaluation sees identical partitions in
+        // identical order. Any future shuffle upstream of this point
+        // would break that invariant; use a composite natural key
+        // (file_path, ena_id, locus_idx) instead if one is introduced.
         val withUid = loci.toDF()
           .withColumn("locus_uid", monotonically_increasing_id())
         val rev = withUid
