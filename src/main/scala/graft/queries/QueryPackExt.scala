@@ -516,8 +516,43 @@ object QueryPackExt {
             FROM nation GROUP BY n_regionkey) x
       ORDER BY n_regionkey"""))
 
+  // -------------------------------------------- approx sketches / quantiles
+
+  /** Sketch-family aggregates (HyperLogLog++ count-distinct, GK-sketch
+    * quantiles). No oracle: sketch results are engine-specific by
+    * construction, so the harness records the weaker rows>0 check; the
+    * exact counterparts are hash-checked in q26/q50.
+    */
+  private val q49 = Q("q49_approx_sketches",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median"))
+      .orderBy(col("l_returnflag")),
+    None)
+
+  private val q50 = Q("q50_exact_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")),
+    // both engines interpolate at rank (n-1)*p; rounding absorbs the
+    // differing FP forms of the interpolation expression
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -35,6 +35,20 @@ object StreamOps {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("v"))
 
+  /** Streaming exact dedup (the streaming twin of q27): first
+    * occurrence of each content hash passes, duplicates arriving within
+    * the watermark window are dropped, and hash state older than the
+    * watermark is reclaimed — bounded dedup state at unbounded volume.
+    * Input needs an event-time `ts` column.
+    */
+  def streamingExactDedup(
+      docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** One user event (the `events` table's streaming shape). */
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
 

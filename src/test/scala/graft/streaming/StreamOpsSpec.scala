@@ -63,6 +63,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops in-watermark duplicates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.streamingExactDedup(
+        in.toDF().toDF("doc_id", "ts", "text"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // timestamps must sit above the initial watermark (epoch 0), or
+      // the first events are discarded as late
+      in.addData((1L, ts(10000), "same text"), (2L, ts(10030), "other text"))
+      q.processAllAvailable()
+      in.addData((3L, ts(10060), "same text")) // dup of doc 1, within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids === Set(1L, 2L)) // doc 3 deduplicated away
+    } finally q.stop()
+  }
+
   test("streaming EMBL ingest matches the batch segmentation") {
     val s = spark
     import s.implicits._
