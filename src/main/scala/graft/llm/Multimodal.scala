@@ -74,6 +74,42 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic fake of an image resize — real
+    * implementation would decode, scale, re-encode; the fake re-hashes
+    * the payload with the target dims so outputs are reproducible and
+    * dimension plumbing is testable. Batch shape identical to
+    * [[extractFeatures]].
+    */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, _, feat) = decodeStub(r.content ++ s"@${width}x$height".getBytes)
+        MediaFeatures(r.media_id, r.mime, r.content.length.toLong,
+          width, height, feat)
+      }
+    }
+  }
+
+  /** STUB frame sampling: emits `n` evenly spaced "frames" per media
+    * row (one row per frame — the explode shape a video pipeline
+    * produces), each with features derived from the payload slice the
+    * frame would decode from.
+    */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.content.length
+      (0 until n).map { i =>
+        val from = if (n == 1) 0 else (i.toLong * len / n).toInt
+        val slice = r.content.slice(from, math.min(from + 256, len))
+        val (w, h, feat) = decodeStub(slice)
+        MediaFeatures(r.media_id * 1000 + i, r.mime, slice.length.toLong,
+          w, h, feat)
+      }
+    }
+  }
+
   /** Wrap a text corpus as a binary media table — the test stand-in for
     * reading real media files (`spark.read.format("binaryFile")` in
     * production).

@@ -33,6 +33,15 @@ object TextFns {
         i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
       .otherwise(array())
 
+  /** BPE-ish regex tokenization: word pieces and individual
+    * non-space punctuation as separate tokens (the pre-tokenization
+    * split BPE vocabularies train over), vs the whitespace tokens of
+    * [[tokens]]. Mirrors DuckDB `regexp_extract_all(text, pattern)`.
+    */
+  val BpeTokenPattern = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0))
+
   /** Distinct word k-gram shingle set. */
   def shingleSet(text: Column, k: Int): Column =
     array_distinct(shingles(tokens(text), k))

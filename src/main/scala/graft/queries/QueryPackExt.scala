@@ -551,8 +551,32 @@ object QueryPackExt {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val q51 = Q("q51_token_counting",
+    (s, dir) => {
+      import graft.llm.TextFns
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(TextFns.regexTokens(col("text"))).cast("long").as("bpe_tokens"),
+          size(array_distinct(TextFns.regexTokens(col("text")))).cast("long")
+            .as("bpe_vocab"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                  AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text),
+                  '${graft.llm.TextFns.BpeTokenPattern}'))
+                  AS BIGINT) AS bpe_tokens,
+             CAST(len(list_distinct(regexp_extract_all(lower(text),
+                  '${graft.llm.TextFns.BpeTokenPattern}')))
+                  AS BIGINT) AS bpe_vocab
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
-    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -139,6 +139,29 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!Multimodal.extractFeatures(media).columns.contains("content"))
   }
 
+  test("regexTokens splits word pieces and punctuation like a BPE pre-tokenizer") {
+    val out = docs(1L -> "Hello, world! it's 42x faster")
+      .select(TextFns.regexTokens(col("text")))
+      .head().getSeq[String](0)
+    assert(out === Seq("hello", ",", "world", "!", "it", "'", "s", "42x", "faster"))
+  }
+
+  test("multimodal resize and frame sampling stubs keep batch plumbing real") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/fake", Array.tabulate(1024)(_.toByte))).toDS()
+    val resized = Multimodal.resize(media, 64, 48).collect()
+    assert(resized.head.width === 64 && resized.head.height === 48)
+    assert(resized.head.byte_len === 1024L)
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.media_id).toSeq === Seq(1000L, 1001L, 1002L, 1003L))
+    // deterministic: same payload slice -> same features
+    assert(Multimodal.sampleFrames(media, 4).collect()
+      .map(_.feature.toSeq).toSeq === frames.map(_.feature.toSeq).toSeq)
+  }
+
   test("documentsAsMedia wraps a text corpus as binary rows") {
     val docsDf = docs(7L -> "hello").withColumn("doc_id", col("doc_id"))
     val media = Multimodal.documentsAsMedia(spark, docsDf).collect()
