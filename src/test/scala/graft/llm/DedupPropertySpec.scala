@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Test.{check, Parameters}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Property checks for the dedup primitives — the invariants the
+  * oracle harness can't express (it checks one dataset; these hold for
+  * all inputs). Spark-job-per-case is expensive, so properties over
+  * corpora run few cases; pure-column properties run more.
+  */
+class DedupPropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val text = Gen.chooseNum(3, 12)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def corpus(texts: Seq[String]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def assertHolds(p: Prop, cases: Int): Unit = {
+    val r = check(Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: a doc is always its own perfect duplicate (jaccard 1 via LSH)") {
+    val p = Prop.forAll(text) { t =>
+      val df = corpus(Seq(t, t))
+      val pairs = TextDedup.minhashLshPairs(df, shingleK = 3,
+        nHashes = 12, bands = 4, threshold = 0.99).collect()
+      // identical docs share every band bucket: the pair ALWAYS surfaces
+      pairs.length == 1 && pairs.head.getDouble(2) == 1.0
+    }
+    assertHolds(p, 5)
+  }
+
+  test("property: minhash signatures are shingle-ORDER and MULTIPLICITY invariant") {
+    val p = Prop.forAll(Gen.listOfN(4, text)) { texts =>
+      val fwd = corpus(texts)
+      val rev = corpus(texts.map(_.split(" ").reverse.mkString(" ")))
+      // reversing token order changes shingles, so signatures may differ —
+      // but a doc repeated (multiplicity) or compared with itself must
+      // agree: exact dup groups over fwd++fwd collapse pairwise
+      val doubled = corpus(texts ++ texts)
+      val groups = TextDedup.exactDupGroups(doubled).collect()
+      groups.forall(_.getAs[Long]("n_copies") % 2 == 0) &&
+        groups.map(_.getAs[Long]("n_copies")).sum == doubled.count() &&
+        rev.count() == fwd.count()
+    }
+    assertHolds(p, 3)
+  }
+
+  test("property: simhash of identical token multisets is identical") {
+    val p = Prop.forAll(text) { t =>
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(t.split(" ").toList).mkString(" ")
+      val sig = TextDedup.simhashSignatures(corpus(Seq(t, shuffled)))
+        .collect().map(_.getLong(1))
+      sig(0) == sig(1) // simhash is bag-of-words: order never matters
+    }
+    assertHolds(p, 5)
+  }
+
+  test("property: LSH candidate pairs are a subset of the exact-jaccard pairs") {
+    val p = Prop.forAll(Gen.listOfN(6, text)) { texts =>
+      val df = corpus(texts)
+      val lsh = TextDedup.minhashLshPairs(df, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = TextDedup.ngramJaccardPairs(df, maxDocId = 1000, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      lsh.subsetOf(exact) // rerank makes every surfaced pair exact
+    }
+    assertHolds(p, 3)
+  }
+}
