@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a `documents(doc_id, text, ...)` corpus —
@@ -23,10 +24,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): every self-join here is equi-keyed (shingle /
   * bucket / fingerprint), so Catalyst plans shuffle-hash or sort-merge
   * joins — no CartesianProduct anywhere (asserted in LlmLayerSpec). A
-  * pathological bucket (e.g. a boilerplate shingle shared by millions of
-  * docs) would square inside its key; production runs cap bucket width
-  * (drop buckets with > N members) — semantics preserved here without
-  * the cap because the oracle must mirror exactly.
+  * pathological bucket (e.g. a boilerplate shingle shared by millions
+  * of docs) would square inside its key; the opt-in `maxBucketWidth`
+  * parameter on the pair generators applies [[capBucketWidth]] — drop
+  * buckets with > N members before the self-join — and is itself
+  * oracle-checked (q52 mirrors the cap in SQL via a window QUALIFY).
   */
 object TextDedup {
 
@@ -89,7 +91,8 @@ object TextDedup {
       shingleK: Int = 3,
       nHashes: Int = 12,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
     // the shingle-set table is read three times (signatures + both
@@ -122,9 +125,11 @@ object TextDedup {
           (0 until rows).map(r => col(s"mh_${b * rows + r}").cast("string")): _*))
           .as("bucket"))
     }
-    val buckets = mh
+    val allBuckets = mh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = maxBucketWidth
+      .fold(allBuckets)(capBucketWidth(allBuckets, Seq("band", "bucket"), _))
 
     val cand = buckets.as("a")
       .join(buckets.as("b"),
@@ -173,56 +178,121 @@ object TextDedup {
       .orderBy(col("da"), col("db"))
   }
 
-  private val SimhashBits = 16
+  private val SimhashHalfBits = 32
 
-  /** 16-bit SimHash signatures: per token occurrence (term-frequency
-    * weighted), each bit of the token's 16-bit hash votes ±1; signature
-    * bit b is 1 iff the vote sum is strictly positive.
+  /** 64-bit SimHash signatures as two nonnegative 32-bit halves
+    * `(simhash_hi, simhash_lo)`: per token occurrence (term-frequency
+    * weighted), each of the token's 64 md5-derived hash bits votes ±1;
+    * signature bit b is 1 iff the ones strictly outvote the zeros
+    * (2·ones_b > n).
+    *
+    * Why halves rather than one 64-bit column: bit 63 of a full
+    * signature would make the value negative, and signed-shift /
+    * bit-band semantics on negative BIGINTs differ between engines —
+    * two 32-bit halves keep every shift, mask, and xor (and the DuckDB
+    * oracle mirror) in nonnegative territory. The split costs one
+    * extra column and nothing else: banding and hamming distance
+    * decompose bitwise.
+    *
+    * Width rationale (VERDICT r3): a 16-bit signature's 4-bit nibble
+    * bands gave a TOTAL candidate key space of 64 — the per-bucket
+    * self-join degenerates toward n²/16 per band on a large corpus.
+    * 64 signature bits banded 16 bits at a time put 2^16 keys in every
+    * band, so bucket population stays ~n/2^16 per band at any corpus
+    * size with uniform hashing.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = spread(docs, "doc_id")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
-    val votes = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s_$b")
-    }
-    tok.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+      .withColumn("m", md5(col("tok")))
+      // one md5 per token; halves from hex digits 1-8 / 9-16 (32 bits each)
       .select(col("doc_id"),
-        (0 until SimhashBits)
-          .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hhi"))
+    // 2·Σ bit_b > n  ⇔  the ±1 vote sum is strictly positive; summing
+    // the extracted bit (0/1) partial-aggregates map-side like any sum
+    val ones =
+      (0 until SimhashHalfBits).map(b =>
+        sum(shiftright(col("hlo"), b).bitwiseAND(1)).as(s"o_lo_$b")) ++
+      (0 until SimhashHalfBits).map(b =>
+        sum(shiftright(col("hhi"), b).bitwiseAND(1)).as(s"o_hi_$b"))
+    val agg = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"), ones: _*)
+    def half(p: String) = (0 until SimhashHalfBits)
+      .map(b => when(col(s"o_${p}_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"),
+        half("hi").as("simhash_hi"), half("lo").as("simhash_lo"))
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`,
-    * found via the pigeonhole band join: the 16-bit signature splits
-    * into 4 nibbles; any pair within hamming 3 must agree on ≥1 nibble
-    * band, so candidates are an equi-join on (band, nibble) — never
-    * all-pairs.
+  /** The 4×16-bit band decomposition of a signature table from
+    * [[simhashSignatures]]: one row per (doc, band) with the band's
+    * 16-bit `chunk` key — band 0/1 from the low half, 2/3 from the
+    * high half. Public so tests (and downstream pipelines that persist
+    * the banded table) can reuse exactly the pairing key space.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs).localCheckpoint() // reused by both join sides
-    val nibbles = (0 until 4).map { i =>
-      struct(lit(i).as("band"),
-        shiftright(col("simhash"), 4 * i).bitwiseAND(15).as("nib"))
+  def simhashBands(sig: DataFrame): DataFrame = {
+    val chunks = Seq(
+      col("simhash_lo").bitwiseAND(lit(65535L)),
+      shiftright(col("simhash_lo"), 16).bitwiseAND(lit(65535L)),
+      col("simhash_hi").bitwiseAND(lit(65535L)),
+      shiftright(col("simhash_hi"), 16).bitwiseAND(lit(65535L)))
+    val bandStructs = chunks.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("band"), c.as("chunk"))
     }
-    val banded = sig
-      .select(col("doc_id"), col("simhash"), explode(array(nibbles: _*)).as("bn"))
-      .select(col("doc_id"), col("simhash"),
-        col("bn.band").as("band"), col("bn.nib").as("nib"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+    sig
+      .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+        explode(array(bandStructs: _*)).as("bc"))
+      .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`, via
+    * the pigeonhole band join: the 64-bit signature splits into 4 bands
+    * of 16 bits; any pair within hamming 3 must agree exactly on ≥1
+    * band, so candidates are an equi-join on (band, chunk) with 2^16
+    * possible chunks per band — never all-pairs. `maxBucketWidth`
+    * optionally drops buckets wider than the cap before the self-join
+    * (see [[capBucketWidth]]).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val sig = simhashSignatures(docs).localCheckpoint() // reused by both join sides
+    val banded = simhashBands(sig)
+    val capped =
+      maxBucketWidth.fold(banded)(capBucketWidth(banded, Seq("band", "chunk"), _))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        col("a.simhash_hi").as("ha"), col("a.simhash_lo").as("la"),
+        col("b.simhash_hi").as("hb"), col("b.simhash_lo").as("lb"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .withColumn("hamming",
+        (expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("da"), col("db"), col("hamming"))
       .orderBy(col("da"), col("db"))
+  }
+
+  /** Drop LSH buckets wider than `cap` members before a candidate
+    * self-join — the production guard the r3 scaladoc promised: a
+    * bucket of width w contributes w·(w-1)/2 candidate pairs, so one
+    * boilerplate-dominated key (an empty-string shingle, a template
+    * header) can dwarf the rest of the job combined. The width count
+    * rides a window over the SAME keys the join shuffles on, so the
+    * cap adds no extra exchange. Semantics: pairs inside dropped
+    * buckets are lost — the deliberate recall-for-bounded-cost trade;
+    * callers opt in per call site.
+    */
+  private[llm] def capBucketWidth(
+      df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    require(cap > 1, "bucket cap must admit at least a pair")
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bw", count(lit(1)).over(w))
+      .filter(col("__bw") <= cap)
+      .drop("__bw")
   }
 
   /** Rolling-hash document fingerprint: the minimum hash over the doc's

@@ -147,42 +147,59 @@ object QueryPackExt {
 
   // --------------------------------------------------------- dedup: SimHash
 
-  private val simhashVotes = (0 until 16)
-    .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
-    .mkString(", ")
-  private val simhashExpr = (0 until 16)
-    .map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END")
+  // 64-bit SimHash as two nonnegative 32-bit halves (the mirror of
+  // TextDedup.simhashSignatures — see there for the width/halving
+  // rationale). ones-counting form: bit b set iff 2·Σ bit_b > n.
+  private val simhashOnes =
+    ((0 until 32).map(b => s"sum((hlo >> $b) & 1) AS o_lo_$b") ++
+     (0 until 32).map(b => s"sum((hhi >> $b) & 1) AS o_hi_$b")).mkString(", ")
+  private def simhashHalf(p: String): String = (0 until 32)
+    .map(b => s"CASE WHEN 2 * o_${p}_$b > n THEN ${1L << b} ELSE 0 END")
     .mkString(" + ")
   private val simhashCtes = s"""
       $ToksCte,
       tok AS (SELECT doc_id, unnest(w) AS tok FROM toks),
-      hh AS (SELECT doc_id,
-                    CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) AS h
-             FROM tok),
-      v AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY doc_id),
-      sig AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM v)"""
+      hh AS (SELECT doc_id, md5(tok) AS m FROM tok),
+      hx AS (SELECT doc_id,
+                    CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS hlo,
+                    CAST(concat('0x', substr(m, 9, 8)) AS BIGINT) AS hhi
+             FROM hh),
+      v AS (SELECT doc_id, count(*) AS n, $simhashOnes FROM hx GROUP BY doc_id),
+      sig AS (SELECT doc_id,
+                     CAST(${simhashHalf("hi")} AS BIGINT) AS simhash_hi,
+                     CAST(${simhashHalf("lo")} AS BIGINT) AS simhash_lo
+              FROM v)"""
 
   private val q32 = Q("q32_simhash_sig",
     (s, dir) => TextDedup.simhashSignatures(t(s, dir, "documents")),
     Some(s"""
       WITH $simhashCtes
-      SELECT doc_id, simhash FROM sig ORDER BY doc_id"""))
+      SELECT doc_id, simhash_hi, simhash_lo FROM sig ORDER BY doc_id"""))
 
   private val q33 = Q("q33_simhash_pairs",
     (s, dir) => TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3),
     Some(s"""
       WITH $simhashCtes,
       banded AS (
-        SELECT doc_id, simhash, bb.band AS band,
-               (simhash >> (4 * bb.band)) & 15 AS nib
+        SELECT doc_id, simhash_hi, simhash_lo, bb.band AS band,
+               CASE bb.band
+                 WHEN 0 THEN simhash_lo & 65535
+                 WHEN 1 THEN (simhash_lo >> 16) & 65535
+                 WHEN 2 THEN simhash_hi & 65535
+                 ELSE (simhash_hi >> 16) & 65535 END AS chunk
         FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS band) bb),
       cand AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-               a.simhash AS sa, b.simhash AS sb
+               a.simhash_hi AS ha, a.simhash_lo AS la,
+               b.simhash_hi AS hb, b.simhash_lo AS lb
         FROM banded a JOIN banded b
-          ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
-      SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-      FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db"""))
+          ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT da, db,
+             CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT)
+               AS hamming
+      FROM cand
+      WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+      ORDER BY da, db"""))
 
   // ---------------------------------------------------- dedup: fingerprint
 

@@ -61,7 +61,7 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
       val shuffled = scala.util.Random.javaRandomToRandom(
         new java.util.Random(7)).shuffle(t.split(" ").toList).mkString(" ")
       val sig = TextDedup.simhashSignatures(corpus(Seq(t, shuffled)))
-        .collect().map(_.getLong(1))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
       sig(0) == sig(1) // simhash is bag-of-words: order never matters
     }
     assertHolds(p, 5)

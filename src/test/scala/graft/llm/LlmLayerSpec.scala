@@ -69,13 +69,30 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
 
   test("simhash: exact dups share signatures; pair scan is banded, no cartesian") {
     val sig = TextDedup.simhashSignatures(corpus).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(sig(1L) === sig(4L)) // identical token multiset
-    assert(sig.values.forall(s => s >= 0 && s <= 0xFFFFL))
+    // both halves are nonnegative 32-bit values (BIGINT-safe in oracle)
+    assert(sig.values.forall { case (hi, lo) =>
+      hi >= 0 && hi <= 0xFFFFFFFFL && lo >= 0 && lo <= 0xFFFFFFFFL })
     val q = TextDedup.simhashPairs(corpus, maxHamming = 3)
     assertNoCartesian(q)
     val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
+  }
+
+  test("simhash bands: 16-bit chunk key space, not the r3 64-key nibble space") {
+    // random-ish corpus: the banded join key must spread past the old
+    // design's TOTAL ceiling of 64 distinct (band, nibble) keys — the
+    // r3 verdict's scale-killer. With 2^16 chunks per band, 40 docs
+    // yield ~160 distinct keys (chunk collisions are ~2^-16).
+    val many = docs((1L to 40L).map(i =>
+      i -> s"doc $i token${i * 7 % 13} token${i * 11 % 17} filler${i} x${i * i}"): _*)
+    val bands = TextDedup.simhashBands(TextDedup.simhashSignatures(many))
+    val chunks = bands.select(col("band").cast("long"), col("chunk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(chunks.forall { case (b, c) => b >= 0 && b < 4 && c >= 0 && c <= 65535L })
+    assert(chunks.distinct.length > 64,
+      s"banded key space collapsed to ${chunks.distinct.length} keys")
   }
 
   test("fingerprintPairs: min-shingle-hash fingerprint matches dups, no cartesian") {
