@@ -33,8 +33,12 @@ object Bench {
     // 32-thread JVM swing 2-5x from GC/JIT/scheduler noise; the min is
     // the stable measure of what the plan costs
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt max 1
+    // SPARK_GRAFT_ONLY=q33_x,q34_y: time a subset (hotspot iteration loop)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =

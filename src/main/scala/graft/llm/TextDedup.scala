@@ -295,19 +295,37 @@ object TextDedup {
       .drop("__bw")
   }
 
-  /** Rolling-hash document fingerprint: the minimum hash over the doc's
-    * distinct word-`k`-gram shingles (a 1-permutation MinHash). Docs
-    * sharing a fingerprint are near-dup candidates; emitted as pairs.
+  /** Rolling-hash document fingerprint: the minimum polynomial hash
+    * over the doc's word-`k`-gram shingles (a 1-permutation MinHash).
+    * Docs sharing a fingerprint are near-dup candidates; emitted as
+    * pairs.
+    *
+    * Hash shape (the r3 bench fix — q34 was 19.7 s, 30% of the whole
+    * suite): the old path built every k-gram as a STRING (slice +
+    * array_join inside interpreted array HOFs) and md5'd each posting.
+    * Now each token is hashed ONCE (md5-derived 31-bit, the codegen'd
+    * scalar path) and a k-gram's hash is the coefficient-weighted sum
+    * of its k token hashes mod p, assembled with window `lead`s over
+    * token position — pure integer arithmetic, no per-shingle string,
+    * k× fewer md5s. min() is multiplicity-invariant, so no dedup
+    * needed. The window's exchange on doc_id doubles as the `spread`
+    * repartition, and the groupBy(doc_id) min reuses its partitioning.
     */
   def fingerprintPairs(docs: DataFrame, shingleK: Int = 5): DataFrame = {
-    // no array_distinct here: a min over shingle hashes is unaffected by
-    // duplicate shingles, and the O(n²) string dedup dominates otherwise
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gram = (0 until shingleK).map { j =>
+      val h = if (j == 0) col("h") else lead(col("h"), j).over(w)
+      (h * lit(TextFns.shingleCoef(j))) % lit(TextFns.MinhashP)
+    }.reduce(_ + _) % lit(TextFns.MinhashP)
     val fp = spread(docs, "doc_id")
-      .select(col("doc_id"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), shingleK))
-          .as("shingle"))
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
+      .withColumn("sh", gram)
+      // lead past the doc's last token nulls the whole sum: incomplete
+      // trailing k-grams (and docs with < k tokens entirely) drop out
+      .filter(col("sh").isNotNull)
       .groupBy(col("doc_id"))
-      .agg(min(TextFns.hash60(col("shingle"))).as("fp"))
+      .agg(min(col("sh")).as("fp"))
       .localCheckpoint() // reused by both join sides
     fp.as("a")
       .join(fp.as("b"),

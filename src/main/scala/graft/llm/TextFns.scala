@@ -66,4 +66,12 @@ object TextFns {
   def minhashPerm(seed: Int, h: Column): Column =
     (h * lit(1000003L + 97L * seed) + lit(12345L + 31L * seed)) % lit(MinhashP)
 
+  /** Coefficient for position j of the polynomial k-gram hash (the
+    * same multiplier family as [[minhashPerm]]): the k-gram's hash is
+    * Σⱼ (hⱼ·coefⱼ mod p) mod p over its token hashes — every
+    * intermediate < 2^62 (31-bit h × 31-bit coef), ANSI-overflow-safe
+    * and integer-exact in both engines.
+    */
+  def shingleCoef(j: Int): Long = 1000003L + 97L * j
+
 }

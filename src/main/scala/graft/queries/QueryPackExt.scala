@@ -203,11 +203,26 @@ object QueryPackExt {
 
   // ---------------------------------------------------- dedup: fingerprint
 
+  // polynomial k-gram hash over per-token 31-bit hashes — the mirror
+  // of TextDedup.fingerprintPairs (one md5 per TOKEN, window leads
+  // assemble each 5-gram; incomplete trailing grams null out)
+  private val fpGram = (0 until 5).map { j =>
+    val h = if (j == 0) "h" else s"lead(h, $j) OVER win"
+    s"$h * ${graft.llm.TextFns.shingleCoef(j)} % ${graft.llm.TextFns.MinhashP}"
+  }.mkString("(", " + ", s") % ${graft.llm.TextFns.MinhashP}")
+
   private val q34 = Q("q34_doc_fingerprint_pairs",
     (s, dir) => TextDedup.fingerprintPairs(t(s, dir, "documents"), shingleK = 5),
     Some(s"""
-      WITH $ToksCte, ${shingleCte(5)},
-      fp AS (SELECT doc_id, min(${h60("shingle")}) AS fp FROM sh GROUP BY doc_id)
+      WITH $ToksCte,
+      tokh AS (
+        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      grams AS (
+        SELECT doc_id, $fpGram AS sh
+        FROM tokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      fp AS (SELECT doc_id, min(sh) AS fp
+             FROM grams WHERE sh IS NOT NULL GROUP BY doc_id)
       SELECT a.doc_id AS da, b.doc_id AS db, a.fp AS fingerprint
       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
       ORDER BY da, db"""))
