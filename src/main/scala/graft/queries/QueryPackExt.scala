@@ -98,10 +98,15 @@ object QueryPackExt {
 
   // ----------------------------------------------------- dedup: MinHash-LSH
 
-  private val q30 = Q("q30_minhash_lsh_pairs",
-    (s, dir) => TextDedup.minhashLshPairs(t(s, dir, "documents"),
-      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
-    Some(s"""
+  /** DuckDB mirror of [[TextDedup.minhashLshPairs]] (shingleK=3,
+    * nHashes=12, bands=4); `cap` mirrors `maxBucketWidth` as a window
+    * QUALIFY over the same (band, bucket) key.
+    */
+  private def minhashLshSql(threshold: Double, cap: Option[Int]): String = {
+    val capQualify = cap
+      .map(c => s"\n        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $c")
+      .getOrElse("")
+    s"""
       WITH $ToksCte, ${shingleCte(3)},
       mh AS (
         -- universal-hash MinHash, mirror of TextFns.minhashPerm:
@@ -115,7 +120,7 @@ object QueryPackExt {
       bands AS (
         SELECT doc_id, s // 3 AS band,
                md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY s)) AS bucket
-        FROM mh GROUP BY doc_id, (s // 3)),
+        FROM mh GROUP BY doc_id, (s // 3)$capQualify),
       cand AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM bands a JOIN bands b
@@ -126,7 +131,25 @@ object QueryPackExt {
                CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) /
                  (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jaccard
         FROM cand JOIN sets x ON x.doc_id = da JOIN sets y ON y.doc_id = db) z
-      WHERE jaccard >= 0.5 ORDER BY da, db"""))
+      WHERE jaccard >= $threshold ORDER BY da, db"""
+  }
+
+  private val q30 = Q("q30_minhash_lsh_pairs",
+    (s, dir) => TextDedup.minhashLshPairs(t(s, dir, "documents"),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
+    Some(minhashLshSql(threshold = 0.5, cap = None)))
+
+  /** q30 with the production bucket-width cap engaged (VERDICT r3
+    * next-round #3): buckets with more than 2 members are dropped
+    * before the candidate self-join, so pairs that only meet inside a
+    * wide bucket vanish — the cap's semantics are themselves
+    * hash-checked, not just its plan shape.
+    */
+  private val q52 = Q("q52_lsh_capped",
+    (s, dir) => TextDedup.minhashLshPairs(t(s, dir, "documents"),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5,
+      maxBucketWidth = Some(2)),
+    Some(minhashLshSql(threshold = 0.5, cap = Some(2))))
 
   private val q31 = Q("q31_ngram_jaccard_pairs",
     (s, dir) => TextDedup.ngramJaccardPairs(t(s, dir, "documents"),
@@ -608,7 +631,7 @@ object QueryPackExt {
 
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51)
+    q51, q52)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

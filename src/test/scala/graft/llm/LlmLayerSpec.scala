@@ -95,6 +95,23 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       s"banded key space collapsed to ${chunks.distinct.length} keys")
   }
 
+  test("maxBucketWidth cap drops wide buckets, leaves narrow ones intact") {
+    // three identical docs: every band bucket has width 3
+    val triple = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon zeta")
+    def pairs(cap: Option[Int]) =
+      TextDedup.minhashLshPairs(triple, threshold = 0.9, maxBucketWidth = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(None) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs(Some(2)) === Set.empty) // width-3 buckets all dropped
+    assert(pairs(Some(3)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // simhash path honors the same cap
+    assert(TextDedup.simhashPairs(triple, maxBucketWidth = Some(2)).count() === 0)
+    assert(TextDedup.simhashPairs(triple, maxBucketWidth = Some(3)).count() === 3)
+  }
+
   test("fingerprintPairs: min-shingle-hash fingerprint matches dups, no cartesian") {
     val q = TextDedup.fingerprintPairs(corpus, shingleK = 5)
     assertNoCartesian(q)

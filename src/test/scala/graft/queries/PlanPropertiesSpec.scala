@@ -50,6 +50,8 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!planExt("q30_minhash_lsh_pairs").contains("CartesianProduct"))
     assert(!planExt("q41_embed_neardup").contains("CartesianProduct"))
     assert(!planExt("q43_ann_ivf").contains("CartesianProduct"))
+    assert(!planExt("q33_simhash_pairs").contains("CartesianProduct"))
+    assert(!planExt("q52_lsh_capped").contains("CartesianProduct"))
   }
 
   test("q39: brute-force ANN broadcasts the query side (corpus streams once)") {
