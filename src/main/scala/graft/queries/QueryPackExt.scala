@@ -574,20 +574,41 @@ object QueryPackExt {
   // -------------------------------------------- approx sketches / quantiles
 
   /** Sketch-family aggregates (HyperLogLog++ count-distinct, GK-sketch
-    * quantiles). No oracle: sketch results are engine-specific by
-    * construction, so the harness records the weaker rows>0 check; the
-    * exact counterparts are hash-checked in q26/q50.
+    * quantiles), with a REAL oracle gate (VERDICT r3 next-round #4):
+    * raw sketch values are engine-specific by construction, so instead
+    * of hashing them the query emits the exact group keys/counts plus
+    * boolean within-rsd-band flags comparing each sketch to its exact
+    * twin, all computed engine-side. The oracle supplies the exact
+    * counts and expects every flag TRUE — a sketch drifting outside
+    * its band flips a flag and fails the hash compare. Bands are 3σ:
+    * 15% for the default rsd=0.05 HLL, 3% for rsd=0.01, 1% relative
+    * for the rank-bounded percentile at accuracy=10000.
     */
   private val q49 = Q("q49_approx_sketches",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("approx_median"))
+          .as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.15).as("parts_ok"),
+        (abs(col("approx_supps") - col("exact_supps"))
+          <= col("exact_supps") * 0.03).as("supps_ok"),
+        (abs(col("approx_median") - col("exact_median"))
+          <= abs(col("exact_median")) * 0.01).as("median_ok"))
       .orderBy(col("l_returnflag")),
-    None)
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+             TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS median_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   private val q50 = Q("q50_exact_percentiles",
     (s, dir) => t(s, dir, "lineitem")
