@@ -19,6 +19,20 @@ class EnaMainSpec extends AnyFunSuite with SparkSpec {
       === Seq(("AAA1.1", "P10001")))
   }
 
+  test("chooseBroadcastRegime probes a bounded number of rows, not a full scan") {
+    val s = spark
+    import s.implicits._
+    val reads = s.sparkContext.longAccumulator("probe_reads")
+    val big = s.range(1000000).map { i => reads.add(1); i }.toDF("foreign_id")
+    assert(!EnaMain.chooseBroadcastRegime(big, maxRows = 100))
+    // LocalLimit stops each partition's iterator after limit rows: the
+    // probe must touch ~(partitions x 101) rows, nowhere near the 1M a
+    // full count() would read
+    assert(reads.value < 10000, s"probe read ${reads.value} of 1000000 rows")
+    val small = s.range(50).map(identity).toDF("foreign_id")
+    assert(EnaMain.chooseBroadcastRegime(small, maxRows = 100))
+  }
+
   test("readIdmapping: jdbc URLs dispatch to the JDBC reader") {
     // no database is reachable in this environment; the dispatch itself
     // (format + fail-fast on connect) is the testable boundary
