@@ -143,27 +143,27 @@ object EnaPipeline {
         // Shuffle regime (true UniProt scale, ~1e9 mapping rows). The
         // wide locus rows go through ONE exchange (the final join-back);
         // the J1 join and its regroup shuffle only the narrow
-        // (locus_uid, pid) projection — not the full rows, which the
+        // (locus key, pid) projection — not the full rows, which the
         // earlier explode->join->regroup-on-everything plan dragged
         // through every stage.
-        // locus_uid must agree between the two evaluations of this
-        // subtree (rev and the join-back). monotonically_increasing_id
-        // is partition-index + row-order based, which IS deterministic
-        // here: the upstream is a pure file scan + per-partition
-        // segmentation with no shuffle, and file listing order is
-        // stable — every evaluation sees identical partitions in
-        // identical order. Any future shuffle upstream of this point
-        // would break that invariant; use a composite natural key
-        // (file_path, ena_id, locus_idx) instead if one is introduced.
-        val withUid = loci.toDF()
-          .withColumn("locus_uid", monotonically_increasing_id())
-        val rev = withUid
-          .select(col("locus_uid"), explode(col("protein_ids")).as("pid"))
+        // The locus key is the composite NATURAL key (file_path,
+        // ena_id, locus_idx) — unique per locus by construction (one
+        // EMBL record per ena_id per file; locus_idx numbers loci
+        // within the record, W1). A natural key agrees between the two
+        // evaluations of this subtree (rev and the join-back) under ANY
+        // upstream partitioning, unlike the previous
+        // monotonically_increasing_id, whose correctness hung on the
+        // scan being shuffle-free and listing order stable (a tripwire
+        // for any future upstream change — VERDICT r3 next-round #6).
+        val key = Seq("file_path", "ena_id", "locus_idx")
+        val keyed = loci.toDF()
+        val rev = keyed
+          .select((key.map(col) :+ explode(col("protein_ids")).as("pid")): _*)
           .join(mapped, col("pid") === col("foreign_id")) // J1 inner: misses add nothing
-          .groupBy(col("locus_uid"))
+          .groupBy(key.map(col): _*)
           .agg(flatten(collect_list(col("mapped_ids"))).as("rev_ids"))
-        withUid
-          .join(rev, Seq("locus_uid"), "left_outer") // J2 via the null side
+        keyed
+          .join(rev, key, "left_outer") // J2 via the null side
           .withColumn("rev_ids",
             coalesce(col("rev_ids"), typedLit(Seq.empty[String])))
       }
