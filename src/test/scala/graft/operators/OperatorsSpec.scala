@@ -74,4 +74,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("SortMergeJoin"), plan) // hint respected
     assert(plan.contains("__salt"), s"join keys should include the salt:\n$plan")
   }
+
+  test("salt spreads a hot key of BYTE-IDENTICAL rows across buckets") {
+    val s = spark
+    import s.implicits._
+    // the r3 defect: hash-of-columns salt sent every identical copy of
+    // a hot key to ONE salt value — re-concentrating the skew
+    val hot = Seq.fill(400)((7L, "same payload")).toDF("k", "v")
+    val factor = 8
+    val salts = Skew.saltBig(hot, factor)
+      .groupBy(col("__salt")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salts.keySet.size >= factor / 2,
+      s"identical rows collapsed onto salts ${salts.keySet}")
+    assert(salts.values.max <= 400 / (factor / 2),
+      s"salt distribution is skewed: $salts")
+    // and the join result is still exactly the plain join
+    val small = Seq((7L, "dim")).toDF("k", "name")
+    assert(Skew.saltedJoin(hot, small, "k", factor).count() === 400L)
+  }
 }
