@@ -111,13 +111,28 @@ private[sources] class EmblScanBuilder(
     Option(options.get(key)).orElse(tableProps.get(key))
 
   override def build(): Scan = {
-    val paths = opt("paths").map(_.split(",").toSeq)
+    val paths = opt("paths").map(EmblScanBuilder.parsePaths)
       .orElse(opt("path").map(Seq(_)))
       .orElse(opt("location").map(Seq(_)))
       .getOrElse(Seq.empty)
     val prune = opt("divisionPrune").forall(_.toBoolean)
     new EmblScan(paths, prune, required, pathFilters)
   }
+}
+
+private[sources] object EmblScanBuilder {
+  /** `DataFrameReader.load(p1, p2, ...)` delivers the multi-path list
+    * as a JSON-encoded array string in the `paths` option (the same
+    * convention Spark's own FileDataSourceV2 decodes); a raw
+    * comma-separated list is accepted for hand-written
+    * `OPTIONS (paths '...')` DDL. The former split(",") mangled JSON
+    * arrays into nonexistent bracket-wrapped paths (ADVICE r3).
+    */
+  def parsePaths(raw: String): Seq[String] =
+    if (raw.trim.startsWith("["))
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(raw, classOf[Array[String]]).toSeq
+    else raw.split(",").toSeq
 }
 
 private[sources] class EmblScan(
@@ -132,6 +147,9 @@ private[sources] class EmblScan(
 
   /** S1/S2/S3 at listing time: recursive walk, `*.dat.gz` glob,
     * divisional filename prune — pruned files never become partitions.
+    * A nonexistent root is an error (matching `spark.read.parquet`),
+    * not a silent empty result; an existing-but-empty tree still
+    * yields a clean zero-partition scan.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -139,18 +157,17 @@ private[sources] class EmblScan(
     val files = roots.flatMap { root =>
       val p = new HPath(root)
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Seq.empty
-      else {
-        val it = fs.listFiles(p, true)
-        val buf = Seq.newBuilder[FileStatus]
-        while (it.hasNext) buf += it.next()
-        buf.result()
-          .map(_.getPath.toString)
-          .filter(_.endsWith(".dat.gz"))
-          .filter(f => !divisionPrune ||
-            !f.matches(".*sequence.*/.*") || tokenRe.findFirstIn(f).isDefined)
-          .filter(matchesPathFilters)
-      }
+      if (!fs.exists(p))
+        throw new java.io.FileNotFoundException(s"embl source root does not exist: $root")
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[FileStatus]
+      while (it.hasNext) buf += it.next()
+      buf.result()
+        .map(_.getPath.toString)
+        .filter(_.endsWith(".dat.gz"))
+        .filter(f => !divisionPrune ||
+          !f.matches(".*sequence.*/.*") || tokenRe.findFirstIn(f).isDefined)
+        .filter(matchesPathFilters)
     }
     files.sorted.map(f => EmblInputPartition(f): InputPartition).toArray
   }
@@ -164,27 +181,39 @@ private[sources] class EmblScan(
       case _ => true
     }
 
+  /** The session Hadoop conf is captured HERE (driver, scan build) and
+    * shipped to executors inside the serialized factory: a blank
+    * `new Configuration()` on the reader side would silently drop every
+    * session-level `spark.hadoop.*` setting — S3 credentials,
+    * endpoints, custom FS impls — so remote filesystems would list on
+    * the driver but fail to open on executors (ADVICE r3).
+    */
   override def createReaderFactory(): PartitionReaderFactory =
-    new EmblReaderFactory(required)
+    new EmblReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[sources] case class EmblInputPartition(file: String) extends InputPartition
 
-private[sources] class EmblReaderFactory(required: StructType)
+private[sources] class EmblReaderFactory(
+    required: StructType,
+    val conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EmblPartitionReader(
-      partition.asInstanceOf[EmblInputPartition].file, required)
+      partition.asInstanceOf[EmblInputPartition].file, required, conf.value)
 }
 
 /** Streams one gzip EMBL file through the segmentation state machine,
   * emitting only the pruned columns. O(one record) memory, same as the
   * batch path.
   */
-private[sources] class EmblPartitionReader(file: String, required: StructType)
+private[sources] class EmblPartitionReader(
+    file: String, required: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
   private val hp = new HPath(file)
   private val stream = hp.getFileSystem(conf).open(hp)
   private val reader = new BufferedReader(

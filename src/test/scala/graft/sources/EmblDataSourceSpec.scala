@@ -52,6 +52,35 @@ class EmblDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(ids === Set("WGS01"))
   }
 
+  test("multi-path load decodes the JSON-encoded paths option") {
+    // load(p1, p2) ships paths as a JSON array string; split(",") used
+    // to mangle it into bracket-wrapped nonexistent paths -> empty scan
+    val single = spark.read.format("embl").load(root).count()
+    val doubled = spark.read.format("embl").load(root, root).count()
+    assert(single > 0)
+    assert(doubled === 2 * single) // same tree listed twice
+    assert(EmblScanBuilder.parsePaths("""["/a/b","/c d"]""") === Seq("/a/b", "/c d"))
+    assert(EmblScanBuilder.parsePaths("/a,/b") === Seq("/a", "/b"))
+  }
+
+  test("nonexistent root fails loudly instead of returning empty") {
+    val e = intercept[Exception] {
+      spark.read.format("embl").load("/nonexistent/embl/tree").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("does not exist")), e.toString)
+  }
+
+  test("reader factory ships the session hadoop conf to executors") {
+    // a blank Configuration on the reader side would drop session
+    // spark.hadoop.* settings (S3 creds, custom FS impls)
+    spark.sparkContext.hadoopConfiguration.set("graft.test.marker", "propagated")
+    val scan = new EmblScan(Seq(root), divisionPrune = true, EmblDataSource.Schema)
+    val factory = scan.createReaderFactory().asInstanceOf[EmblReaderFactory]
+    assert(factory.conf.value.get("graft.test.marker") === "propagated")
+  }
+
   test("usable from pure SQL via CREATE TABLE ... USING embl") {
     spark.sql("DROP TABLE IF EXISTS ena_sql")
     try {
