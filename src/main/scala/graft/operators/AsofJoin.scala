@@ -39,25 +39,32 @@ object AsofJoin {
       rightTs: String,
       payloads: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val matchedNames = payloads.map(p => s"asof_$p")
 
+    // ALL payloads ride in ONE struct, and the running last() picks the
+    // struct whole: with per-column last(ignoreNulls) a legitimately
+    // NULL payload value fell through to an OLDER right row's value,
+    // and multi-payload outputs could stitch together columns from
+    // DIFFERENT right rows (ADVICE r3). The struct itself is null
+    // exactly on left rows, so ignoreNulls still skips them.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloads.map(p => right.schema(p).copy(name = p)))
     val rightU = right.select(
       (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
-        payloads.map(p => col(p).as(s"asof_$p"))) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).as(c)): _*)
+        struct(payloads.map(col): _*).as("__payload") +:
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c))): _*)
     val leftU = left.select(
       (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
-        payloads.map(p => lit(null).as(s"asof_$p"))) ++
-        leftCols.filterNot(_ == key).map(col): _*)
+        lit(null).cast(payloadType).as("__payload") +:
+        leftCols.filterNot(_ == key).map(col)): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     rightU.unionByName(leftU)
-      .select((leftCols.map(col) ++ (col("__tag") +:
-        matchedNames.map(m => last(col(m), ignoreNulls = true).over(w).as(m)))): _*)
+      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select((leftCols.map(col) ++
+        payloads.map(p => col(s"__m.$p").as(s"asof_$p"))): _*)
   }
 }

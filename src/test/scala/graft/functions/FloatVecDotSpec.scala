@@ -31,6 +31,29 @@ class FloatVecDotSpec extends AnyFunSuite with SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("null ELEMENTS propagate to null, matching the HOF composition") {
+    GraftFunctions.ensureRegistered(spark)
+    // constant-foldable form exercises nullSafeEval (interpreted)
+    val folded = spark.sql(
+      """SELECT graft_vec_dot(
+        |  array(cast(1.0 as float), cast(null as float)),
+        |  array(cast(2.0 as float), cast(3.0 as float))) AS d""".stripMargin)
+    assert(folded.head().isNullAt(0))
+    // non-foldable form exercises doGenCode: build rows, one with a
+    // null slot — the null row yields null, the clean row a value
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](2.0f, 3.0f)),
+        (2L, Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](2.0f, 3.0f)))
+      .toDF("id", "a", "b")
+      .select(col("id"), call_function(GraftFunctions.VecDotName,
+        col("a").cast("array<float>"), col("b").cast("array<float>")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(df(1L) === None)
+    assert(df(2L) === Some(1.0 * 2.0 + 2.0 * 3.0))
+  }
+
   test("null-safe and codegen-compiled") {
     GraftFunctions.ensureRegistered(spark)
     // null input -> null out (and the analyzer constant-folds it via the

@@ -38,6 +38,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("asof join: null payload values do NOT fall back to older rows") {
+    val s = spark
+    import s.implicits._
+    // the matched right row (ts=20) has a NULL in payload `a`: the old
+    // per-column last(ignoreNulls) stitched a="x" from ts=10 with
+    // b="z20" from ts=20 — values from two different right rows
+    val right = Seq((1L, 10L, Option("x"), Option("z10")),
+        (1L, 20L, None: Option[String], Option("z20")))
+      .toDF("k", "ts", "a", "b")
+    val left = Seq((1L, 25L)).toDF("k", "t")
+    val out = AsofJoin.joinAsof(left, right, "k", "t", "ts", Seq("a", "b"))
+      .select("asof_a", "asof_b").head()
+    assert(out.isNullAt(0), "null payload must come from the matched row")
+    assert(out.getString(1) === "z20")
+  }
+
   test("asof join equals in-memory brute force on randomized data (seeded)") {
     val s = spark
     import s.implicits._
