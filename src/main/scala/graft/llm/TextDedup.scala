@@ -74,11 +74,42 @@ object TextDedup {
     df.repartition(n, col(key))
   }
 
-  /** Per-doc distinct shingle sets (docs with ≥ k tokens). */
-  private def shingleSets(docs: DataFrame, k: Int): DataFrame =
+  /** `(doc_id, gh)` rows: the polynomial 31-bit hash of every word
+    * k-gram position (with multiplicity). Each token is md5-hashed
+    * ONCE on the codegen'd scalar path; a k-gram's hash is the
+    * coefficient-weighted sum of its k token hashes mod 2^31-1,
+    * assembled with window `lead`s over token position — no k-gram
+    * string is ever materialized. This is the shared front end of
+    * every shingle-based dedup here (MinHash, n-gram Jaccard,
+    * fingerprint): downstream works on long keys, never strings.
+    * Incomplete trailing grams (and docs with < k tokens) null out
+    * and drop.
+    */
+  private def gramHashes(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gram = (0 until k).map { j =>
+      val h = if (j == 0) col("h") else lead(col("h"), j).over(w)
+      (h * lit(TextFns.shingleCoef(j))) % lit(TextFns.MinhashP)
+    }.reduce(_ + _) % lit(TextFns.MinhashP)
     spread(docs, "doc_id")
-      .select(col("doc_id"), TextFns.shingleSet(col("text"), k).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
+      .withColumn("gh", gram)
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), col("gh"))
+  }
+
+  /** Per-doc distinct gram-hash sets (docs with ≥ k tokens). The
+    * groupBy rides the gramHashes window's doc_id partitioning, so
+    * dedup is map-side-complete before any further shuffle. Jaccard
+    * over hashed shingle sets equals Jaccard over the shingles
+    * themselves up to 2^-31 collisions — and since the SQL oracle
+    * mirrors the same hashes, the compare is exact either way.
+    */
+  private def shingleSets(docs: DataFrame, k: Int): DataFrame =
+    gramHashes(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("gh")).as("sh"))
 
   /** MinHash-LSH near-dedup: deterministic seeded signatures, banded
     * buckets, bucket-keyed candidate self-join, exact-Jaccard rerank.
@@ -103,19 +134,20 @@ object TextDedup {
     val sets = shingleSets(docs, shingleK).localCheckpoint()
 
     // signature via explode -> scalar permutations -> partial-aggregated
-    // min: ONE md5 per (doc, shingle) posting and 12 cheap linear perms,
-    // combined map-side down to one 12-column row per doc before the
-    // shuffle. (An array-transform formulation keeps it shuffle-free but
-    // generates 13 nested array loops per row — measured 3-6x slower in
+    // min: the set elements are ALREADY 31-bit gram hashes (md5 happened
+    // once per token in gramHashes), so the 12 linear perms apply
+    // directly — no per-posting hashing at all, combined map-side down
+    // to one 12-column row per doc before the shuffle. (An
+    // array-transform formulation keeps it shuffle-free but generates
+    // 13 nested array loops per row — measured 3-6x slower in
     // codegen+exec than this partial-agg shape.)
     val mh = sets
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h31", TextFns.hash31(col("shingle")))
+      .select(col("doc_id"), explode(col("sh")).as("gh"))
       .groupBy(col("doc_id"))
       .agg(
-        min(TextFns.minhashPerm(0, col("h31"))).as("mh_0"),
+        min(TextFns.minhashPerm(0, col("gh"))).as("mh_0"),
         (1 until nHashes).map(s =>
-          min(TextFns.minhashPerm(s, col("h31"))).as(s"mh_$s")): _*)
+          min(TextFns.minhashPerm(s, col("gh"))).as(s"mh_$s")): _*)
       .localCheckpoint()
     // one 128-bit bucket key per band: md5 of the band's minhash values
     // in seed order (order-independent aggregate inputs ⇒ deterministic)
@@ -152,9 +184,11 @@ object TextDedup {
 
   /** Exact n-gram Jaccard over an inverted shingle index (the verify
     * path): docs sharing ≥1 shingle meet in the shingle-keyed self-join;
-    * pairs below `maxDocId` with Jaccard ≥ `threshold` survive. At corpus
-    * scale the shingle join shuffles every posting — use minhashLshPairs
-    * for discovery and this only to verify candidates.
+    * pairs below `maxDocId` with Jaccard ≥ `threshold` survive. The
+    * index keys are gram HASHES (longs), not shingle strings — an
+    * 8-byte shuffle key instead of a ~20-byte string one. At corpus
+    * scale the shingle join still shuffles every posting — use
+    * minhashLshPairs for discovery and this only to verify candidates.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -162,10 +196,10 @@ object TextDedup {
       shingleK: Int = 3,
       threshold: Double = 0.2): DataFrame = {
     val sets = shingleSets(docs.filter(col("doc_id") < maxDocId), shingleK)
-    val postings = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val postings = sets.select(col("doc_id"), explode(col("sh")).as("gh"))
     val inter = postings.as("a")
       .join(postings.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -302,30 +336,16 @@ object TextDedup {
     *
     * Hash shape (the r3 bench fix — q34 was 19.7 s, 30% of the whole
     * suite): the old path built every k-gram as a STRING (slice +
-    * array_join inside interpreted array HOFs) and md5'd each posting.
-    * Now each token is hashed ONCE (md5-derived 31-bit, the codegen'd
-    * scalar path) and a k-gram's hash is the coefficient-weighted sum
-    * of its k token hashes mod p, assembled with window `lead`s over
-    * token position — pure integer arithmetic, no per-shingle string,
-    * k× fewer md5s. min() is multiplicity-invariant, so no dedup
-    * needed. The window's exchange on doc_id doubles as the `spread`
-    * repartition, and the groupBy(doc_id) min reuses its partitioning.
+    * array_join inside interpreted array HOFs) and md5'd each posting;
+    * [[gramHashes]] hashes each token once and assembles grams with
+    * integer arithmetic. min() is multiplicity-invariant, so no dedup
+    * needed, and the groupBy(doc_id) min reuses the gram window's
+    * partitioning — no extra exchange.
     */
   def fingerprintPairs(docs: DataFrame, shingleK: Int = 5): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val gram = (0 until shingleK).map { j =>
-      val h = if (j == 0) col("h") else lead(col("h"), j).over(w)
-      (h * lit(TextFns.shingleCoef(j))) % lit(TextFns.MinhashP)
-    }.reduce(_ + _) % lit(TextFns.MinhashP)
-    val fp = spread(docs, "doc_id")
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
-      .withColumn("sh", gram)
-      // lead past the doc's last token nulls the whole sum: incomplete
-      // trailing k-grams (and docs with < k tokens entirely) drop out
-      .filter(col("sh").isNotNull)
+    val fp = gramHashes(docs, shingleK)
       .groupBy(col("doc_id"))
-      .agg(min(col("sh")).as("fp"))
+      .agg(min(col("gh")).as("fp"))
       .localCheckpoint() // reused by both join sides
     fp.as("a")
       .join(fp.as("b"),

@@ -37,14 +37,27 @@ object QueryPackExt {
   private def h60(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
-  /** Distinct word k-gram shingle CTE over `toks` (named `sh`). */
-  private def shingleCte(k: Int): String = {
-    val concat = (0 until k).map(i => s"w[gs + $i]").mkString(" || ' ' || ")
+  /** Shared gram-hash CTEs — the mirror of [[TextDedup]]'s
+    * gramHashes/shingleSets front end: `tokh` (one md5 per token →
+    * 31-bit h), `grams` (polynomial k-gram hash assembled with window
+    * leads; incomplete trailing grams are NULL), `sh` (distinct
+    * (doc_id, gh)). Every shingle-based dedup oracle builds on these —
+    * no k-gram strings on either engine.
+    */
+  private def gramCtes(k: Int): String = {
+    val gram = (0 until k).map { j =>
+      val h = if (j == 0) "h" else s"lead(h, $j) OVER win"
+      s"$h * ${graft.llm.TextFns.shingleCoef(j)} % ${graft.llm.TextFns.MinhashP}"
+    }.mkString("(", " + ", s") % ${graft.llm.TextFns.MinhashP}")
     s"""
-    sh AS (
-      SELECT DISTINCT doc_id, $concat AS shingle
-      FROM (SELECT doc_id, w FROM toks WHERE len(w) >= $k) t,
-           LATERAL (SELECT unnest(generate_series(1, len(w) - ${k - 1})) AS gs) g)"""
+      tokh AS (
+        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      grams AS (
+        SELECT doc_id, $gram AS gh
+        FROM tokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      sh AS (SELECT DISTINCT doc_id, gh FROM grams WHERE gh IS NOT NULL)"""
   }
 
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
@@ -107,15 +120,15 @@ object QueryPackExt {
       .map(c => s"\n        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $c")
       .getOrElse("")
     s"""
-      WITH $ToksCte, ${shingleCte(3)},
+      WITH $ToksCte, ${gramCtes(3)},
       mh AS (
-        -- universal-hash MinHash, mirror of TextFns.minhashPerm:
-        -- one md5 per shingle, 12 linear permutations mod 2^31-1
+        -- universal-hash MinHash, mirror of TextFns.minhashPerm: the
+        -- 12 linear permutations apply directly to the 31-bit gram
+        -- hashes (md5 happened once per token in tokh)
         SELECT doc_id, se.s AS s,
-               min((h31 * (1000003 + 97 * se.s) + (12345 + 31 * se.s))
+               min((gh * (1000003 + 97 * se.s) + (12345 + 31 * se.s))
                    % 2147483647) AS m
-        FROM (SELECT doc_id, ${h60("shingle")} & 2147483647 AS h31 FROM sh) hh,
-             LATERAL (SELECT unnest(generate_series(0, 11)) AS s) se
+        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS s) se
         GROUP BY doc_id, se.s),
       bands AS (
         SELECT doc_id, s // 3 AS band,
@@ -125,12 +138,21 @@ object QueryPackExt {
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-      sets AS (SELECT doc_id, list(DISTINCT shingle) AS ss FROM sh GROUP BY doc_id)
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        -- zero-intersection candidates drop out here; the Spark side
+        -- keeps them at jaccard 0, and the positive threshold filters
+        -- them identically on both engines
+        SELECT da, db, count(*) AS i
+        FROM cand
+        JOIN sh a ON a.doc_id = da
+        JOIN sh b ON b.doc_id = db AND a.gh = b.gh
+        GROUP BY da, db)
       SELECT da, db, jaccard FROM (
-        SELECT da, db,
-               CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) /
-                 (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jaccard
-        FROM cand JOIN sets x ON x.doc_id = da JOIN sets y ON y.doc_id = db) z
+        SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db) z
       WHERE jaccard >= $threshold ORDER BY da, db"""
   }
 
@@ -157,11 +179,11 @@ object QueryPackExt {
     Some(s"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-        FROM documents WHERE doc_id < 250), ${shingleCte(3)},
+        FROM documents WHERE doc_id < 250), ${gramCtes(3)},
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT da, db, jaccard FROM (
         SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
@@ -226,26 +248,12 @@ object QueryPackExt {
 
   // ---------------------------------------------------- dedup: fingerprint
 
-  // polynomial k-gram hash over per-token 31-bit hashes — the mirror
-  // of TextDedup.fingerprintPairs (one md5 per TOKEN, window leads
-  // assemble each 5-gram; incomplete trailing grams null out)
-  private val fpGram = (0 until 5).map { j =>
-    val h = if (j == 0) "h" else s"lead(h, $j) OVER win"
-    s"$h * ${graft.llm.TextFns.shingleCoef(j)} % ${graft.llm.TextFns.MinhashP}"
-  }.mkString("(", " + ", s") % ${graft.llm.TextFns.MinhashP}")
-
   private val q34 = Q("q34_doc_fingerprint_pairs",
     (s, dir) => TextDedup.fingerprintPairs(t(s, dir, "documents"), shingleK = 5),
     Some(s"""
-      WITH $ToksCte,
-      tokh AS (
-        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
-        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
-      grams AS (
-        SELECT doc_id, $fpGram AS sh
-        FROM tokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-      fp AS (SELECT doc_id, min(sh) AS fp
-             FROM grams WHERE sh IS NOT NULL GROUP BY doc_id)
+      WITH $ToksCte, ${gramCtes(5)},
+      fp AS (SELECT doc_id, min(gh) AS fp
+             FROM grams WHERE gh IS NOT NULL GROUP BY doc_id)
       SELECT a.doc_id AS da, b.doc_id AS db, a.fp AS fingerprint
       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
       ORDER BY da, db"""))
