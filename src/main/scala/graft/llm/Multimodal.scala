@@ -111,8 +111,7 @@ object Multimodal {
   }
 
   /** Wrap a text corpus as a binary media table — the test stand-in for
-    * reading real media files (`spark.read.format("binaryFile")` in
-    * production).
+    * reading real media files ([[readMediaDir]] in production).
     */
   def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -120,6 +119,40 @@ object Multimodal {
         col("doc_id").as("media_id"),
         lit("text/plain").as("mime"),
         encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRow]
+  }
+
+  private val MimeByExt = Seq(
+    "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg", "png" -> "image/png",
+    "gif" -> "image/gif", "wav" -> "audio/wav", "mp3" -> "audio/mpeg",
+    "flac" -> "audio/flac", "mp4" -> "video/mp4", "mkv" -> "video/x-matroska")
+
+  /** The production ingest path: a directory tree of media files read
+    * through Spark's built-in `binaryFile` source into the same
+    * [[MediaRow]] plumbing every decode/feature stage consumes — this
+    * closes the gap between the text-fixture stand-in and the real
+    * file-backed shape. `media_id` is the 60-bit md5 of the file path
+    * (stable across runs and engines); mime comes from the extension.
+    * binaryFile streams each blob as one row, so partition count =
+    * file count and blob memory stays bounded per task; pass a `glob`
+    * to prune at listing time.
+    */
+  def readMediaDir(
+      spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaRow] = {
+    import spark.implicits._
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val mime = MimeByExt.foldRight(lit("application/octet-stream")) {
+      case ((e, m), acc) => when(ext === e, m).otherwise(acc)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        conv(substring(md5(col("path")), 1, 15), 16, 10).cast("long")
+          .as("media_id"),
+        mime.as("mime"),
+        col("content"))
       .as[MediaRow]
   }
 }

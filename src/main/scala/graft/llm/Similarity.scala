@@ -182,14 +182,22 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs: sign-sketch bucket self-join for
     * candidates (equi-keyed, never all-pairs), exact cosine ≥ threshold
-    * to confirm. Emits (va, vb, sim).
+    * to confirm. Emits (va, vb, sim). `maxBucketWidth` applies the
+    * same production bucket cap as the text LSH paths (a degenerate
+    * sketch bucket — e.g. all-positive embeddings from an untrained
+    * encoder — would square inside its key); `bits` defaults are
+    * test-scale — size 2^bits to the corpus so expected bucket width
+    * stays bounded.
     */
   def nearDupPairs(
-      emb: DataFrame, bits: Int = 2, threshold: Double = 0.4): DataFrame = {
+      emb: DataFrame, bits: Int = 2, threshold: Double = 0.4,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val sketched = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
+    val sketchedAll = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"),
       l2norm(col("embedding")).as("nrm"))
+    val sketched = maxBucketWidth
+      .fold(sketchedAll)(TextDedup.capBucketWidth(sketchedAll, Seq("bucket"), _))
     sketched.as("a")
       .join(sketched.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -202,4 +202,40 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(media.head.media_id === 7L)
     assert(new String(media.head.content, "UTF-8") === "hello")
   }
+
+  test("readMediaDir ingests a file tree via binaryFile into MediaRow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.createDirectories(dir.resolve("sub"))
+    java.nio.file.Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("sub/b.wav"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), Array[Byte](9))
+    val rows = Multimodal.readMediaDir(spark, dir.toString).collect()
+      .map(r => r.mime -> r).toMap
+    assert(rows.keySet === Set("image/png", "audio/wav", "application/octet-stream"))
+    assert(rows("image/png").content.toSeq === Seq[Byte](1, 2, 3))
+    assert(rows("audio/wav").content.toSeq === Seq[Byte](4, 5)) // recursive
+    // ids are stable across reads (path-hash, not ingest order)
+    val again = Multimodal.readMediaDir(spark, dir.toString).collect()
+      .map(r => r.mime -> r.media_id).toMap
+    assert(rows.map { case (m, r) => m -> r.media_id } === again)
+    // the same plumbing feeds the decode stage
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readMediaDir(spark, dir.toString, glob = "*.png")).collect()
+    assert(feats.length === 1 && feats.head.byte_len === 3L)
+  }
+
+  test("embedding near-dup honors the bucket cap") {
+    val s = spark
+    import s.implicits._
+    // four vectors in ONE sketch bucket (dim1 > 0, dim2 > 0)
+    val emb = Seq(
+      (0L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.11f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.12f, 0f, 0f), 0),
+      (3L, Array(0.9f, 0.13f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    assert(Similarity.nearDupPairs(emb, bits = 2, threshold = 0.9).count() === 6)
+    assert(Similarity.nearDupPairs(emb, bits = 2, threshold = 0.9,
+      maxBucketWidth = Some(3)).count() === 0) // width-4 bucket dropped
+  }
 }
