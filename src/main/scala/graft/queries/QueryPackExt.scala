@@ -593,24 +593,34 @@ object QueryPackExt {
     * for the rank-bounded percentile at accuracy=10000.
     */
   private val q49 = Q("q49_approx_sketches",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_suppkey")).as("exact_supps"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("approx_median"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
-      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
-        (abs(col("approx_parts") - col("exact_parts"))
-          <= col("exact_parts") * 0.15).as("parts_ok"),
-        (abs(col("approx_supps") - col("exact_supps"))
-          <= col("exact_supps") * 0.03).as("supps_ok"),
-        (abs(col("approx_median") - col("exact_median"))
-          <= abs(col("exact_median")) * 0.01).as("median_ok"))
-      .orderBy(col("l_returnflag")),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // exact distinct counts via two-level aggregation: mixing two
+      // countDistinct columns with sort-based percentile aggregates in
+      // one agg forces an Expand (input ×3) through every aggregate's
+      // update path — measured 29.6 s at sf0.1 vs ~3 s in this shape
+      def exactDistinct(c: String, alias: String) =
+        li.groupBy(col("l_returnflag"), col(c)).agg(count(lit(1)))
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(alias))
+      val sketches = li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      sketches // 3-row frames: the joins broadcast
+        .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
+        .join(exactDistinct("l_suppkey", "exact_supps"), "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.15).as("parts_ok"),
+          (abs(col("approx_supps") - col("exact_supps"))
+            <= col("exact_supps") * 0.03).as("supps_ok"),
+          (abs(col("approx_median") - col("exact_median"))
+            <= abs(col("exact_median")) * 0.01).as("median_ok"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
       SELECT l_returnflag,
              CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
