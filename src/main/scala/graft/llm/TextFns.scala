@@ -74,4 +74,24 @@ object TextFns {
     */
   def shingleCoef(j: Int): Long = 1000003L + 97L * j
 
+  /** Per-row document fingerprint (minimum polynomial k-gram hash) as
+    * ONE column expression — the stateless, streaming-safe twin of the
+    * batch fingerprint in `TextDedup.fingerprintPairs` (which
+    * assembles grams with window `lead`s; window functions don't exist
+    * on streaming DataFrames). Same token hashes, same coefficients,
+    * same mod — values are identical (asserted in StreamOpsSpec), so a
+    * streaming dedup keyed on this column agrees with a batch backfill.
+    * NULL for docs with fewer than k tokens. The HOF form is
+    * per-element interpreted — fine at one row per stream record; use
+    * the batch path for corpus-wide scans.
+    */
+  def fingerprint(text: Column, k: Int): Column = {
+    val hs = transform(tokens(text), t => hash31(t))
+    val grams = transform(sequence(lit(0), size(hs) - k),
+      i => (0 until k).map(j =>
+          (element_at(hs, i + lit(j + 1)) * lit(shingleCoef(j))) % lit(MinhashP))
+        .reduce(_ + _) % lit(MinhashP))
+    when(size(hs) >= k, array_min(grams)).otherwise(lit(null).cast("long"))
+  }
+
 }

@@ -49,6 +49,29 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dedup (the streaming twin of the q34 fingerprint
+    * candidates): each row gets its min-gram-hash fingerprint
+    * ([[graft.llm.TextFns.fingerprint]] — the stateless column twin of
+    * the batch window formulation, identical values), and rows whose
+    * fingerprint was already seen within the watermark are dropped.
+    * Docs with < k tokens have no fingerprint and pass through
+    * undeduped (they'd collide on NULL otherwise). State is one
+    * fingerprint per distinct doc within the watermark horizon —
+    * bounded, and partitioned by fingerprint hash across executors.
+    */
+  def streamingNearDedup(
+      docs: DataFrame,
+      shingleK: Int = 5,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val fp = docs
+      .withColumn("fingerprint",
+        graft.llm.TextFns.fingerprint(col("text"), shingleK))
+      .withWatermark("ts", watermarkDelay)
+    fp.filter(col("fingerprint").isNotNull)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .unionByName(fp.filter(col("fingerprint").isNull))
+  }
+
   /** One user event (the `events` table's streaming shape). */
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
 

@@ -67,6 +67,27 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assertHolds(p, 5)
   }
 
+  test("property: simhashPairs finds EVERY pair within hamming 3 (pigeonhole)") {
+    // the 4x16-bit band join claims full recall at hamming <= 3: any
+    // pair differing in <= 3 bits agrees exactly on >= 1 of 4 bands
+    val p = Prop.forAll(Gen.listOfN(8, text)) { texts =>
+      val df = corpus(texts)
+      val sigs = TextDedup.simhashSignatures(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expected = (for {
+        (ida, ha, la) <- sigs
+        (idb, hb, lb) <- sigs
+        if ida < idb
+        d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+        if d <= 3
+      } yield (ida, idb)).toSet
+      val got = TextDedup.simhashPairs(df, maxHamming = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == expected
+    }
+    assertHolds(p, 3)
+  }
+
   test("property: LSH candidate pairs are a subset of the exact-jaccard pairs") {
     val p = Prop.forAll(Gen.listOfN(6, text)) { texts =>
       val df = corpus(texts)

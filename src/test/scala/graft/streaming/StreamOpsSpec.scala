@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -83,6 +84,54 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.getAs[Long]("doc_id")).toSet
       assert(ids === Set(1L, 2L)) // doc 3 deduplicated away
     } finally q.stop()
+  }
+
+  test("streaming near-dedup drops fingerprint dups; short docs pass through") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.streamingNearDedup(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        shingleK = 5, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("neardedup_stream")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog today"
+      in.addData((1L, ts(10000), base), (2L, ts(10030), "tiny"))
+      q.processAllAvailable()
+      // doc 3 shares doc 1's minimum 5-gram (identical text): near-dup
+      in.addData((3L, ts(10060), base), (4L, ts(10090), "also small"))
+      q.processAllAvailable()
+      val ids = spark.table("neardedup_stream")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids === Set(1L, 2L, 4L)) // 3 deduped; <5-token docs kept
+    } finally q.stop()
+  }
+
+  test("streaming fingerprint column equals the batch window formulation") {
+    val s = spark
+    import s.implicits._
+    // the streaming path hashes via one column expression; the batch
+    // path via window leads — same tokens, coefs, mod: same values
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "one two three four five"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val streaming = docs.select(col("doc_id"),
+        graft.llm.TextFns.fingerprint(col("text"), 5).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // batch fingerprints via the pair generator's internal table: two
+    // identical docs always pair, exposing the batch fp value
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100))
+    val batch = graft.llm.TextDedup.fingerprintPairs(doubled, shingleK = 5)
+      .filter(col("db") === col("da") + 100)
+      .collect().map(r => r.getLong(0) -> Some(r.getLong(2))).toMap
+    assert(streaming(4L) === None)
+    assert(batch.keySet === Set(1L, 2L, 3L))
+    batch.foreach { case (id, fp) => assert(streaming(id) === fp, s"doc $id") }
   }
 
   test("streaming EMBL ingest matches the batch segmentation") {
