@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` decode UDF: one iterator pass per partition, bounded
   * memory, no driver round-trip).
   *
-  * The decode step itself is a clearly-marked deterministic STUB — no
-  * codec libraries ship in this environment — but the Spark-side
-  * plumbing is real and tested: schema, encoders, partition-batched
-  * iteration, and the metadata projection, which is also exercised as
-  * an oracle-checked query (q42_multimodal_meta) over text payloads
+  * Decode status by modality: IMAGES decode for REAL via the JDK's
+  * ImageIO (PNG/JPEG/GIF/BMP) and AUDIO via javax.sound.sampled
+  * (WAV/AIFF/AU) — no external codec needed; VIDEO (and any payload
+  * the JDK can't parse) falls back to the clearly-marked deterministic
+  * stub, since the JDK has no container/codec support. The Spark-side
+  * plumbing is identical either way and is also exercised as an
+  * oracle-checked query (q42_multimodal_meta) over text payloads
   * re-encoded as binary.
   *
   * Scale notes: media blobs dominate row size, so the feature extractor
@@ -61,6 +63,87 @@ object Multimodal {
     (width, height, feature)
   }
 
+  /** REAL image decode via the JDK's ImageIO — PNG/JPEG/GIF/BMP need
+    * no external codec. Dimensions come from the decoded raster; the
+    * feature vector is an 8-bin luminance histogram over a bounded
+    * sample grid (≤64×64 probes, so arbitrarily large images cost
+    * O(1)). Returns None for payloads ImageIO can't decode — callers
+    * fall back to [[decodeStub]].
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    scala.util.Try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val bins = new Array[Float](FeatureDim)
+          val stepX = math.max(1, w / 64)
+          val stepY = math.max(1, h / 64)
+          var n = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              bins(lum * FeatureDim / 256) += 1f
+              n += 1
+              x += stepX
+            }
+            y += stepY
+          }
+          var i = 0
+          while (i < FeatureDim) { if (n > 0) bins(i) /= n; i += 1 }
+          (w, h, bins)
+        }
+    }.toOption.flatten
+
+  /** REAL audio decode via the JDK's javax.sound.sampled — WAV/AIFF/AU
+    * need no external codec. "Width" carries the sample rate (Hz) and
+    * "height" the channel count; the feature is an 8-bin absolute-
+    * amplitude histogram over a bounded prefix of 16-bit PCM frames.
+    * Returns None for formats the JDK can't parse — callers fall back
+    * to [[decodeStub]].
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bins = new Array[Float](FeatureDim)
+        val buf = new Array[Byte](4096)
+        var n = 0
+        var read = in.read(buf)
+        var budget = 1 << 20 // bounded prefix: huge files cost O(1)
+        while (read > 0 && budget > 0) {
+          var i = 0
+          while (i + 1 < read) { // 16-bit little-endian PCM samples
+            val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+            bins(math.min(FeatureDim - 1, math.abs(s.toInt) * FeatureDim / 32768)) += 1f
+            n += 1
+            i += 2
+          }
+          budget -= read
+          read = in.read(buf)
+        }
+        var i = 0
+        while (i < FeatureDim) { if (n > 0) bins(i) /= n; i += 1 }
+        (fmt.getSampleRate.toInt, fmt.getChannels, bins)
+      } finally in.close()
+    }.toOption
+
+  /** Decode dispatch: REAL decoders for the modalities the JDK ships
+    * codecs for (images via ImageIO, audio via javax.sound), the
+    * clearly-marked stub for everything else (video stays stubbed —
+    * no container/codec support in the JDK).
+    */
+  def decode(mime: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
+    (if (mime.startsWith("image/")) decodeImage(bytes)
+     else if (mime.startsWith("audio/")) decodeAudio(bytes)
+     else None).getOrElse(decodeStub(bytes))
+
   /** Batched decode/feature-extract: one streaming pass per partition
     * (the mapInPandas shape), blobs dropped from the output row.
     */
@@ -68,7 +151,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, feat) = decodeStub(r.content)
+        val (w, h, feat) = decode(r.mime, r.content)
         MediaFeatures(r.media_id, r.mime, r.content.length.toLong, w, h, feat)
       }
     }

@@ -156,6 +156,52 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(nd === Set((1L, 4L)))
   }
 
+  test("REAL image + audio decode via JDK codecs (video stays stubbed)") {
+    val s = spark
+    import s.implicits._
+    // a 20x10 gradient PNG, written by ImageIO itself
+    val img = new java.awt.image.BufferedImage(
+      20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 20; y <- 0 until 10) {
+      val g = x * 12
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val png = pngOut.toByteArray
+    val (w, h, feat) = Multimodal.decodeImage(png).get
+    assert(w === 20 && h === 10)
+    assert(math.abs(feat.sum - 1f) < 1e-4) // normalized luminance histogram
+
+    // an 8 kHz mono 16-bit PCM WAV, written by javax.sound itself
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array.tabulate(1600)(i => (math.sin(i / 10.0) * 20000).toShort)
+    val bytes = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xFF).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val (rate, ch, afeat) = Multimodal.decodeAudio(wavOut.toByteArray).get
+    assert(rate === 8000 && ch === 1)
+    assert(math.abs(afeat.sum - 1f) < 1e-4)
+
+    // end-to-end through the Spark batch path: real dims/rates surface
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", png),
+      Multimodal.MediaRow(2L, "audio/wav", wavOut.toByteArray),
+      Multimodal.MediaRow(3L, "video/mp4", Array[Byte](1, 2, 3))).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).width === 20 && feats(1L).height === 10)
+    assert(feats(2L).width === 8000 && feats(2L).height === 1)
+    assert(feats(3L).feature.length === Multimodal.FeatureDim) // stub fallback
+  }
+
   test("multimodal: stub decode is deterministic; plumbing drops blobs") {
     val s = spark
     import s.implicits._
