@@ -145,6 +145,33 @@ class EnaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rows(bcast) === rows(shuffled))
   }
 
+  test("shuffle resolve keeps same-ena_id records in DIFFERENT files apart") {
+    // the composite natural key is (file_path, ena_id, locus_idx):
+    // a record id reused across release files must not merge rev_ids
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ena_samekey")
+    val rec =
+      """ID   SAME01; SV 1; linear; genomic DNA; WGS; PRO; 1000 BP.
+        |OC   Bacteria; Proteobacteria.
+        |FT   CDS             1..100
+        |FT                   /protein_id="%s"
+        |""".stripMargin
+    writeGz(dir.resolve("wgs/public/aaa/F1.dat.gz"), rec.format("AAA1.1"))
+    writeGz(dir.resolve("wgs/public/bbb/F2.dat.gz"), rec.format("EEB56107.1"))
+    val out = EnaPipeline.enaTab(spark, Seq(dir.toString), idmapping,
+      broadcastIdMap = false)
+      .collect()
+      .map(r => (r.getAs[String]("file_path").contains("F1"),
+        r.getString(0), r.getString(1))).toSet
+    // F1's locus resolves AAA1.1 -> {P10001, P10002}; F2's resolves
+    // EEB56107.1 -> {P20001}; a uid or (ena_id, locus_idx)-only key
+    // would cross-pollinate the two
+    assert(out === Set(
+      (true, "SAME01", "P10001"), (true, "SAME01", "P10002"),
+      (false, "SAME01", "P20001")))
+  }
+
   test("segmentation counters (A5): tombstones, taxonomy drops, CDS drops") {
     val metrics = SegMetrics(spark.sparkContext)
     EnaPipeline.readLoci(spark, Seq(root.toString), metrics = Some(metrics))
