@@ -49,15 +49,15 @@ object Similarity {
       .map(i => when(element_at(v, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  /** Exact brute-force cosine top-k: vectors with vec_id < nQueries are
-    * the query set (broadcast); every other vector is scored against
-    * each query in one corpus pass. Emits (query_id, rank, vec_id, sim).
+  /** Exact brute-force cosine top-k against an EXPLICIT query set —
+    * the production entry point: `queries(query_id, qv)` is any
+    * broadcast-small frame (external probe vectors, a sampled slice,
+    * …); every corpus vector is scored against each query in one
+    * corpus pass. Emits (query_id, rank, vec_id, sim).
     */
-  def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        l2norm(col("embedding")).as("qn"))
+    val q = queries.select(col("query_id"), col("qv"), l2norm(col("qv")).as("qn"))
     val cand = TextDedup.spread(emb, "vec_id")
       .select(col("vec_id"), col("embedding").as("cv"),
         l2norm(col("embedding")).as("cn"))
@@ -73,22 +73,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Convenience/test form: vectors with vec_id < nQueries are the
+    * query set (the harness convention on the embeddings table).
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    bruteForceTopK(emb,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      k)
+
   /** Bucketed (sign-LSH) cosine top-k — the scale path: queries only
     * meet candidates in their own sketch bucket via an equi-join, so
     * the per-query candidate set shrinks ~2^bits-fold. Approximate:
     * neighbors hashing to another bucket are missed (the LSH recall
     * trade) and thin buckets return < k rows.
     */
+  /** Bucketed top-k against an EXPLICIT `queries(query_id, qv)` frame
+    * (the production entry point — see [[bruteForceTopK]]); the query
+    * sketch is computed with the same `bits` as the corpus side.
+    */
   def signLshTopK(
-      emb: DataFrame, bits: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame = {
+      emb: DataFrame, queries: DataFrame, bits: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val sketched = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"),
       l2norm(col("embedding")).as("nrm"))
-    val q = sketched
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket").as("qbucket"), col("nrm").as("qn"))
+    val q = queries.select(col("query_id"), col("qv"),
+      signBucket(col("qv"), bits).as("qbucket"), l2norm(col("qv")).as("qn"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -101,6 +112,16 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Convenience/test form: vectors with vec_id < nQueries are the
+    * query set (the harness convention on the embeddings table).
+    */
+  def signLshTopK(
+      emb: DataFrame, bits: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame =
+    signLshTopK(emb,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      bits, k)
 
   /** Σᵢ (xᵢ - cᵢ)² between a float vector and a double centroid —
     * HOF form (tiny cardinality: vectors × nCells), sequential fold to

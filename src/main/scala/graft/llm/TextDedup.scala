@@ -183,19 +183,21 @@ object TextDedup {
   }
 
   /** Exact n-gram Jaccard over an inverted shingle index (the verify
-    * path): docs sharing ≥1 shingle meet in the shingle-keyed self-join;
-    * pairs below `maxDocId` with Jaccard ≥ `threshold` survive. The
-    * index keys are gram HASHES (longs), not shingle strings — an
-    * 8-byte shuffle key instead of a ~20-byte string one. At corpus
-    * scale the shingle join still shuffles every posting — use
-    * minhashLshPairs for discovery and this only to verify candidates.
+    * path): docs sharing ≥1 shingle meet in the shingle-keyed
+    * self-join; pairs with Jaccard ≥ `threshold` survive. The index
+    * keys are gram HASHES (longs), not shingle strings — an 8-byte
+    * shuffle key instead of a ~20-byte string one. At corpus scale the
+    * shingle join still shuffles every posting — use minhashLshPairs
+    * for discovery and this only to verify candidates; `maxDocId`
+    * (optional) bounds the verified slice, e.g. a candidate id range.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
-      maxDocId: Long = 250,
+      maxDocId: Option[Long] = None,
       shingleK: Int = 3,
       threshold: Double = 0.2): DataFrame = {
-    val sets = shingleSets(docs.filter(col("doc_id") < maxDocId), shingleK)
+    val bounded = maxDocId.fold(docs)(m => docs.filter(col("doc_id") < m))
+    val sets = shingleSets(bounded, shingleK)
     val postings = sets.select(col("doc_id"), explode(col("sh")).as("gh"))
     val inter = postings.as("a")
       .join(postings.as("b"),

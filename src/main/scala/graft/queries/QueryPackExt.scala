@@ -175,7 +175,7 @@ object QueryPackExt {
 
   private val q31 = Q("q31_ngram_jaccard_pairs",
     (s, dir) => TextDedup.ngramJaccardPairs(t(s, dir, "documents"),
-      maxDocId = 250, shingleK = 3, threshold = 0.2),
+      maxDocId = Some(250), shingleK = 3, threshold = 0.2),
     Some(s"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w

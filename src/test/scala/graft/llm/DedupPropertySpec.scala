@@ -93,7 +93,7 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
       val df = corpus(texts)
       val lsh = TextDedup.minhashLshPairs(df, threshold = 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val exact = TextDedup.ngramJaccardPairs(df, maxDocId = 1000, threshold = 0.5)
+      val exact = TextDedup.ngramJaccardPairs(df, maxDocId = None, threshold = 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       lsh.subsetOf(exact) // rerank makes every surfaced pair exact
     }

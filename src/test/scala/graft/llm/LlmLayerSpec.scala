@@ -57,7 +57,7 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("ngramJaccardPairs: exact jaccard via inverted index, no cartesian") {
-    val q = TextDedup.ngramJaccardPairs(corpus, maxDocId = 100,
+    val q = TextDedup.ngramJaccardPairs(corpus, maxDocId = None,
       shingleK = 3, threshold = 0.2)
     assertNoCartesian(q)
     val j = q.collect()
@@ -154,6 +154,13 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     val nd = Similarity.nearDupPairs(emb, bits = 2, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nd === Set((1L, 4L)))
+    // production overload: EXTERNAL query vectors, not corpus rows
+    val extQ = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "qv")
+    val ext = Similarity.bruteForceTopK(emb, extQ, k = 2).collect()
+    assert(ext.map(_.getLong(0)).toSet === Set(100L))
+    assert(ext.map(_.getLong(2)).toSeq === Seq(0L, 1L)) // exact hit ranks first
+    val extLsh = Similarity.signLshTopK(emb, extQ, bits = 2, k = 3).collect()
+    assert(extLsh.nonEmpty && extLsh.forall(_.getLong(0) == 100L))
   }
 
   test("REAL image + audio decode via JDK codecs (video stays stubbed)") {
