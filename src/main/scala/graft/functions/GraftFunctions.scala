@@ -14,16 +14,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val VecDotName = "graft_vec_dot"
+  val VecDist2Name = "graft_vec_dist2"
   val NormalizeLocationName = "normalize_location"
 
   private val vecDotInfo = new ExpressionInfo(
     classOf[FloatVecDot].getName, VecDotName)
+  private val vecDist2Info = new ExpressionInfo(
+    classOf[FloatVecDist2].getName, VecDist2Name)
   private val normLocInfo = new ExpressionInfo(
     classOf[NormalizeLocation].getName, NormalizeLocationName)
 
   private def vecDotBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"$VecDotName expects exactly 2 arguments")
     FloatVecDot(args.head, args(1))
+  }
+
+  private def vecDist2Builder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$VecDist2Name expects exactly 2 arguments")
+    FloatVecDist2(args.head, args(1))
   }
 
   private def normLocBuilder(args: Seq[Expression]): Expression = {
@@ -33,6 +41,7 @@ object GraftFunctions {
 
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
+    (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
     (FunctionIdentifier(NormalizeLocationName), normLocInfo, normLocBuilder _))
 
   /** Idempotent per-session registration (the analyzer resolves

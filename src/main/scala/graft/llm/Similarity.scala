@@ -124,13 +124,13 @@ object Similarity {
       bits, k)
 
   /** Σᵢ (xᵢ - cᵢ)² between a float vector and a double centroid —
-    * HOF form (tiny cardinality: vectors × nCells), sequential fold to
-    * match the oracle's `list_sum`.
+    * the native codegen [[graft.functions.FloatVecDist2]] kernel
+    * (numerically identical to the HOF `aggregate(zip_with(...))`
+    * fold it replaced and to the oracle's `list_sum`; evaluated
+    * O(vectors × centroids) in the IVF assignment step).
     */
   private def dist2(v: Column, c: Column): Column =
-    aggregate(
-      zip_with(v, c, (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function(graft.functions.GraftFunctions.VecDist2Name, v, c)
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale
     * structure, built declaratively:

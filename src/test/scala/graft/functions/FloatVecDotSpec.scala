@@ -54,6 +54,28 @@ class FloatVecDotSpec extends AnyFunSuite with SparkSpec {
     assert(df(2L) === Some(1.0 * 2.0 + 2.0 * 3.0))
   }
 
+  test("graft_vec_dist2: bit-identical to the HOF fold on real embeddings") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+      .withColumn("c", expr("transform(embedding, x -> cast(x as double) + 0.25)"))
+    val hof = aggregate(
+      zip_with(col("embedding"), col("c"),
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+      lit(0.0), (acc, x) => acc + x)
+    val native = call_function(GraftFunctions.VecDist2Name,
+      col("embedding"), col("c"))
+    val mismatches = emb.select(hof.as("a"), native.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches === 0L)
+    // null element -> null result (both eval paths)
+    val nullCase = spark.sql(
+      """SELECT graft_vec_dist2(
+        |  array(cast(1.0 as float), cast(null as float)),
+        |  array(cast(0.5 as double), cast(1.5 as double))) AS d""".stripMargin)
+    assert(nullCase.head().isNullAt(0))
+  }
+
   test("null-safe and codegen-compiled") {
     GraftFunctions.ensureRegistered(spark)
     // null input -> null out (and the analyzer constant-folds it via the
