@@ -21,4 +21,14 @@ class SketchBoundsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getBoolean(5), s"median_ok false for ${r.getString(0)}")
     }
   }
+
+  test("q53: merged and single-pass HLL sketches stay inside the band") {
+    val rows = QueryPackExt.queries("q53_hll_mergeable")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"merged_within_band false for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"single_within_band false for ${r.getString(0)}")
+    }
+  }
 }
