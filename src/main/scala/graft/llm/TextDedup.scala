@@ -331,6 +331,51 @@ object TextDedup {
       .drop("__bw")
   }
 
+  /** The full dedup PIPELINE a training-data build runs, composed from
+    * the stage operators: exact (content hash, keep min id) → prefix
+    * (first-k-token key, keep min id) → MinHash-LSH near-dup (greedy
+    * pair drop: in every surfaced pair da < db, db is dropped — one
+    * deterministic pass, no connected-components iteration). Returns
+    * the surviving doc_ids, sorted.
+    *
+    * Scale shape: stages strictly shrink the corpus before the next
+    * (the cheap hash stages run first), every stage is an equi-keyed
+    * groupBy/join, and the only pair generation is the banded LSH join
+    * (cap-able via `maxBucketWidth`).
+    */
+  def dedupPipeline(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      nHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      prefixK: Int = 5,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    // stage 1: exact — one survivor per distinct content
+    val s1 = docs
+      .groupBy(md5(col("text")).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d1 = docs.join(s1, "doc_id")
+    // stage 2: near-exact — one survivor per first-k-token prefix key
+    val s2 = d1
+      .select(col("doc_id"),
+        md5(array_join(slice(TextFns.tokens(col("text")), 1, prefixK), " "))
+          .as("pk"))
+      .groupBy(col("pk"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d2 = docs.join(s2, "doc_id")
+    // stage 3: near-dup — drop the greater id of every surfaced pair
+    val dropped = minhashLshPairs(d2, shingleK, nHashes, bands, threshold,
+        maxBucketWidth)
+      .select(col("db").as("doc_id"))
+      .distinct()
+    d2.select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling-hash document fingerprint: the minimum polynomial hash
     * over the doc's word-`k`-gram shingles (a 1-permutation MinHash).
     * Docs sharing a fingerprint are near-dup candidates; emitted as

@@ -111,16 +111,15 @@ object QueryPackExt {
 
   // ----------------------------------------------------- dedup: MinHash-LSH
 
-  /** DuckDB mirror of [[TextDedup.minhashLshPairs]] (shingleK=3,
-    * nHashes=12, bands=4); `cap` mirrors `maxBucketWidth` as a window
-    * QUALIFY over the same (band, bucket) key.
+  /** CTE block computing MinHash-LSH `pairs(da, db, jaccard)` over the
+    * `sh` gram-hash CTE (append after [[gramCtes]]); composable so the
+    * pipeline query (q54) can chain it after its own survivor CTEs.
     */
-  private def minhashLshSql(threshold: Double, cap: Option[Int]): String = {
+  private def minhashPairCtes(threshold: Double, cap: Option[Int]): String = {
     val capQualify = cap
       .map(c => s"\n        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $c")
       .getOrElse("")
     s"""
-      WITH $ToksCte, ${gramCtes(3)},
       mh AS (
         -- universal-hash MinHash, mirror of TextFns.minhashPerm: the
         -- 12 linear permutations apply directly to the 31-bit gram
@@ -147,14 +146,23 @@ object QueryPackExt {
         FROM cand
         JOIN sh a ON a.doc_id = da
         JOIN sh b ON b.doc_id = db AND a.gh = b.gh
-        GROUP BY da, db)
-      SELECT da, db, jaccard FROM (
-        SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = da
-        JOIN sizes sb ON sb.doc_id = db) z
-      WHERE jaccard >= $threshold ORDER BY da, db"""
+        GROUP BY da, db),
+      pairs AS (
+        SELECT da, db, jaccard FROM (
+          SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db) z
+        WHERE jaccard >= $threshold)"""
   }
+
+  /** DuckDB mirror of [[TextDedup.minhashLshPairs]] (shingleK=3,
+    * nHashes=12, bands=4); `cap` mirrors `maxBucketWidth` as a window
+    * QUALIFY over the same (band, bucket) key.
+    */
+  private def minhashLshSql(threshold: Double, cap: Option[Int]): String = s"""
+      WITH $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(threshold, cap)}
+      SELECT da, db, jaccard FROM pairs ORDER BY da, db"""
 
   private val q30 = Q("q30_minhash_lsh_pairs",
     (s, dir) => TextDedup.minhashLshPairs(t(s, dir, "documents"),
@@ -710,9 +718,37 @@ object QueryPackExt {
              TRUE AS merged_within_band, TRUE AS single_within_band
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** The composed dedup pipeline (exact → prefix → MinHash-LSH greedy
+    * pair drop) as ONE hash-checked query: the end-to-end flow a
+    * training-data build runs, so the stage composition itself — not
+    * just each stage — is value-checked. The oracle chains the same
+    * survivor CTEs and reuses the shared gram/pair CTE blocks over the
+    * stage-2 survivors' tokens.
+    */
+  private val q54 = Q("q54_dedup_pipeline",
+    (s, dir) => TextDedup.dedupPipeline(t(s, dir, "documents"),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5, prefixK = 5),
+    Some(s"""
+      WITH s1 AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      toks0 AS (
+        SELECT d.doc_id,
+               list_filter(string_split(lower(d.text), ' '), x -> x <> '') AS w
+        FROM documents d JOIN s1 USING (doc_id)),
+      s2 AS (
+        SELECT min(doc_id) AS doc_id FROM (
+          SELECT doc_id, md5(array_to_string(list_slice(w, 1, 5), ' ')) AS pk
+          FROM toks0) z
+        GROUP BY pk),
+      toks AS (SELECT t.doc_id, t.w FROM toks0 t JOIN s2 USING (doc_id)),
+      ${gramCtes(3)}, ${minhashPairCtes(0.5, None)}
+      SELECT doc_id FROM s2
+      WHERE doc_id NOT IN (SELECT db FROM pairs)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53)
+    q51, q52, q53, q54)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

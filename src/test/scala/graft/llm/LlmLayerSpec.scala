@@ -112,6 +112,21 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(TextDedup.simhashPairs(triple, maxBucketWidth = Some(3)).count() === 3)
   }
 
+  test("dedupPipeline: exact, prefix, and near-dup stages each bite") {
+    val pipe = docs(
+      1L -> "a b c a b c", // base: 3-gram set {abc, bca, cab}
+      2L -> "a b c a b c", // exact dup of 1 -> stage 1 drops
+      3L -> "a b c a b q", // same 5-token prefix as 1 -> stage 2 drops
+      // rotation: SAME 3-gram set as 1 (jaccard 1.0 -> every band
+      // collides, deterministic) but different prefix and content —
+      // only the LSH stage can catch it
+      4L -> "b c a b c a",
+      5L -> "completely different text here entirely now truly")
+    val out = TextDedup.dedupPipeline(pipe, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L, 5L))
+  }
+
   test("fingerprintPairs: min-shingle-hash fingerprint matches dups, no cartesian") {
     val q = TextDedup.fingerprintPairs(corpus, shingleK = 5)
     assertNoCartesian(q)
