@@ -15,6 +15,7 @@ object GraftFunctions {
 
   val VecDotName = "graft_vec_dot"
   val VecDist2Name = "graft_vec_dist2"
+  val TopKName = "graft_topk"
   val NormalizeLocationName = "normalize_location"
 
   private val vecDotInfo = new ExpressionInfo(
@@ -34,6 +35,12 @@ object GraftFunctions {
     FloatVecDist2(args.head, args(1))
   }
 
+  private val topKInfo = new ExpressionInfo(classOf[TopKAgg].getName, TopKName)
+  private def topKBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, s"$TopKName expects (score, id, k)")
+    TopKAgg(args(0), args(1), args(2))
+  }
+
   private def normLocBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 4, s"$NormalizeLocationName expects exactly 4 arguments")
     NormalizeLocation(args(0), args(1), args(2), args(3))
@@ -42,6 +49,7 @@ object GraftFunctions {
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
     (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
+    (FunctionIdentifier(TopKName), topKInfo, topKBuilder _),
     (FunctionIdentifier(NormalizeLocationName), normLocInfo, normLocBuilder _))
 
   /** Idempotent per-session registration (the analyzer resolves

@@ -55,22 +55,34 @@ object Similarity {
     * …); every corpus vector is scored against each query in one
     * corpus pass. Emits (query_id, rank, vec_id, sim).
     */
+  /** Per-query bounded top-k via the [[graft.functions.TopKAgg]]
+    * aggregate: partial k-heaps combine map-side, so the shuffle
+    * carries at most k rows per (query × map partition) instead of
+    * every scored candidate (which a window `row_number` would sort
+    * through ONE exchange — the scale flaw this replaces). Identical
+    * results: (sim DESC, vec_id ASC) is a total order.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function(graft.functions.GraftFunctions.TopKName,
+        col("sim"), col("vec_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("vec_id"), col("col.score").as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val q = queries.select(col("query_id"), col("qv"), l2norm(col("qv")).as("qn"))
     val cand = TextDedup.spread(emb, "vec_id")
       .select(col("vec_id"), col("embedding").as("cv"),
         l2norm(col("embedding")).as("cn"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    cand
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    topK(
+      cand
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+      k)
   }
 
   /** Convenience/test form: vectors with vec_id < nQueries are the
@@ -100,17 +112,13 @@ object Similarity {
       l2norm(col("embedding")).as("nrm"))
     val q = queries.select(col("query_id"), col("qv"),
       signBucket(col("qv"), bits).as("qbucket"), l2norm(col("qv")).as("qn"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    sketched
-      .join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("sim", dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    topK(
+      sketched
+        .join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("sim",
+          dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))),
+      k)
   }
 
   /** Convenience/test form: vectors with vec_id < nQueries are the
@@ -188,6 +196,10 @@ object Similarity {
       .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qn"),
         col("ccell").as("cell"))
 
+    // window rank (not TopKAgg) because the output carries the probed
+    // cell alongside the rank, and the candidate set is already
+    // cell-bounded to ~N·nProbe/nCells per query — the scale hazard
+    // TopKAgg removes from the unbounded brute-force path isn't here
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     cells

@@ -57,6 +57,10 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
   test("q39: brute-force ANN broadcasts the query side (corpus streams once)") {
     val p = planExt("q39_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // intended: tiny broadcast side
+    // top-k is the bounded ObjectHashAggregate, NOT a window sort over
+    // every scored candidate (the r4 scale fix)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("q42: multimodal metadata stays in one codegen stage (no shuffle)") {
