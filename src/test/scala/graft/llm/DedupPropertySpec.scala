@@ -88,6 +88,22 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assertHolds(p, 3)
   }
 
+  test("property: dedupPipeline is idempotent (dedup of deduped = identity)") {
+    // hashes are deterministic, so every pair the first pass could
+    // surface among survivors would already have dropped its db —
+    // a second pass must be a no-op
+    val p = Prop.forAll(Gen.listOfN(6, text)) { texts =>
+      val df = corpus(texts)
+      val once = TextDedup.dedupPipeline(df, threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+      val survivors = df.filter(col("doc_id").isInCollection(once))
+      val twice = TextDedup.dedupPipeline(survivors, threshold = 0.5)
+        .collect().map(_.getLong(0)).toSet
+      twice == once
+    }
+    assertHolds(p, 3)
+  }
+
   test("property: LSH candidate pairs are a subset of the exact-jaccard pairs") {
     val p = Prop.forAll(Gen.listOfN(6, text)) { texts =>
       val df = corpus(texts)

@@ -52,6 +52,7 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!planExt("q43_ann_ivf").contains("CartesianProduct"))
     assert(!planExt("q33_simhash_pairs").contains("CartesianProduct"))
     assert(!planExt("q52_lsh_capped").contains("CartesianProduct"))
+    assert(!planExt("q54_dedup_pipeline").contains("CartesianProduct"))
   }
 
   test("q39: brute-force ANN broadcasts the query side (corpus streams once)") {
