@@ -746,9 +746,72 @@ object QueryPackExt {
       WHERE doc_id NOT IN (SELECT db FROM pairs)
       ORDER BY doc_id"""))
 
+  // ------------------------------------------- core SQL coverage extras (r4)
+
+  /** Pivot: groupBy().pivot() with an explicit value list (the
+    * deterministic form — inferred pivot values would make the output
+    * schema data-dependent). Mirror: conditional aggregation; both
+    * sides coalesce absent combinations to 0.
+    */
+  private val q55 = Q("q55_pivot",
+    (s, dir) => {
+      val years = Seq(1992, 1993, 1994, 1995)
+      val p = t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy(col("o_orderpriority"))
+        .pivot("yr", years)
+        .agg(count(lit(1)))
+      p.select(col("o_orderpriority") +:
+          years.map(y => coalesce(col(y.toString), lit(0L)).as(s"y$y")): _*)
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT o_orderpriority,
+             ${(1992 to 1995).map(y =>
+               s"CAST(coalesce(sum(CASE WHEN year(o_orderdate) = $y THEN 1 END), 0) AS BIGINT) AS y$y")
+               .mkString(",\n             ")}
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** EXCEPT ALL — multiplicity-preserving set difference (q12 covers
+    * the DISTINCT form): each row survives count(left) − count(right)
+    * times.
+    */
+  private val q56 = Q("q56_except_all",
+    (s, dir) => t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      .exceptAll(t(s, dir, "supplier").select(col("s_suppkey").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n")) // stable compare shape
+      .orderBy(col("k")),
+    Some("""
+      SELECT k, count(*) AS n FROM (
+        SELECT l_suppkey AS k FROM lineitem
+        EXCEPT ALL
+        SELECT s_suppkey AS k FROM supplier) z
+      GROUP BY k ORDER BY k"""))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics an id-less
+    * dimension join needs. Null keys synthesized with nullif.
+    */
+  private val q57 = Q("q57_nullsafe_join",
+    (s, dir) => {
+      val a = t(s, dir, "nation")
+        .select(nullif(col("n_regionkey"), lit(2)).as("k"), col("n_name"))
+      val b = t(s, dir, "region")
+        .select(nullif(col("r_regionkey"), lit(2)).as("k"), col("r_name"))
+      a.join(b, a("k") <=> b("k"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    },
+    Some("""
+      SELECT n_name, r_name
+      FROM (SELECT nullif(n_regionkey, 2) AS k, n_name FROM nation) a
+      JOIN (SELECT nullif(r_regionkey, 2) AS k, r_name FROM region) b
+        ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY n_name, r_name"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54)
+    q51, q52, q53, q54, q55, q56, q57)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
