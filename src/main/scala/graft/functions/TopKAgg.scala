@@ -16,14 +16,15 @@ import org.apache.spark.sql.types._
   * merged k-vs-k at the shuffle. Returns
   * `ARRAY<STRUCT<score: DOUBLE, id: BIGINT>>`, best first.
   *
-  * Why it exists: the window formulation of per-query top-k
-  * (`row_number() OVER (PARTITION BY query ORDER BY score DESC)`)
-  * shuffles and sorts EVERY scored candidate row — O(|corpus|·|Q|)
-  * through one exchange. This aggregate bounds the shuffle to
-  * k rows per (group × map partition) and never materializes a sorted
-  * candidate list, which is the shape a 1000-executor ANN scoring job
-  * needs. Result sets are identical to the window formulation because
-  * (score DESC, id ASC) is a total order.
+  * Why it exists: it bounds the shuffle to k rows per (group × map
+  * partition) with O(log k) heap inserts and no sort anywhere. Spark's
+  * built-in WindowGroupLimit (3.5+) achieves the same shuffle bound
+  * for the `row_number <= k` window pattern, but still sorts each
+  * partition's survivors and only fires as an optimizer rewrite; the
+  * aggregate form is explicit in the plan (ObjectHashAggregate),
+  * sort-free, and composable — the ranked array is a value usable
+  * inside further aggregation. Result sets are identical to the
+  * window formulation because (score DESC, id ASC) is a total order.
   *
   * Ties are broken by the smaller id, matching the window's
   * `orderBy(desc(score), id)`.

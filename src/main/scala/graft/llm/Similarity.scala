@@ -57,10 +57,17 @@ object Similarity {
     */
   /** Per-query bounded top-k via the [[graft.functions.TopKAgg]]
     * aggregate: partial k-heaps combine map-side, so the shuffle
-    * carries at most k rows per (query × map partition) instead of
-    * every scored candidate (which a window `row_number` would sort
-    * through ONE exchange — the scale flaw this replaces). Identical
-    * results: (sim DESC, vec_id ASC) is a total order.
+    * carries at most k rows per (query × map partition). Honest
+    * comparison: Spark's own WindowGroupLimit (Partial+Final) gives
+    * the rank-filter window the SAME shuffle bound since 3.5 — the
+    * aggregate form is preferred here because it also skips the
+    * per-partition sort (heap insert is O(log k) vs sort O(n log n)
+    * of the k·partitions merged rows), returns the ranked list as a
+    * value (composable into further aggregation without a second
+    * window), and pins the bound in the plan explicitly
+    * (ObjectHashAggregate — asserted) rather than relying on an
+    * optimizer rewrite firing. Identical results: (sim DESC, vec_id
+    * ASC) is a total order.
     */
   private def topK(scored: DataFrame, k: Int): DataFrame =
     scored
