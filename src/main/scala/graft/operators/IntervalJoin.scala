@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join WITHOUT an equi key — the case Spark's
+  * planner degrades to a nested-loop join (a range-only condition has
+  * no hashable key). Re-expressed via bucketization, tier (a) of the
+  * extension policy (compose built-ins before custom plans):
+  *
+  *  1. each interval explodes into the fixed-width buckets it covers;
+  *  2. candidates meet in an EQUI-join on bucket id (+ the exact
+  *     overlap predicate as a residual filter);
+  *  3. each overlapping pair is emitted EXACTLY ONCE — not once per
+  *     shared bucket — by keeping only the match in the bucket that
+  *     contains max(lStart, rStart) (both sides provably cover that
+  *     bucket, and it is unique per pair), so no distinct pass is
+  *     needed.
+  *
+  * Scale: shuffle keys are bucket ids, so co-located intervals join
+  * within their bucket instead of all-pairs; `bucketWidth` trades
+  * replication (intervals spanning many buckets) against bucket
+  * population — set it near the typical interval length. Inclusive
+  * endpoints: intervals [ls, le] and [rs, re] overlap iff
+  * ls <= re AND rs <= le.
+  */
+object IntervalJoin {
+
+  /** Inner overlap join of `left` and `right` on
+    * [lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅ (inclusive, nonnegative
+    * numeric bounds). Column names must be disjoint across the two
+    * inputs (rename before calling).
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty, s"column names must be disjoint, clash: $clash")
+
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+
+    val lb = left.withColumn("__lb",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val rb = right.withColumn("__rb",
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    lb.join(rb,
+        col("__lb") === col("__rb") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          // exactly-once: only the bucket holding the later start emits
+          col("__lb") === bucketOf(greatest(col(lStart), col(rStart))))
+      .drop("__lb", "__rb")
+  }
+}

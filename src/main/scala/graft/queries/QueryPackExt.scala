@@ -809,9 +809,45 @@ object QueryPackExt {
         ON a.k IS NOT DISTINCT FROM b.k
       ORDER BY n_name, r_name"""))
 
+  /** Keyless interval-overlap join via the bucketized
+    * [[graft.operators.IntervalJoin]]: urgent orders' 7-day windows
+    * overlapped against every order's window — no equi key, the shape
+    * Spark's planner would nested-loop. The oracle is the PLAIN
+    * overlap join (bucketization is partitioning-only; results must be
+    * identical, each pair exactly once).
+    */
+  private val q58 = Q("q58_interval_join",
+    (s, dir) => {
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1990-01-01"))).cast("long")
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("a_key"), day(col("o_orderdate")).as("a_s"),
+          (day(col("o_orderdate")) + 7).as("a_e"))
+      val b = o.select(col("o_orderkey").as("b_key"),
+        day(col("o_orderdate")).as("b_s"), (day(col("o_orderdate")) + 7).as("b_e"))
+      graft.operators.IntervalJoin
+        .overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", bucketWidth = 8)
+        .filter(col("a_key") =!= col("b_key"))
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_overlapping"))
+        .orderBy(col("a_key"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT o_orderkey AS key, o_orderpriority AS pri,
+               date_diff('day', DATE '1990-01-01', o_orderdate) AS s,
+               date_diff('day', DATE '1990-01-01', o_orderdate) + 7 AS e
+        FROM orders)
+      SELECT a.key AS a_key, count(*) AS n_overlapping
+      FROM iv a JOIN iv b
+        ON a.s <= b.e AND b.s <= a.e AND a.key <> b.key
+      WHERE a.pri = '1-URGENT'
+      GROUP BY a.key ORDER BY a_key"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57)
+    q51, q52, q53, q54, q55, q56, q57, q58)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

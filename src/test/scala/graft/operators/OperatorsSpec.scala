@@ -91,6 +91,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("__salt"), s"join keys should include the salt:\n$plan")
   }
 
+  test("interval overlap join: exactly-once pairs, equals brute force, keyed plan") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 0L, 25L), (2L, 40L, 45L), (3L, 90L, 91L))
+      .toDF("lk", "ls", "le") // interval 1 spans 3 buckets at width 10
+    val right = Seq((10L, 5L, 12L), (11L, 24L, 50L), (12L, 60L, 70L),
+      (13L, 25L, 25L)) // point interval touching 1's inclusive end
+      .toDF("rk", "rs", "re")
+    val got = IntervalJoin.overlapJoin(left, right, "ls", "le", "rs", "re",
+        bucketWidth = 10)
+      .select("lk", "rk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute force on the same data
+    val expected = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lk", "rk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq === expected.sorted.toSeq)
+    assert(got.length === got.distinct.length, "pair emitted more than once")
+    assert(got.toSet === Set((1L, 10L), (1L, 11L), (1L, 13L), (2L, 11L)))
+    // candidate generation is the bucket equi-join, never a nested loop
+    val plan = IntervalJoin.overlapJoin(left, right, "ls", "le", "rs", "re", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("salt spreads a hot key of BYTE-IDENTICAL rows across buckets") {
     val s = spark
     import s.implicits._
