@@ -72,6 +72,35 @@ object StreamOps {
       .unionByName(fp.filter(col("fingerprint").isNull))
   }
 
+  /** Stream-STREAM interval join: each purchase matches the signups of
+    * the same user that happened within `windowSeconds` BEFORE it —
+    * both sides unbounded streams. Watermarks on both inputs plus the
+    * time-range join condition let Spark bound the join state: a
+    * buffered signup is evicted once the purchase watermark passes
+    * `s_ts + windowSeconds`, a buffered purchase once the signup
+    * watermark passes it. This is the canonical attribution join; at
+    * 100 TB/day the state store partitions by user hash and holds only
+    * the in-window tail of each side.
+    *
+    * Inputs need columns: purchases(user_id, p_ts, …),
+    * signups(user_id, s_ts, …) with timestamp types.
+    */
+  def streamStreamAttribution(
+      purchases: DataFrame,
+      signups: DataFrame,
+      windowSeconds: Long = 3600,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermarkDelay)
+    val g = signups
+      .withColumnRenamed("user_id", "s_user_id")
+      .withWatermark("s_ts", watermarkDelay)
+    p.join(g,
+      col("user_id") === col("s_user_id") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop("s_user_id")
+  }
+
   /** One user event (the `events` table's streaming shape). */
   final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
 

@@ -134,6 +134,36 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     batch.foreach { case (id, fp) => assert(streaming(id) === fp, s"doc $id") }
   }
 
+  test("stream-stream attribution join matches in-window signups only") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val pur = MemoryStream[(Long, Timestamp, Double)]
+    val sgn = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.streamStreamAttribution(
+        pur.toDF().toDF("user_id", "p_ts", "value"),
+        sgn.toDF().toDF("user_id", "s_ts"),
+        windowSeconds = 3600, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // signups arrive in one batch, purchases in a LATER one: the
+      // join must buffer signup state across micro-batches
+      sgn.addData((1L, ts(10000)), (2L, ts(10000)))
+      q.processAllAvailable()
+      pur.addData(
+        (1L, ts(10000 + 1800), 5.0), // in window -> matches
+        (1L, ts(10000 + 7200), 7.0), // past the hour -> no match
+        (2L, ts(10000 - 100), 9.0), // before signup -> no match
+        (3L, ts(10000 + 60), 2.0)) // user never signed up -> no match
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+        .toSet
+      assert(got === Set((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming EMBL ingest matches the batch segmentation") {
     val s = spark
     import s.implicits._
