@@ -64,10 +64,15 @@ object EnaMain {
     * LocalLimit, so each cursor stops after n rows (with fetchsize
     * batching, only ~n rows ever cross the wire).
     */
-  def chooseBroadcastRegime(idmapping: DataFrame, maxRows: Long): Boolean = {
-    val probeLimit = (math.min(maxRows, Int.MaxValue - 1L) + 1L).toInt
-    idmapping.limit(probeLimit).count() <= maxRows
-  }
+  def chooseBroadcastRegime(idmapping: DataFrame, maxRows: Long): Boolean =
+    if (maxRows >= Int.MaxValue) {
+      // limit() can't probe past Int.MaxValue, and a threshold that
+      // size means billions of driver-collected rows anyway — take the
+      // regime that is safe regardless of the true count
+      false
+    } else {
+      idmapping.limit(maxRows.toInt + 1).count() <= maxRows
+    }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

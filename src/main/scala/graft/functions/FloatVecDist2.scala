@@ -36,10 +36,13 @@ case class FloatVecDist2(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_vec_dist2"
 
+  // length-mismatched arrays are NULL, matching zip_with (see
+  // FloatVecDot — a partial sum would mask upstream schema bugs)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val c = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), c.numElements())
+    val n = x.numElements()
+    if (n != c.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -58,9 +61,10 @@ case class FloatVecDist2(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $c.numElements());
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $c.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $d = ((double) $a.getFloat($i)) - $c.getDouble($i);
          |  $acc += $d * $d;

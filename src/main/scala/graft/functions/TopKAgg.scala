@@ -27,7 +27,9 @@ import org.apache.spark.sql.types._
   * window formulation because (score DESC, id ASC) is a total order.
   *
   * Ties are broken by the smaller id, matching the window's
-  * `orderBy(desc(score), id)`.
+  * `orderBy(desc(score), id)`. Rows with a NULL score or id are
+  * ignored (a DESC window would sort null scores last instead — they
+  * could only surface when a group has fewer than k non-null rows).
   */
 case class TopKAgg(
     score: Expression,
@@ -37,10 +39,21 @@ case class TopKAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
-  // (score asc, id desc) max-first ordering makes the queue head the
-  // WORST kept element — O(log k) evict when a better row arrives
+  // max-first-by-WORSENESS ordering: the queue head is the worst kept
+  // element — O(log k) evict when a better row arrives. Scores compare
+  // via java.lang.Double.compare, which ranks NaN GREATEST — exactly
+  // how Spark's (and DuckDB's) DESC sort orders NaN, so a NaN score
+  // (e.g. a zero-norm cosine) ranks first here too, identical to the
+  // window formulation. (A negate-and-compare ordering would instead
+  // evict NaN as the worst element — divergent results.)
   private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.by { case (s, i) => (-s, i) }
+    new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val byScore = java.lang.Double.compare(b._1, a._1) // lower score = worse
+        if (byScore != 0) byScore
+        else java.lang.Long.compare(a._2, b._2) // larger id = worse
+      }
+    }
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
@@ -51,6 +64,8 @@ case class TopKAgg(
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (DOUBLE score, BIGINT id, INT k), got " +
           s"${score.dataType.sql}, ${id.dataType.sql}")
+    else if (kExpr.eval() == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName k must not be null")
     else if (k <= 0)
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must be positive")
     else TypeCheckResult.TypeCheckSuccess
@@ -91,9 +106,8 @@ case class TopKAgg(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sorted(Ordering.by[(Double, Long), (Double, Long)] {
-      case (s, i) => (-s, i)
-    })
+    // ascending under worstFirst = best first ("smaller" = better)
+    val sorted = buf.toArray.sorted(worstFirst)
     new GenericArrayData(sorted.map { case (s, i) =>
       InternalRow(s, i)
     }.asInstanceOf[Array[Any]])

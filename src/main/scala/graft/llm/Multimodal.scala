@@ -112,27 +112,40 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        val bins = new Array[Float](FeatureDim)
-        val buf = new Array[Byte](4096)
-        var n = 0
-        var read = in.read(buf)
-        var budget = 1 << 20 // bounded prefix: huge files cost O(1)
-        while (read > 0 && budget > 0) {
-          var i = 0
-          while (i + 1 < read) { // 16-bit little-endian PCM samples
-            val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
-            bins(math.min(FeatureDim - 1, math.abs(s.toInt) * FeatureDim / 32768)) += 1f
-            n += 1
-            i += 2
+        // only signed 16-bit PCM is sample-decoded; other encodings
+        // (8-bit, float, u-law...) fall back to the stub rather than
+        // histogramming misframed bytes. AIFF/AU are big-endian, WAV
+        // little-endian — honor the header instead of assuming.
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val big = fmt.isBigEndian
+          val bins = new Array[Float](FeatureDim)
+          val buf = new Array[Byte](4096)
+          var n = 0
+          var read = in.read(buf)
+          var budget = 1 << 20 // bounded prefix: huge files cost O(1)
+          while (read > 0 && budget > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s =
+                if (big) ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+                else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+              bins(math.min(FeatureDim - 1,
+                math.abs(s.toInt) * FeatureDim / 32768)) += 1f
+              n += 1
+              i += 2
+            }
+            budget -= read
+            read = in.read(buf)
           }
-          budget -= read
-          read = in.read(buf)
+          var i = 0
+          while (i < FeatureDim) { if (n > 0) bins(i) /= n; i += 1 }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, bins))
         }
-        var i = 0
-        while (i < FeatureDim) { if (n > 0) bins(i) /= n; i += 1 }
-        (fmt.getSampleRate.toInt, fmt.getChannels, bins)
       } finally in.close()
-    }.toOption
+    }.toOption.flatten
 
   /** Decode dispatch: REAL decoders for the modalities the JDK ships
     * codecs for (images via ImageIO, audio via javax.sound), the

@@ -79,27 +79,41 @@ object Similarity {
         col("col.id").as("vec_id"), col("col.score").as("sim"))
       .orderBy(col("query_id"), col("rnk"))
 
-  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** `excludeSelf` exists because self-exclusion is only meaningful
+    * when the query ids live in the CORPUS id space (the convenience
+    * overloads): applying `vec_id =!= query_id` to EXTERNAL queries
+    * would silently drop any corpus vector whose id happens to collide
+    * with a query id — even its true nearest neighbor.
+    */
+  private def bruteForce(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val q = queries.select(col("query_id"), col("qv"), l2norm(col("qv")).as("qn"))
     val cand = TextDedup.spread(emb, "vec_id")
       .select(col("vec_id"), col("embedding").as("cv"),
         l2norm(col("embedding")).as("cn"))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
     topK(
       cand
-        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .join(broadcast(q), joinCond)
         .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
       k)
   }
 
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForce(emb, queries, k, excludeSelf = false)
+
   /** Convenience/test form: vectors with vec_id < nQueries are the
-    * query set (the harness convention on the embeddings table).
+    * query set (the harness convention on the embeddings table); each
+    * query's own corpus row is excluded from its results.
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
-    bruteForceTopK(emb,
+    bruteForce(emb,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      k)
+      k, excludeSelf = true)
 
   /** Bucketed (sign-LSH) cosine top-k — the scale path: queries only
     * meet candidates in their own sketch bucket via an equi-join, so
@@ -107,36 +121,44 @@ object Similarity {
     * neighbors hashing to another bucket are missed (the LSH recall
     * trade) and thin buckets return < k rows.
     */
-  /** Bucketed top-k against an EXPLICIT `queries(query_id, qv)` frame
-    * (the production entry point — see [[bruteForceTopK]]); the query
-    * sketch is computed with the same `bits` as the corpus side.
-    */
-  def signLshTopK(
-      emb: DataFrame, queries: DataFrame, bits: Int, k: Int): DataFrame = {
+  private def signLsh(
+      emb: DataFrame, queries: DataFrame, bits: Int, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val sketched = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"),
       l2norm(col("embedding")).as("nrm"))
     val q = queries.select(col("query_id"), col("qv"),
       signBucket(col("qv"), bits).as("qbucket"), l2norm(col("qv")).as("qn"))
+    val selfCond =
+      if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
     topK(
       sketched
-        .join(broadcast(q),
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .join(broadcast(q), col("bucket") === col("qbucket") && selfCond)
         .withColumn("sim",
           dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))),
       k)
   }
 
+  /** Bucketed top-k against an EXPLICIT `queries(query_id, qv)` frame
+    * (the production entry point — see [[bruteForceTopK]] for why no
+    * self-exclusion applies to external query ids); the query sketch
+    * is computed with the same `bits` as the corpus side.
+    */
+  def signLshTopK(
+      emb: DataFrame, queries: DataFrame, bits: Int, k: Int): DataFrame =
+    signLsh(emb, queries, bits, k, excludeSelf = false)
+
   /** Convenience/test form: vectors with vec_id < nQueries are the
-    * query set (the harness convention on the embeddings table).
+    * query set (the harness convention on the embeddings table); each
+    * query's own corpus row is excluded from its results.
     */
   def signLshTopK(
       emb: DataFrame, bits: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame =
-    signLshTopK(emb,
+    signLsh(emb,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      bits, k)
+      bits, k, excludeSelf = true)
 
   /** Σᵢ (xᵢ - cᵢ)² between a float vector and a double centroid —
     * the native codegen [[graft.functions.FloatVecDist2]] kernel

@@ -85,16 +85,23 @@ object TextDedup {
     * Incomplete trailing grams (and docs with < k tokens) null out
     * and drop.
     */
-  private def gramHashes(docs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val gram = (0 until k).map { j =>
+  private def gramExpr(
+      k: Int, coef: Int => Long,
+      w: org.apache.spark.sql.expressions.WindowSpec): org.apache.spark.sql.Column =
+    (0 until k).map { j =>
       val h = if (j == 0) col("h") else lead(col("h"), j).over(w)
-      (h * lit(TextFns.shingleCoef(j))) % lit(TextFns.MinhashP)
+      (h * lit(coef(j))) % lit(TextFns.MinhashP)
     }.reduce(_ + _) % lit(TextFns.MinhashP)
+
+  private def tokenHashRows(docs: DataFrame): DataFrame =
     spread(docs, "doc_id")
       .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
       .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
-      .withColumn("gh", gram)
+
+  private def gramHashes(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokenHashRows(docs)
+      .withColumn("gh", gramExpr(k, TextFns.shingleCoef, w))
       .filter(col("gh").isNotNull)
       .select(col("doc_id"), col("gh"))
   }
@@ -390,7 +397,16 @@ object TextDedup {
     * partitioning — no extra exchange.
     */
   def fingerprintPairs(docs: DataFrame, shingleK: Int = 5): DataFrame = {
-    val fp = gramHashes(docs, shingleK)
+    // 62-bit packed gram hash (a·2³¹ + b over two coefficient
+    // families): a 31-bit min-hash space would make E[min] ≈ 2³¹/m for
+    // m grams — at corpus scale unrelated docs collide on equal
+    // fingerprints and the fp-equality self-join goes hot-key
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val fp = tokenHashRows(docs)
+      .withColumn("gh",
+        gramExpr(shingleK, TextFns.shingleCoef, w) * lit(1L << 31) +
+          gramExpr(shingleK, TextFns.shingleCoefB, w))
+      .filter(col("gh").isNotNull)
       .groupBy(col("doc_id"))
       .agg(min(col("gh")).as("fp"))
       .localCheckpoint() // reused by both join sides

@@ -74,24 +74,34 @@ object TextFns {
     */
   def shingleCoef(j: Int): Long = 1000003L + 97L * j
 
-  /** Per-row document fingerprint (minimum polynomial k-gram hash) as
-    * ONE column expression — the stateless, streaming-safe twin of the
-    * batch fingerprint in `TextDedup.fingerprintPairs` (which
-    * assembles grams with window `lead`s; window functions don't exist
-    * on streaming DataFrames). Same token hashes, same coefficients,
-    * same mod — values are identical (asserted in StreamOpsSpec), so a
-    * streaming dedup keyed on this column agrees with a batch backfill.
-    * NULL for docs with fewer than k tokens. The HOF form is
-    * per-element interpreted — fine at one row per stream record; use
-    * the batch path for corpus-wide scans.
+  /** Second, independent coefficient family: fingerprints pack TWO
+    * 31-bit gram hashes into one 62-bit value (`a·2³¹ + b`) — a single
+    * 31-bit min-hash space would concentrate the per-doc minimum near
+    * 0 at corpus scale (E[min of m hashes] ≈ 2³¹/m), colliding
+    * unrelated docs on equal fingerprints.
+    */
+  def shingleCoefB(j: Int): Long = 2000029L + 193L * j
+
+  /** Per-row document fingerprint (minimum 62-bit packed polynomial
+    * k-gram hash) as ONE column expression — the stateless,
+    * streaming-safe twin of the batch fingerprint in
+    * `TextDedup.fingerprintPairs` (which assembles grams with window
+    * `lead`s; window functions don't exist on streaming DataFrames).
+    * Same token hashes, same coefficient families, same packing —
+    * values are identical (asserted in StreamOpsSpec), so a streaming
+    * dedup keyed on this column agrees with a batch backfill. NULL for
+    * docs with fewer than k tokens. The HOF form is per-element
+    * interpreted — fine at one row per stream record; use the batch
+    * path for corpus-wide scans.
     */
   def fingerprint(text: Column, k: Int): Column = {
     val hs = transform(tokens(text), t => hash31(t))
-    val grams = transform(sequence(lit(0), size(hs) - k),
-      i => (0 until k).map(j =>
-          (element_at(hs, i + lit(j + 1)) * lit(shingleCoef(j))) % lit(MinhashP))
-        .reduce(_ + _) % lit(MinhashP))
-    when(size(hs) >= k, array_min(grams)).otherwise(lit(null).cast("long"))
+    def gram(coef: Int => Long)(i: Column) = (0 until k).map(j =>
+        (element_at(hs, i + lit(j + 1)) * lit(coef(j))) % lit(MinhashP))
+      .reduce(_ + _) % lit(MinhashP)
+    val packed = transform(sequence(lit(0), size(hs) - k),
+      i => gram(shingleCoef)(i) * lit(1L << 31) + gram(shingleCoefB)(i))
+    when(size(hs) >= k, array_min(packed)).otherwise(lit(null).cast("long"))
   }
 
 }

@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
 object IntervalJoin {
 
   /** Inner overlap join of `left` and `right` on
-    * [lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅ (inclusive, nonnegative
-    * numeric bounds). Column names must be disjoint across the two
-    * inputs (rename before calling).
+    * [lStart, lEnd] ∩ [rStart, rEnd] ≠ ∅ (inclusive numeric bounds).
+    * Malformed intervals (start > end, or a NULL bound) are FILTERED
+    * OUT of both sides — overlap is undefined for them, and Spark's
+    * `sequence(a, b)` would otherwise generate a DESCENDING bucket
+    * list for them and emit arbitrary matches. Column names must be
+    * disjoint across the two inputs (rename before calling).
     */
   def overlapJoin(
       left: DataFrame,
@@ -44,10 +47,12 @@ object IntervalJoin {
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / bucketWidth).cast("long")
 
-    val lb = left.withColumn("__lb",
-      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
-    val rb = right.withColumn("__rb",
-      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    val lb = left.filter(col(lStart) <= col(lEnd))
+      .withColumn("__lb",
+        explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val rb = right.filter(col(rStart) <= col(rEnd))
+      .withColumn("__rb",
+        explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
     lb.join(rb,
         col("__lb") === col("__rb") &&
           col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&

@@ -44,21 +44,24 @@ object QueryPackExt {
     * (doc_id, gh)). Every shingle-based dedup oracle builds on these —
     * no k-gram strings on either engine.
     */
-  private def gramCtes(k: Int): String = {
-    val gram = (0 until k).map { j =>
+  private def gramSqlExpr(k: Int, coef: Int => Long): String =
+    (0 until k).map { j =>
       val h = if (j == 0) "h" else s"lead(h, $j) OVER win"
-      s"$h * ${graft.llm.TextFns.shingleCoef(j)} % ${graft.llm.TextFns.MinhashP}"
+      s"$h * ${coef(j)} % ${graft.llm.TextFns.MinhashP}"
     }.mkString("(", " + ", s") % ${graft.llm.TextFns.MinhashP}")
-    s"""
+
+  private val TokhCte = s"""
       tokh AS (
         SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
         FROM toks,
-             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g)"""
+
+  private def gramCtes(k: Int): String = s"""
+      $TokhCte,
       grams AS (
-        SELECT doc_id, $gram AS gh
+        SELECT doc_id, ${gramSqlExpr(k, graft.llm.TextFns.shingleCoef)} AS gh
         FROM tokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
       sh AS (SELECT DISTINCT doc_id, gh FROM grams WHERE gh IS NOT NULL)"""
-  }
 
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
     s.read.parquet(s"$dir/$name.parquet")
@@ -256,10 +259,17 @@ object QueryPackExt {
 
   // ---------------------------------------------------- dedup: fingerprint
 
+  // 62-bit packed fingerprint: two independent coefficient families,
+  // a·2³¹ + b — mirror of the widened TextDedup.fingerprintPairs
   private val q34 = Q("q34_doc_fingerprint_pairs",
     (s, dir) => TextDedup.fingerprintPairs(t(s, dir, "documents"), shingleK = 5),
     Some(s"""
-      WITH $ToksCte, ${gramCtes(5)},
+      WITH $ToksCte, $TokhCte,
+      grams AS (
+        SELECT doc_id,
+               ${gramSqlExpr(5, graft.llm.TextFns.shingleCoef)} * 2147483648
+                 + ${gramSqlExpr(5, graft.llm.TextFns.shingleCoefB)} AS gh
+        FROM tokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
       fp AS (SELECT doc_id, min(gh) AS fp
              FROM grams WHERE gh IS NOT NULL GROUP BY doc_id)
       SELECT a.doc_id AS da, b.doc_id AS db, a.fp AS fingerprint

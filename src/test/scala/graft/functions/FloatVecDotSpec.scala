@@ -74,6 +74,14 @@ class FloatVecDotSpec extends AnyFunSuite with SparkSpec {
         |  array(cast(1.0 as float), cast(null as float)),
         |  array(cast(0.5 as double), cast(1.5 as double))) AS d""".stripMargin)
     assert(nullCase.head().isNullAt(0))
+    // length mismatch -> null (zip_with semantics), NOT a partial sum
+    val mismatch = spark.sql(
+      """SELECT graft_vec_dist2(array(cast(1.0 as float)),
+        |         array(cast(1.0 as double), cast(2.0 as double))) AS a,
+        |       graft_vec_dot(array(cast(1.0 as float)),
+        |         array(cast(1.0 as float), cast(2.0 as float))) AS b""".stripMargin)
+      .head()
+    assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
   }
 
   test("null-safe and codegen-compiled") {

@@ -29,6 +29,20 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === Seq((0.1, 1L))) // fewer rows than k: short array
   }
 
+  test("graft_topk: NaN scores rank FIRST, matching a DESC window sort") {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    // a zero-norm cosine yields NaN; Spark's ORDER BY sim DESC puts
+    // NaN first, so the heap must admit and top-rank it
+    val df = Seq((1L, Double.NaN, 5L), (1L, 0.9, 1L), (1L, 0.8, 2L))
+      .toDF("g", "sim", "vec_id").repartition(3)
+    val out = df.groupBy(col("g"))
+      .agg(expr("graft_topk(sim, vec_id, 2)").as("t"))
+      .head().getSeq[Row](1).map(x => x.getLong(1))
+    assert(out === Seq(5L, 1L))
+  }
+
   test("graft_topk plans as ObjectHashAggregate (partial + merge), no window") {
     GraftFunctions.ensureRegistered(spark)
     val s = spark

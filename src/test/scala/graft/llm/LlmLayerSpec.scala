@@ -176,6 +176,11 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(ext.map(_.getLong(2)).toSeq === Seq(0L, 1L)) // exact hit ranks first
     val extLsh = Similarity.signLshTopK(emb, extQ, bits = 2, k = 3).collect()
     assert(extLsh.nonEmpty && extLsh.forall(_.getLong(0) == 100L))
+    // an external query id COLLIDING with a corpus id must not exclude
+    // that corpus vector (self-exclusion is a corpus-queries concept)
+    val collide = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "qv")
+    val hit = Similarity.bruteForceTopK(emb, collide, k = 1).head()
+    assert(hit.getLong(2) === 0L && hit.getDouble(3) > 0.99)
   }
 
   test("REAL image + audio decode via JDK codecs (video stays stubbed)") {

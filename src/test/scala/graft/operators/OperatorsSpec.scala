@@ -114,6 +114,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // malformed (descending) intervals are dropped, not matched via
+    // Spark's auto-descending sequence()
+    val bad = Seq((9L, 15L, 2L)).toDF("lk", "ls", "le")
+    assert(IntervalJoin.overlapJoin(bad, right, "ls", "le", "rs", "re", 10)
+      .count() === 0)
   }
 
   test("salt spreads a hot key of BYTE-IDENTICAL rows across buckets") {
