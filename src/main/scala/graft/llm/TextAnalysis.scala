@@ -63,6 +63,29 @@ object TextAnalysis {
         (col("stop_hits").cast("double") / col("n_tokens")).as("stopword_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Threshold-based quality filter — the second pillar of
+    * training-data curation next to dedup: keep documents whose
+    * [[qualityScores]] signals clear the given bounds. Returns the
+    * surviving (doc_id, and the scores that justified keeping it) so a
+    * pipeline can audit WHY a doc survived; join back to `docs` for
+    * the text. Same aggregation shape as qualityScores (explode +
+    * codegen'd sums), one filter on top.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      minTokens: Long = 5,
+      minTtr: Double = 0.3,
+      maxStopwordRatio: Double = 0.5,
+      minMeanTokLen: Double = 2.0,
+      maxMeanTokLen: Double = 12.0): DataFrame =
+    qualityScores(docs)
+      .filter(col("n_tokens") >= minTokens &&
+        col("ttr") >= minTtr &&
+        col("stopword_ratio") <= maxStopwordRatio &&
+        col("mean_tok_len") >= minMeanTokLen &&
+        col("mean_tok_len") <= maxMeanTokLen)
+      .orderBy(col("doc_id"))
+
   /** Token frequency: the corpus's top-`k` tokens by occurrence count
     * with document frequency (deterministic order: count desc, token).
     */

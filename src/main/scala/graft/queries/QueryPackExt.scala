@@ -855,9 +855,33 @@ object QueryPackExt {
       WHERE a.pri = '1-URGENT'
       GROUP BY a.key ORDER BY a_key"""))
 
+  /** The quality-filter pillar (thresholds over q36's signals) as a
+    * hash-checked survivors query.
+    */
+  private val q59 = Q("q59_quality_filter",
+    (s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"),
+      minTokens = 5, minTtr = 0.3, maxStopwordRatio = 0.5,
+      minMeanTokLen = 2.0, maxMeanTokLen = 12.0),
+    Some(s"""
+      WITH $ToksCte
+      SELECT * FROM (
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                 AS mean_tok_len,
+               CAST(len(list_filter(w,
+                      x -> list_contains(['the','a','of','and','to'], x)))
+                    AS DOUBLE) / len(w) AS stopword_ratio
+        FROM toks WHERE len(w) >= 5) z
+      WHERE ttr >= 0.3 AND stopword_ratio <= 0.5
+        AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
