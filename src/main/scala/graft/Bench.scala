@@ -33,8 +33,20 @@ object Bench {
     // 32-thread JVM swing 2-5x from GC/JIT/scheduler noise; the min is
     // the stable measure of what the plan costs
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt max 1
-    // SPARK_GRAFT_ONLY=q33_x,q34_y: time a subset (hotspot iteration loop)
+    // SPARK_GRAFT_ONLY=q33_x,q34_y: time a subset (hotspot iteration loop).
+    // Unknown names warn loudly — a silent empty run reads as a
+    // near-zero suite time — and an all-unknown filter is a hard error.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      unknown.foreach(n =>
+        System.err.println(s"WARNING: SPARK_GRAFT_ONLY name '$n' matches no registered query"))
+      if ((names -- unknown).isEmpty) {
+        System.err.println("ERROR: SPARK_GRAFT_ONLY matched zero queries; nothing to benchmark")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -64,6 +64,13 @@ case class TopKAgg(
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (DOUBLE score, BIGINT id, INT k), got " +
           s"${score.dataType.sql}, ${id.dataType.sql}")
+    // k's type gates BEFORE anything forces kExpr.eval(): a non-numeric
+    // literal (graft_topk(s, id, 'x')) must be a clean analysis failure,
+    // not a ClassCastException out of the Number cast below
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName k must be an integral literal, got ${kExpr.dataType.sql}")
     else if (kExpr.eval() == null)
       TypeCheckResult.TypeCheckFailure(s"$prettyName k must not be null")
     else if (k <= 0)

@@ -64,39 +64,56 @@ object Multimodal {
   }
 
   /** REAL image decode via the JDK's ImageIO — PNG/JPEG/GIF/BMP need
-    * no external codec. Dimensions come from the decoded raster; the
-    * feature vector is an 8-bin luminance histogram over a bounded
-    * sample grid (≤64×64 probes, so arbitrarily large images cost
-    * O(1)). Returns None for payloads ImageIO can't decode — callers
-    * fall back to [[decodeStub]].
+    * no external codec. Dimensions come from the image HEADER (read
+    * before any pixel decode); the feature vector is an 8-bin luminance
+    * histogram over a ≤64×64 probe grid, decoded with ImageReadParam
+    * source SUBSAMPLING so the materialized raster is bounded (~64×64)
+    * no matter how large the source — a multi-gigapixel blob never
+    * allocates its full raster on an executor. (The subsampling offsets
+    * select exactly the pixels a stride-stepped probe of the full
+    * raster would, so histogram values are unchanged.) Returns None for
+    * payloads ImageIO can't decode — callers fall back to
+    * [[decodeStub]].
     */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
     scala.util.Try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map { img =>
-          val w = img.getWidth
-          val h = img.getHeight
-          val bins = new Array[Float](FeatureDim)
-          val stepX = math.max(1, w / 64)
-          val stepY = math.max(1, h / 64)
-          var n = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-                (rgb & 0xFF) * 114) / 1000
-              bins(lum * FeatureDim / 256) += 1f
-              n += 1
-              x += stepX
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            val stepX = math.max(1, w / 64)
+            val stepY = math.max(1, h / 64)
+            val param = reader.getDefaultReadParam
+            param.setSourceSubsampling(stepX, stepY, 0, 0)
+            val img = reader.read(0, param)
+            val bins = new Array[Float](FeatureDim)
+            var n = 0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                  (rgb & 0xFF) * 114) / 1000
+                bins(lum * FeatureDim / 256) += 1f
+                n += 1
+                x += 1
+              }
+              y += 1
             }
-            y += stepY
-          }
-          var i = 0
-          while (i < FeatureDim) { if (n > 0) bins(i) /= n; i += 1 }
-          (w, h, bins)
+            var i = 0
+            while (i < FeatureDim) { if (n > 0) bins(i) /= n; i += 1 }
+            Some((w, h, bins))
+          } finally reader.dispose()
         }
+      } finally iis.close()
     }.toOption.flatten
 
   /** REAL audio decode via the JDK's javax.sound.sampled — WAV/AIFF/AU

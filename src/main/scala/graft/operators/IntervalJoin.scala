@@ -44,8 +44,14 @@ object IntervalJoin {
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty, s"column names must be disjoint, clash: $clash")
 
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / bucketWidth).cast("long")
+    // pure integer floor division: (c - pmod(c, w)) is the largest
+    // multiple of w that is <= c (pmod is nonnegative), and `div` on an
+    // exact multiple is exact. A double round-trip (floor(c/w)) would
+    // lose precision past 2^53 and silently mis-bucket extreme bounds.
+    def bucketOf(c: org.apache.spark.sql.Column) = {
+      val cl = c.cast("long")
+      call_function("div", cl - pmod(cl, lit(bucketWidth)), lit(bucketWidth))
+    }
 
     val lb = left.filter(col(lStart) <= col(lEnd))
       .withColumn("__lb",

@@ -90,6 +90,13 @@ object StreamOps {
       signups: DataFrame,
       windowSeconds: Long = 3600,
       watermarkDelay: String = "10 minutes"): DataFrame = {
+    // only the join key may be shared: any other common name would
+    // survive the join as a duplicate/ambiguous column (user_id itself
+    // is renamed below; same contract as IntervalJoin.overlapJoin)
+    val clash =
+      purchases.columns.toSet.intersect(signups.columns.toSet) - "user_id"
+    require(clash.isEmpty,
+      s"non-key column names must be disjoint across streams, clash: $clash")
     val p = purchases.withWatermark("p_ts", watermarkDelay)
     val g = signups
       .withColumnRenamed("user_id", "s_user_id")

@@ -55,6 +55,18 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("graft_topk: non-integral k is a clean analysis failure, not a CCE") {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0.5, 2L)).toDF("g", "sim", "vec_id")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy(col("g")).agg(expr("graft_topk(sim, vec_id, 'x')").as("t"))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral"), e.getMessage)
+  }
+
   test("graft_topk equals the window formulation on real embeddings") {
     GraftFunctions.ensureRegistered(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -121,6 +121,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .count() === 0)
   }
 
+  test("interval overlap join: bounds past 2^53 bucket exactly (no double trip)") {
+    val s = spark
+    import s.implicits._
+    // adjacent but non-overlapping giant bounds: a double-rounded
+    // floor(c/w) collapses 2^53+1 and 2^53+3 into the same value and
+    // can mis-bucket; integer floor-div must keep them apart
+    val base = (1L << 53)
+    val left = Seq((1L, base + 1L, base + 2L)).toDF("lk", "ls", "le")
+    val right = Seq((10L, base + 3L, base + 4L), (11L, base + 2L, base + 5L))
+      .toDF("rk", "rs", "re")
+    val got = IntervalJoin.overlapJoin(left, right, "ls", "le", "rs", "re",
+        bucketWidth = 2)
+      .select("lk", "rk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((1L, 11L)))
+    // negative bounds floor correctly too (-3/2 buckets to -2, not -1)
+    val nl = Seq((2L, -3L, -2L)).toDF("lk", "ls", "le")
+    val nr = Seq((20L, -2L, -1L), (21L, -1L, 0L)).toDF("rk", "rs", "re")
+    val ngot = IntervalJoin.overlapJoin(nl, nr, "ls", "le", "rs", "re", 2)
+      .select("lk", "rk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ngot.toSet === Set((2L, 20L)))
+  }
+
   test("salt spreads a hot key of BYTE-IDENTICAL rows across buckets") {
     val s = spark
     import s.implicits._

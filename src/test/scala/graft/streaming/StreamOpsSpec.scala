@@ -164,6 +164,17 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution rejects clashing non-key column names") {
+    val s = spark
+    import s.implicits._
+    val pur = Seq((1L, ts(0), 1.0)).toDF("user_id", "p_ts", "value")
+    val sgn = Seq((1L, ts(0), 2.0)).toDF("user_id", "s_ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.streamStreamAttribution(pur, sgn)
+    }
+    assert(e.getMessage.contains("value"), e.getMessage)
+  }
+
   test("streaming EMBL ingest matches the batch segmentation") {
     val s = spark
     import s.implicits._
