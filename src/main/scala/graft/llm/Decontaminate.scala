@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the third curation pillar next to dedup
+  * ([[TextDedup]]) and quality filtering ([[TextAnalysis.qualityFilter]]):
+  * training documents that share word n-grams with a held-out
+  * evaluation set are flagged and dropped, so eval numbers measure
+  * generalization rather than memorized test data. Every production
+  * training-data build runs this step against its benchmark suites.
+  *
+  * Mechanics: both corpora run through the shared polynomial gram-hash
+  * front end ([[TextDedup.gramHashes]] — one md5 per token, k-grams
+  * assembled with integer window arithmetic, 8-byte long keys). The
+  * eval side collapses to a DISTINCT gram-hash set; corpus grams meet
+  * it in an equi-join on the hash, and each document keeps the fraction
+  * of its distinct grams that hit. `maxOverlap` = 0.0 is the strict
+  * anti-join form (any shared n-gram contaminates); a small positive
+  * threshold tolerates boilerplate n-grams shared by chance.
+  *
+  * Scale (100 TB corpus vs a benchmark suite): the eval gram set is
+  * MB-scale by construction (benchmarks are small) — Catalyst/AQE
+  * broadcasts it, so the corpus side is one scan + one map-side join +
+  * one partial-aggregated groupBy riding the gram window's doc_id
+  * partitioning; no shuffle of the corpus beyond the gram front end
+  * itself, and never a cartesian (plan-asserted in LlmLayerSpec).
+  * Documents with fewer than k tokens have no grams and are kept with
+  * overlap 0 — too short to leak an n-gram of the eval set.
+  */
+object Decontaminate {
+
+  /** Survivors of decontaminating `docs` against `evalDocs` (both need
+    * `(doc_id, text)`): one row per KEPT document —
+    * `(doc_id, n_grams, n_hit, overlap)` with overlap = n_hit/n_grams
+    * over the doc's distinct k-gram hashes (0.0 for gram-less docs) —
+    * documents with overlap > `maxOverlap` are dropped.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      shingleK: Int = 3,
+      maxOverlap: Double = 0.0): DataFrame = {
+    require(maxOverlap >= 0.0 && maxOverlap < 1.0,
+      "maxOverlap must be in [0, 1)")
+    val evalGrams = TextDedup.gramHashes(evalDocs, shingleK)
+      .select(col("gh")).distinct()
+    val docGrams = TextDedup.gramHashes(docs, shingleK).distinct()
+    val sizes = docGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = docGrams.join(evalGrams, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    docs.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_grams"))
+          .as("overlap"))
+      .filter(col("overlap") <= maxOverlap)
+      .orderBy(col("doc_id"))
+  }
+}

@@ -98,7 +98,7 @@ object TextDedup {
       .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
       .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
 
-  private def gramHashes(docs: DataFrame, k: Int): DataFrame = {
+  private[llm] def gramHashes(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     tokenHashRows(docs)
       .withColumn("gh", gramExpr(k, TextFns.shingleCoef, w))

@@ -879,9 +879,54 @@ object QueryPackExt {
         AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
       ORDER BY doc_id"""))
 
+  /** Benchmark decontamination (the third curation pillar): the
+    * documents table splits into a held-out "benchmark" slice (every
+    * 20th doc) and the training corpus (the rest); corpus docs sharing
+    * > 20% of their distinct 3-gram hashes with the benchmark slice
+    * are dropped. Mirror: the same gram CTEs built once per side
+    * (ev-prefixed for the eval slice), equi-joined on the gram hash.
+    */
+  private val q60 = Q("q60_decontaminate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.Decontaminate.decontaminate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        shingleK = 3, maxOverlap = 0.2)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id % 20 <> 0), ${gramCtes(3)},
+      evtoks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id % 20 = 0),
+      evtokh AS (
+        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
+        FROM evtoks,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      evgrams AS (
+        SELECT doc_id, ${gramSqlExpr(3, graft.llm.TextFns.shingleCoef)} AS gh
+        FROM evtokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      evg AS (SELECT DISTINCT gh FROM evgrams WHERE gh IS NOT NULL),
+      sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+      hits AS (SELECT s.doc_id, count(*) AS n_hit
+               FROM sh s JOIN evg e ON s.gh = e.gh GROUP BY s.doc_id)
+      SELECT doc_id, n_grams, n_hit, overlap FROM (
+        SELECT b.doc_id,
+               CAST(coalesce(sz.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CASE WHEN sz.n_grams IS NULL THEN 0.0
+                    ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / sz.n_grams END
+                 AS overlap
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) b
+        LEFT JOIN sizes sz USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)) z
+      WHERE overlap <= 0.2 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

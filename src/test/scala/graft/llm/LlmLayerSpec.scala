@@ -127,6 +127,31 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(out === Seq(1L, 5L))
   }
 
+  test("decontaminate: eval-overlapping docs drop, clean and short docs keep") {
+    val train = docs(
+      1L -> "the quick brown fox jumps over the lazy dog", // = eval doc
+      2L -> "completely different content about spark engines here",
+      3L -> "ab") // < k tokens: no grams, must survive with zeros
+    val eval_ = docs(100L -> "the quick brown fox jumps over the lazy dog")
+    val q = Decontaminate.decontaminate(train, eval_, shingleK = 3,
+      maxOverlap = 0.0)
+    assertNoCartesian(q)
+    val out = q.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(2L, 3L)) // doc 1 is fully contaminated
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    assert(out(2L)._2 === 0L)
+    // a tolerant threshold keeps a partially-overlapping doc
+    val part = docs(9L -> "the quick brown fox likes calm spark engines mostly")
+    val kept = Decontaminate
+      .decontaminate(part, eval_, shingleK = 3, maxOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(kept.length === 1 && kept.head._1 === 9L && kept.head._2 > 0.0)
+    // and the strict threshold drops it
+    assert(Decontaminate
+      .decontaminate(part, eval_, shingleK = 3, maxOverlap = 0.0).count() === 0)
+  }
+
   test("fingerprintPairs: min-shingle-hash fingerprint matches dups, no cartesian") {
     val q = TextDedup.fingerprintPairs(corpus, shingleK = 5)
     assertNoCartesian(q)
