@@ -338,12 +338,86 @@ object TextDedup {
       .drop("__bw")
   }
 
+  /** How the dedup pipeline turns near-dup PAIRS into drops:
+    *
+    *  - [[Grouping.Greedy]] — in every surfaced pair `da < db`, `db`
+    *    is dropped; one deterministic pass, no iteration. A doc
+    *    survives iff it is never the greater id of any pair, so a
+    *    transitive cluster can keep several members (in the chain
+    *    2~5, 3~5 both 2 and 3 survive).
+    *  - [[Grouping.Components]] — pairs are closed transitively via
+    *    [[duplicateComponents]] and exactly ONE doc (the min id) per
+    *    connected component survives — the usual production choice,
+    *    at the cost of a bounded label-propagation iteration (and of
+    *    dropping docs not directly similar to their keeper).
+    */
+  sealed trait Grouping
+  object Grouping {
+    case object Greedy extends Grouping
+    case object Components extends Grouping
+  }
+
+  /** Connected components over a near-dup `pairs(da, db, …)` relation:
+    * one row per member doc, labeled with its component id (the
+    * MINIMUM doc_id reachable through pairs — transitive closure).
+    * Docs appearing in no pair are not emitted (they are their own
+    * singleton components).
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every
+    * node takes the min of its own and its neighbors' labels, which is
+    * a plain equi-join edges⋈labels plus a `groupBy(min)`; rounds
+    * needed = component DIAMETER, and near-dup components are
+    * shallow (dup clusters of one document family), so the fixpoint
+    * lands in a handful of rounds. Each round `localCheckpoint`s to
+    * truncate the growing lineage, and convergence is detected with a
+    * bounded `limit(1)` probe (labels only ever decrease). `maxIter`
+    * is the safety rail for adversarially deep chains; hitting it
+    * raises rather than silently returning unmerged labels. At
+    * corpus scale every round is shuffle-keyed on doc id — no
+    * all-pairs anywhere; a graph with genuinely deep chains would
+    * call for the large-star/small-star variant, which this
+    * deliberately omits (dedup graphs don't have them).
+    */
+  def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"duplicateComponents did not converge in $maxIter rounds — " +
+            "component diameter exceeds maxIter; raise it for this graph")
+      val next = edges.join(labels, col("a") === col("id"))
+        .select(col("b").as("id"), col("lbl"))
+        .union(labels.select(col("id"), col("lbl")))
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // bounded existence probe: labels decrease monotonically, so one
+      // surviving strict decrease means another round is needed
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The full dedup PIPELINE a training-data build runs, composed from
     * the stage operators: exact (content hash, keep min id) → prefix
-    * (first-k-token key, keep min id) → MinHash-LSH near-dup (greedy
-    * pair drop: in every surfaced pair da < db, db is dropped — one
-    * deterministic pass, no connected-components iteration). Returns
-    * the surviving doc_ids, sorted.
+    * (first-k-token key, keep min id) → MinHash-LSH near-dup, with the
+    * pair-to-drop step chosen by `grouping` (see [[Grouping]] for the
+    * greedy-vs-components semantics; they differ on transitive
+    * chains). Returns the surviving doc_ids, sorted.
     *
     * Scale shape: stages strictly shrink the corpus before the next
     * (the cheap hash stages run first), every stage is an equi-keyed
@@ -357,7 +431,8 @@ object TextDedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       prefixK: Int = 5,
-      maxBucketWidth: Option[Int] = None): DataFrame = {
+      maxBucketWidth: Option[Int] = None,
+      grouping: Grouping = Grouping.Greedy): DataFrame = {
     // stage 1: exact — one survivor per distinct content
     val s1 = docs
       .groupBy(md5(col("text")).as("ch"))
@@ -373,11 +448,17 @@ object TextDedup {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val d2 = docs.join(s2, "doc_id")
-    // stage 3: near-dup — drop the greater id of every surfaced pair
-    val dropped = minhashLshPairs(d2, shingleK, nHashes, bands, threshold,
-        maxBucketWidth)
-      .select(col("db").as("doc_id"))
-      .distinct()
+    // stage 3: near-dup — pairs become drops per the grouping mode
+    val pairs = minhashLshPairs(d2, shingleK, nHashes, bands, threshold,
+      maxBucketWidth)
+    val dropped = grouping match {
+      case Grouping.Greedy =>
+        pairs.select(col("db").as("doc_id")).distinct()
+      case Grouping.Components =>
+        duplicateComponents(pairs)
+          .filter(col("doc_id") =!= col("component"))
+          .select(col("doc_id"))
+    }
     d2.select(col("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))

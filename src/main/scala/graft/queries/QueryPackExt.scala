@@ -924,9 +924,31 @@ object QueryPackExt {
         LEFT JOIN hits h USING (doc_id)) z
       WHERE overlap <= 0.2 ORDER BY doc_id"""))
 
+  /** Connected-components duplicate grouping over the MinHash-LSH
+    * pairs: transitive closure via min-label propagation, mirrored by
+    * a DuckDB recursive CTE (labels = min id reachable through the
+    * undirected pair edges).
+    */
+  private val q61 = Q("q61_dup_components",
+    (s, dir) => TextDedup.duplicateComponents(
+      TextDedup.minhashLshPairs(t(s, dir, "documents"),
+        shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5)),
+    Some(s"""
+      WITH RECURSIVE $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
+      edges AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION
+        SELECT db AS a, da AS b FROM pairs),
+      reach(id, lbl) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+      SELECT id AS doc_id, min(lbl) AS component
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

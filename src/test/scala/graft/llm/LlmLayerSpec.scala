@@ -152,6 +152,39 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       .decontaminate(part, eval_, shingleK = 3, maxOverlap = 0.0).count() === 0)
   }
 
+  test("duplicateComponents: transitive chains close; greedy would differ") {
+    val s = spark
+    import s.implicits._
+    // a 5-deep chain (needs >1 propagation round), a star where greedy
+    // and components disagree, and an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (12L, 15L), (13L, 15L), (20L, 21L)).toDF("da", "db")
+    val comp = TextDedup.duplicateComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(12L) === 12L && comp(13L) === 12L && comp(15L) === 12L)
+    assert(comp(20L) === 20L && comp(21L) === 20L)
+    // greedy keeps {12, 13} from the star (neither is ever db);
+    // components keeps only 12 — the documented transitive difference
+    val greedyKept = Set(12L, 13L)
+    val componentsKept = comp.filter { case (d, c) => d == c }.keySet
+    assert(componentsKept.intersect(Set(12L, 13L, 15L)) === Set(12L))
+    assert(greedyKept !== componentsKept.intersect(Set(12L, 13L, 15L)))
+  }
+
+  test("dedupPipeline Components mode: one survivor per transitive cluster") {
+    val both = for (g <- Seq(TextDedup.Grouping.Greedy,
+        TextDedup.Grouping.Components))
+      yield TextDedup.dedupPipeline(corpus, shingleK = 3, nHashes = 12,
+        bands = 4, threshold = 0.5, prefixK = 5, grouping = g)
+        .collect().map(_.getLong(0)).toSet
+    // on this corpus the near-dup cluster {1, 2} is a single pair, so
+    // the two modes agree; both must keep 1, 3, 5 at most
+    assert(both(0) === both(1))
+    assert(both(0).contains(1L) && both(0).contains(3L) && both(0).contains(5L))
+    assert(!both(0).contains(4L)) // exact dup dropped at stage 1
+  }
+
   test("fingerprintPairs: min-shingle-hash fingerprint matches dups, no cartesian") {
     val q = TextDedup.fingerprintPairs(corpus, shingleK = 5)
     assertNoCartesian(q)
