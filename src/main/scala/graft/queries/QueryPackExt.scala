@@ -946,9 +946,25 @@ object QueryPackExt {
       SELECT id AS doc_id, min(lbl) AS component
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
+  /** Seeded train/val split: membership is md5(seed|doc_id) mod 10^6
+    * under a threshold — deterministic and engine-portable, so the
+    * DuckDB mirror reproduces the exact same split row by row.
+    */
+  private val q62 = Q("q62_train_val_split",
+    (s, dir) => graft.llm.Sampling
+      .trainValSplit(t(s, dir, "documents"), valFraction = 0.1, seed = "42")
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang,
+             CASE WHEN ${h60("concat('42', '|', CAST(doc_id AS VARCHAR))")}
+                       % 1000000 < 100000
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -185,6 +185,40 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!both(0).contains(4L)) // exact dup dropped at stage 1
   }
 
+  test("sampling: deterministic, disjoint-exhaustive split, stratified fractions") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 2000L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    // split is exhaustive and disjoint, and rerun-identical
+    val sp1 = Sampling.trainValSplit(d, 0.1, "42")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sp2 = Sampling.trainValSplit(d, 0.1, "42")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sp1 === sp2)
+    assert(sp1.size === 2000)
+    val nVal = sp1.values.count(_ == "val")
+    assert(nVal > 120 && nVal < 280, s"val fraction off: $nVal/2000")
+    // sampleCorpus under the same seed/fraction IS the val slice
+    val sampled = Sampling.sampleCorpus(d, 0.1, "42")
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled === sp1.filter(_._2 == "val").keySet)
+    // a different seed produces a different (but equally stable) slice
+    assert(Sampling.sampleCorpus(d, 0.1, "43")
+      .collect().map(_.getLong(0)).toSet !== sampled)
+    // stratified: keep all German, ~10% English, nothing by default
+    val strat = Sampling.stratifiedSample(d, "lang",
+        Map("de" -> 1.0, "en" -> 0.1), "42")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(strat.count(_._2 == "de") === 500)
+    val en = strat.count(_._2 == "en")
+    assert(en > 90 && en < 220, s"stratified en fraction off: $en/1500")
+    // the sampling filter is shuffle-free (fuses into the scan)
+    val plan = Sampling.sampleCorpus(d, 0.1, "42")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("fingerprintPairs: min-shingle-hash fingerprint matches dups, no cartesian") {
     val q = TextDedup.fingerprintPairs(corpus, shingleK = 5)
     assertNoCartesian(q)
