@@ -1,0 +1,163 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding with a REAL merge table — true token counts for
+  * cost estimation, not just the pre-tokenization of
+  * [[TextFns.regexTokens]] (which is where BPE vocabularies are
+  * trained, but counts word pieces, not merged tokens).
+  *
+  * Two equivalent encoders:
+  *
+  *  1. a pure COLUMN pipeline ([[encodeColumn]]): each pre-token's
+  *     characters are individually wrapped (`cat` → `⟨c⟩⟨a⟩⟨t⟩`, words
+  *     joined by `¦`), then every merge rule `(a, b)` becomes one
+  *     literal `replace("⟨a⟩⟨b⟩" → "⟨ab⟩")` applied in rank order.
+  *     String `replace` substitutes non-overlapping occurrences left
+  *     to right — exactly BPE's "merge every occurrence of the best
+  *     pair, leftmost first". Codegen'd scalar ops end to end, and
+  *     mirrorable literal-for-literal in SQL — the oracle path.
+  *  2. a per-partition RANK-LOOP encoder ([[encodeDocs]]): the
+  *     classical algorithm — repeatedly merge the lowest-rank adjacent
+  *     pair until none applies — over a broadcast rank map. The
+  *     production path for real vocabularies: a 50k-merge GPT-style
+  *     table cannot unroll into 50k replace calls, but is one shared
+  *     hash map and an O(pieces · merges-applied) loop per word.
+  *
+  * Why in-order-once equals the rank loop: a rule's input tokens are
+  * produced only by EARLIER rules (that is how merge tables are
+  * learned), and merging never splits tokens, so once rule i's pass is
+  * done no new `(aᵢ, bᵢ)` adjacency can ever form — each rule needs
+  * exactly one exhaustive pass, in rank order. [[LlmLayerSpec]]
+  * asserts the two encoders token-identical.
+  *
+  * Scale: the column form is a per-row scalar expression — no shuffle,
+  * fuses into the scan; the rank-loop form is `mapPartitions` with the
+  * merge table broadcast once per executor. The wrapper characters
+  * `⟨⟩¦` are assumed absent from the corpus (they are not word
+  * characters, so the pre-tokenizer isolates them and they can never
+  * participate in a merge; a literal `⟨` in the text perturbs only its
+  * own token's count).
+  */
+object Bpe {
+
+  /** A small hand-learned English merge table (rank order; the merged
+    * token is the concatenation). Inputs of every rule are chars or
+    * outputs of earlier rules, as a learned table guarantees.
+    */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "u", "r" -> "e", "o" -> "n", "s" -> "t",
+    "in" -> "g", "the" -> "re")
+
+  private val L = "⟨" // ⟨
+  private val R = "⟩" // ⟩
+  private val Sep = "¦" // ¦ word boundary; merges never cross it
+
+  /** Pre-tokenized, char-wrapped form of `text`: every character of
+    * every [[TextFns.regexTokens]] piece wrapped as `⟨c⟩`, pieces
+    * joined by `¦`.
+    */
+  def wrapColumn(text: Column): Column =
+    regexp_replace(
+      array_join(TextFns.regexTokens(text), Sep),
+      s"([^$Sep])", s"$L$$1$R")
+
+  /** The wrapped string after all merges applied in rank order. */
+  def mergedColumn(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column =
+    merges.foldLeft(wrapColumn(text)) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s"$L$a$R$L$b$R"), lit(s"$L$a$b$R"))
+    }
+
+  /** BPE token array under `merges` — codegen'd scalar pipeline. */
+  def tokens(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column =
+    regexp_extract_all(mergedColumn(text, merges), lit(s"$L([^$R]*)$R"), lit(1))
+
+  /** True BPE token count: the number of `⟨` wrappers left after all
+    * merges.
+    */
+  def tokenCount(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column = {
+    val m = mergedColumn(text, merges)
+    (length(m) - length(call_function("replace", m, lit(L), lit("")))).cast("long")
+  }
+
+  /** DuckDB mirror of [[mergedColumn]] over a raw column expression —
+    * the same wrap + in-order replaces, literal for literal, so the
+    * oracle reproduces token values exactly.
+    */
+  def mergedSql(textExpr: String, merges: Seq[(String, String)] = DefaultMerges): String = {
+    // NB: DuckDB single-quoted strings are escape-free, so the Java
+    // regex (`\s` and all) is passed through verbatim — the same raw
+    // interpolation q51's token mirror uses.
+    val pattern = TextFns.BpeTokenPattern
+    val wrapped = s"regexp_replace(array_to_string(regexp_extract_all(" +
+      s"lower($textExpr), '$pattern'), '$Sep'), '([^$Sep])', '$L\\1$R', 'g')"
+    merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"replace($acc, '$L$a$R$L$b$R', '$L$a$b$R')"
+    }
+  }
+
+  /** The classical rank-loop BPE encode of one pre-token (the merged
+    * pair with the lowest rank merges everywhere, repeat to fixpoint).
+    */
+  private[llm] def encodeWord(
+      word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var toks = word.map(_.toString).toVector
+    var done = toks.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var a: String = null
+      var b: String = null
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; a = toks(i); b = toks(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge every occurrence of the best pair, leftmost first
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.result()
+        done = toks.length < 2
+      }
+    }
+    toks
+  }
+
+  /** Rank map for [[encodeDocs]]/[[encodeWord]]. */
+  def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** Production encode: `(doc_id, tokens, n_tokens)` per document via
+    * `mapPartitions` with the merge-rank map broadcast — the path that
+    * scales to real (50k-rule) vocabularies. Pre-tokenization is the
+    * same regex as the column form.
+    */
+  def encodeDocs(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val pattern = TextFns.BpeTokenPattern.r
+    val ranksB = session.sparkContext.broadcast(ranksOf(merges))
+    docs.select(col("doc_id").cast("long"), lower(col("text")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val ranks = ranksB.value
+        rows.map { case (id, text) =>
+          val toks = pattern.findAllIn(Option(text).getOrElse(""))
+            .flatMap(w => encodeWord(w, ranks)).toSeq
+          (id, toks, toks.length.toLong)
+        }
+      }
+      .toDF("doc_id", "tokens", "n_tokens")
+  }
+}

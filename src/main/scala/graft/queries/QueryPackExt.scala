@@ -962,9 +962,34 @@ object QueryPackExt {
                   THEN 'val' ELSE 'train' END AS split
       FROM documents ORDER BY doc_id"""))
 
+  /** Real BPE encoding (not just pre-tokenization): the column-pipeline
+    * encoder applies [[graft.llm.Bpe.DefaultMerges]] in rank order as
+    * literal replaces — token-identical to the classical rank-loop
+    * encoder (asserted in LlmLayerSpec) and mirrored literal-for-literal
+    * in DuckDB, so true token counts hash-match across engines.
+    */
+  private val q63 = Q("q63_bpe_encode",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      graft.llm.Bpe.tokenCount(col("text")).as("n_tokens"),
+      array_join(slice(graft.llm.Bpe.tokens(col("text")), 1, 12), " ")
+        .as("head_tokens"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id, ${graft.llm.Bpe.mergedSql("text")} AS m
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(m) - length(replace(m, '⟨', '')) AS BIGINT)
+               AS n_tokens,
+             array_to_string(
+               list_slice(regexp_extract_all(m, '⟨([^⟩]*)⟩', 1), 1, 12), ' ')
+               AS head_tokens
+      FROM m ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -403,4 +403,31 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.nearDupPairs(emb, bits = 2, threshold = 0.9,
       maxBucketWidth = Some(3)).count() === 0) // width-4 bucket dropped
   }
+
+  test("BPE: column pipeline encodes a known fixture like classical BPE") {
+    // merges: t+h, th+e, i+n, a+n, an+d, e+r, o+u, r+e, o+n, s+t, in+g, the+re
+    val out = docs(1L -> "the theres sting!")
+      .select(graft.llm.Bpe.tokens(col("text")).as("toks"),
+        graft.llm.Bpe.tokenCount(col("text")).as("n"))
+      .collect().head
+    // "the" -> [the]; "theres" -> the|re + s  -> [there, s]
+    // "sting" -> st + ing -> [st, ing]; "!" is its own pre-token
+    assert(out.getAs[Seq[String]]("toks") ===
+      Seq("the", "there", "s", "st", "ing", "!"))
+    assert(out.getAs[Long]("n") === 6L)
+  }
+
+  test("BPE: rank-loop encodeDocs is token-identical to the column pipeline") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "another interesting thing: standing there, understanding!",
+      3L -> "", 4L -> "xyz", 5L -> "ingingred and rest resting on")
+    val colSide = corpus.select(col("doc_id"),
+      graft.llm.Bpe.tokens(col("text")).as("tokens")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[String]]("tokens")).toMap
+    val loopSide = graft.llm.Bpe.encodeDocs(corpus).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[String]]("tokens")).toMap
+    assert(loopSide === colSide)
+    assert(colSide(3L) === Seq.empty)
+  }
 }
