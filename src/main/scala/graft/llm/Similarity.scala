@@ -49,6 +49,39 @@ object Similarity {
       .map(i => when(element_at(v, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Sentinel for `bits` parameters: size the sketch to the corpus at
+    * plan time (see [[derivedBits]]) instead of trusting a constant.
+    */
+  val DeriveBits: Int = 0
+
+  /** The smallest sketch width whose EXPECTED bucket width
+    * `n / 2^bits` is ≤ `targetBucketWidth`, clamped to `[1, maxBits]`
+    * — 2²⁰ buckets bound any corpus's expected width at ≤ n/2²⁰
+    * while keeping the bucket id comfortably in an int. A constant
+    * default cannot be scale-safe (4 buckets on a 10⁹-vector corpus
+    * puts ~2.5·10⁸ vectors in one bucket and squares inside it);
+    * deriving from n is.
+    */
+  def derivedBits(n: Long, targetBucketWidth: Int = 64, maxBits: Int = 20): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketWidth)) / math.log(2.0)).toInt
+    math.max(1, math.min(maxBits, needed))
+  }
+
+  /** `bits` if explicit, else [[derivedBits]] of the corpus row count,
+    * further capped by the embedding dimension (the sketch reads
+    * leading dimensions; ANSI `element_at` past the end would throw).
+    * Costs one count + one `take(1)` at plan time — metadata-cheap next
+    * to the pair join it sizes; callers that know their corpus pass
+    * `bits` explicitly and skip both jobs.
+    */
+  private def resolveBits(emb: DataFrame, bits: Int): Int =
+    if (bits > 0) bits
+    else emb.select(size(col("embedding")).as("d")).take(1) match {
+      case Array(row) => math.max(1, math.min(row.getInt(0), derivedBits(emb.count())))
+      case _ => 1 // empty corpus: any width yields zero pairs
+    }
+
   /** Exact brute-force cosine top-k against an EXPLICIT query set —
     * the production entry point: `queries(query_id, qv)` is any
     * broadcast-small frame (external probe vectors, a sampled slice,
@@ -151,14 +184,17 @@ object Similarity {
 
   /** Convenience/test form: vectors with vec_id < nQueries are the
     * query set (the harness convention on the embeddings table); each
-    * query's own corpus row is excluded from its results.
+    * query's own corpus row is excluded from its results. `bits`
+    * defaults to [[DeriveBits]]: sized to the corpus via
+    * [[derivedBits]] unless the caller pins a width.
     */
   def signLshTopK(
-      emb: DataFrame, bits: Int = 4, nQueries: Int = 5, k: Int = 5): DataFrame =
+      emb: DataFrame, bits: Int = DeriveBits, nQueries: Int = 5,
+      k: Int = 5): DataFrame =
     signLsh(emb,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      bits, k, excludeSelf = true)
+      resolveBits(emb, bits), k, excludeSelf = true)
 
   /** Σᵢ (xᵢ - cᵢ)² between a float vector and a double centroid —
     * the native codegen [[graft.functions.FloatVecDist2]] kernel
@@ -247,16 +283,18 @@ object Similarity {
     * to confirm. Emits (va, vb, sim). `maxBucketWidth` applies the
     * same production bucket cap as the text LSH paths (a degenerate
     * sketch bucket — e.g. all-positive embeddings from an untrained
-    * encoder — would square inside its key); `bits` defaults are
-    * test-scale — size 2^bits to the corpus so expected bucket width
-    * stays bounded.
+    * encoder — would square inside its key); `bits` defaults to
+    * [[DeriveBits]]: sized to the corpus via [[derivedBits]] so the
+    * expected bucket width stays bounded at any n — pass it explicitly
+    * to pin a width (and skip the plan-time count).
     */
   def nearDupPairs(
-      emb: DataFrame, bits: Int = 2, threshold: Double = 0.4,
+      emb: DataFrame, bits: Int = DeriveBits, threshold: Double = 0.4,
       maxBucketWidth: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val b = resolveBits(emb, bits)
     val sketchedAll = TextDedup.spread(emb, "vec_id").select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), bits).as("bucket"),
+      signBucket(col("embedding"), b).as("bucket"),
       l2norm(col("embedding")).as("nrm"))
     val sketched = maxBucketWidth
       .fold(sketchedAll)(TextDedup.capBucketWidth(sketchedAll, Seq("bucket"), _))

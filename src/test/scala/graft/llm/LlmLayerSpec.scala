@@ -404,6 +404,28 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       maxBucketWidth = Some(3)).count() === 0) // width-4 bucket dropped
   }
 
+  test("sign-sketch width derives from corpus size, not a constant") {
+    // a billion-vector corpus must NOT get a handful of buckets
+    assert(Similarity.derivedBits(1_000_000_000L) === 20) // maxBits clamp
+    assert(Similarity.derivedBits(1_000_000L) === 14)     // ceil(log2(n/64))
+    assert(Similarity.derivedBits(64L) === 1)             // floor clamp
+    assert(Similarity.derivedBits(0L) === 1)
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.11f, 0f, 0f), 0),
+      (2L, Array(-0.9f, 0.12f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    // default = derive: runs end-to-end on a tiny corpus (bits -> 1),
+    // still equi-keyed, and the opposite-sign vector lands elsewhere
+    val nd = Similarity.nearDupPairs(emb, threshold = 0.9)
+    assertNoCartesian(nd)
+    assert(nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 1L)))
+    assert(Similarity.signLshTopK(emb, nQueries = 1, k = 2).count() > 0)
+  }
+
   test("BPE: column pipeline encodes a known fixture like classical BPE") {
     // merges: t+h, th+e, i+n, a+n, an+d, e+r, o+u, r+e, o+n, s+t, in+g, the+re
     val out = docs(1L -> "the theres sting!")
