@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * population — set it near the typical interval length. Inclusive
   * endpoints: intervals [ls, le] and [rs, re] overlap iff
   * ls <= re AND rs <= le.
+  *
+  * KNOW THE OUTPUT SIZE BEFORE RUNNING THIS ON DENSE INTERVALS: the
+  * pair count grows ~quadratically with per-bucket interval density
+  * (every interval overlaps ~density × mean-length others), so at
+  * 100× the data the bottleneck is the OUTPUT, not the plan — no
+  * partitioning strategy shrinks a result that is itself quadratic.
+  * When the question is "how many overlaps" rather than "which
+  * pairs", use [[countOverlaps]], which aggregates map-side and never
+  * shuffles a pair row.
   */
 object IntervalJoin {
 
@@ -66,4 +75,31 @@ object IntervalJoin {
           col("__lb") === bucketOf(greatest(col(lStart), col(rStart))))
       .drop("__lb", "__rb")
   }
+
+  /** Per-left-interval overlap COUNT — the aggregate-pushdown twin of
+    * [[overlapJoin]] for the "how many overlaps" question whose pair
+    * output is quadratic in interval density. The right side is pruned
+    * to its two bound columns BEFORE the bucket join (nothing wider
+    * crosses the exchange), and the count partial-aggregates map-side
+    * on `leftKey`, so the final shuffle carries one row per (key ×
+    * map partition) — pair rows are evaluated in the join's codegen
+    * loop but never materialized to an exchange or the driver.
+    *
+    * Inner semantics: left intervals with zero overlaps are absent
+    * from the result (`n_overlapping` is never 0). Needing the
+    * zero-count rows or a residual predicate that reads other right
+    * columns (e.g. self-exclusion) means the pair-level
+    * [[overlapJoin]] is the right tool.
+    */
+  def countOverlaps(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidth: Long,
+      leftKey: String): DataFrame =
+    overlapJoin(left, right.select(col(rStart), col(rEnd)),
+        lStart, lEnd, rStart, rEnd, bucketWidth)
+      .groupBy(col(leftKey))
+      .agg(count(lit(1)).as("n_overlapping"))
 }

@@ -987,9 +987,54 @@ object QueryPackExt {
                AS head_tokens
       FROM m ORDER BY doc_id"""))
 
+  /** The aggregate-pushdown twin of q58: per urgent March-1995 order
+    * window, COUNT the lineitem ship→receipt transit intervals that
+    * overlap it, via [[graft.operators.IntervalJoin.countOverlaps]] —
+    * the right side crosses the exchange as two longs and the count
+    * partial-aggregates map-side, so no pair row is ever shuffled.
+    * The oracle is the plain overlap join + GROUP BY.
+    */
+  private val q64 = Q("q64_count_overlaps",
+    (s, dir) => {
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1990-01-01"))).cast("long")
+      val w = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate").between("1995-03-01", "1995-03-31"))
+        .select(col("o_orderkey").as("w_key"),
+          day(col("o_orderdate")).as("w_s"),
+          (day(col("o_orderdate")) + 7).as("w_e"))
+      // the synthetic lineitem has no receipt date; transit length is
+      // derived deterministically from the line number (4..22 days)
+      val tr = t(s, dir, "lineitem")
+        .select(day(col("l_shipdate")).as("t_s"),
+          (day(col("l_shipdate")) + 1 +
+            col("l_linenumber").cast("long") * 3).as("t_e"))
+      graft.operators.IntervalJoin
+        .countOverlaps(w, tr, "w_s", "w_e", "t_s", "t_e",
+          bucketWidth = 8, leftKey = "w_key")
+        .orderBy(col("w_key"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT o_orderkey AS w_key,
+               date_diff('day', DATE '1990-01-01', o_orderdate) AS w_s,
+               date_diff('day', DATE '1990-01-01', o_orderdate) + 7 AS w_e
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+      tr AS (
+        SELECT date_diff('day', DATE '1990-01-01', l_shipdate) AS t_s,
+               date_diff('day', DATE '1990-01-01', l_shipdate) + 1
+                 + CAST(l_linenumber AS BIGINT) * 3 AS t_e
+        FROM lineitem)
+      SELECT w_key, count(*) AS n_overlapping
+      FROM w JOIN tr ON w_s <= t_e AND t_s <= w_e
+      GROUP BY w_key ORDER BY w_key"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -161,4 +161,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val small = Seq((7L, "dim")).toDF("k", "name")
     assert(Skew.saltedJoin(hot, small, "k", factor).count() === 400L)
   }
+
+  test("countOverlaps equals group-by over the pair join; partial-aggregates") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 0L, 25L), (2L, 40L, 45L), (3L, 90L, 91L))
+      .toDF("lk", "ls", "le")
+    val right = Seq((10L, 5L, 12L), (11L, 24L, 50L), (12L, 60L, 70L),
+      (13L, 25L, 25L)).toDF("rk", "rs", "re")
+    val got = IntervalJoin.countOverlaps(left, right, "ls", "le", "rs", "re",
+        bucketWidth = 10, leftKey = "lk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pairs: 1->{10,11,13}, 2->{11}; 3 overlaps nothing -> absent
+    assert(got === Map(1L -> 3L, 2L -> 1L))
+    val plan = IntervalJoin.countOverlaps(left, right, "ls", "le", "rs", "re",
+        10, "lk").queryExecution.executedPlan.toString
+    // map-side partial aggregation below the final exchange: pair rows
+    // never shuffle
+    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
