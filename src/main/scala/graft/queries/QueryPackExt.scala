@@ -1032,9 +1032,77 @@ object QueryPackExt {
       FROM w JOIN tr ON w_s <= t_e AND t_s <= w_e
       GROUP BY w_key ORDER BY w_key"""))
 
+  // ------------------------------------------------ streaming batch twins
+  //
+  // StreamOps transforms are source-agnostic by design: the SAME code
+  // plans incrementally under readStream and as a plain batch query on
+  // a DataFrame (watermarks no-op, dropDuplicatesWithinWatermark
+  // lowers to Deduplicate). These rows run the ACTUAL StreamOps
+  // entry points on the batch tables, so the streaming layer's value
+  // semantics are hash-gated by the oracle, not unit-only. Cross-batch
+  // incremental behavior (state, late data) stays covered by
+  // StreamOpsSpec — an oracle cannot see micro-batches.
+
+  /** ST1's batch twin: [[graft.streaming.StreamOps.windowedEventCounts]]
+    * verbatim. `value` is pre-cast to DECIMAL so the windowed sum is
+    * exact (partition-order-independent), then surfaced as double.
+    */
+  private val q65 = Q("q65_stream_tumbling_twin",
+    (s, dir) => graft.streaming.StreamOps
+      .windowedEventCounts(QueryPack.events(s, dir)
+        .withColumn("value", col("value").cast("decimal(12,2)")))
+      .select(unix_timestamp(col("win_start")).as("win_start"),
+        col("event_type"), col("n"), col("v").cast("double").as("v"))
+      .orderBy(col("win_start"), col("event_type")),
+    Some("""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
+  /** ST2's batch twin: [[graft.streaming.StreamOps.streamingExactDedup]]
+    * verbatim (event time synthesized from doc_id). Which duplicate row
+    * survives a batch Deduplicate is partition-order-dependent, so the
+    * gated projection is the deterministic part: the distinct content
+    * hashes that pass.
+    */
+  private val q66 = Q("q66_stream_dedup_twin",
+    (s, dir) => graft.streaming.StreamOps
+      .streamingExactDedup(t(s, dir, "documents")
+        .withColumn("ts", timestamp_seconds(col("doc_id"))))
+      .select(col("content_hash")).orderBy(col("content_hash")),
+    Some("""
+      SELECT DISTINCT md5(text) AS content_hash
+      FROM documents ORDER BY content_hash"""))
+
+  /** ST5's batch twin: [[graft.streaming.StreamOps.streamingNearDedup]]
+    * verbatim — one row per distinct min-gram-hash fingerprint, plus an
+    * undeduped NULL-fingerprint row per sub-k-token doc (the
+    * pass-through branch).
+    */
+  private val q67 = Q("q67_stream_neardedup_twin",
+    (s, dir) => graft.streaming.StreamOps
+      .streamingNearDedup(t(s, dir, "documents")
+        .withColumn("ts", timestamp_seconds(col("doc_id"))), shingleK = 5)
+      .select(col("fingerprint")).orderBy(col("fingerprint")),
+    Some(s"""
+      WITH $ToksCte, $TokhCte,
+      grams AS (
+        SELECT doc_id,
+               ${gramSqlExpr(5, graft.llm.TextFns.shingleCoef)} * 2147483648
+                 + ${gramSqlExpr(5, graft.llm.TextFns.shingleCoefB)} AS gh
+        FROM tokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      fp AS (SELECT doc_id, min(gh) AS fp
+             FROM grams WHERE gh IS NOT NULL GROUP BY doc_id)
+      SELECT DISTINCT fp AS fingerprint FROM fp
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT) AS fingerprint
+      FROM toks WHERE len(w) < 5"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
+    q65, q66, q67)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -35,6 +35,17 @@ object StreamOps {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("v"))
 
+  /** Watermark-bounded dedup that is ACTUALLY source-agnostic:
+    * streaming inputs get `dropDuplicatesWithinWatermark` (state
+    * reclaimed past the horizon), batch inputs lower to plain
+    * `dropDuplicates` — the fixpoint the incremental form converges to
+    * on a complete input, and the lowering Spark refuses to do itself
+    * (`dropDuplicatesWithinWatermark` throws on batch frames).
+    */
+  private def dedupWithinWatermark(df: DataFrame, key: String): DataFrame =
+    if (df.isStreaming) df.dropDuplicatesWithinWatermark(key)
+    else df.dropDuplicates(key)
+
   /** Streaming exact dedup (the streaming twin of q27): first
     * occurrence of each content hash passes, duplicates arriving within
     * the watermark window are dropped, and hash state older than the
@@ -44,10 +55,11 @@ object StreamOps {
   def streamingExactDedup(
       docs: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame =
-    docs
-      .withColumn("content_hash", md5(col("text")))
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("content_hash")
+    dedupWithinWatermark(
+      docs
+        .withColumn("content_hash", md5(col("text")))
+        .withWatermark("ts", watermarkDelay),
+      "content_hash")
 
   /** Streaming NEAR-dedup (the streaming twin of the q34 fingerprint
     * candidates): each row gets its min-gram-hash fingerprint
@@ -67,8 +79,7 @@ object StreamOps {
       .withColumn("fingerprint",
         graft.llm.TextFns.fingerprint(col("text"), shingleK))
       .withWatermark("ts", watermarkDelay)
-    fp.filter(col("fingerprint").isNotNull)
-      .dropDuplicatesWithinWatermark("fingerprint")
+    dedupWithinWatermark(fp.filter(col("fingerprint").isNotNull), "fingerprint")
       .unionByName(fp.filter(col("fingerprint").isNull))
   }
 
