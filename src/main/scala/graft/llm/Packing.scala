@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GPT-style sequence packing: conceptually concatenate the corpus's
+  * token stream in doc_id order and cut fixed `blockSize`-token
+  * training blocks; emit which docs land in which block (a doc
+  * straddling a boundary appears in both). This is the standard
+  * "concat-then-chunk" batching used to build training sequences —
+  * the curation step between a cleaned corpus and a dataloader.
+  *
+  * THE GLOBAL PREFIX SUM IS THE SCALE HAZARD: `sum() OVER (ORDER BY
+  * doc_id)` with no PARTITION BY funnels the whole corpus through one
+  * partition. This implementation is the classic two-phase scan
+  * instead:
+  *
+  *  1. docs aggregate into coarse `groupWidth`-wide doc_id groups →
+  *     per-group token totals (corpus/groupWidth rows — tiny);
+  *  2. ONE window over those group totals yields each group's global
+  *     starting offset (single-partition, but over the tiny relation);
+  *  3. the offsets broadcast-join back and the per-doc running sum
+  *     windows PARTITION BY group — embarrassingly parallel.
+  *
+  * Every wide operation is keyed (group id); the only unpartitioned
+  * window touches ~n/groupWidth rows.
+  */
+object Packing {
+
+  /** Per-block assignment summary: `(block_id, n_docs,
+    * n_block_tokens, first_doc, last_doc)`, where `n_block_tokens`
+    * counts the tokens each block actually holds (= blockSize for
+    * every block except the last). Docs with zero tokens occupy no
+    * block positions and are dropped.
+    */
+  def packBlocks(
+      docs: DataFrame,
+      blockSize: Long,
+      groupWidth: Long = 4096): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    val toks = TextDedup.spread(docs, "doc_id")
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .withColumn("grp", expr(s"doc_id div $groupWidth"))
+
+    val offsets = toks.groupBy(col("grp")).agg(sum(col("nt")).as("gtot"))
+      .withColumn("goff",
+        coalesce(
+          sum(col("gtot")).over(Window.orderBy(col("grp"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("gtot")
+
+    val placed = toks
+      .join(broadcast(offsets), Seq("grp"))
+      .withColumn("start",
+        col("goff") + coalesce(
+          sum(col("nt")).over(Window.partitionBy(col("grp"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("nt") > 0) // zero-token docs span no block (and an
+      //  empty span would make sequence() below count DOWN, not empty)
+      .withColumn("block_id", explode(sequence(
+        expr(s"start div $blockSize"),
+        expr(s"(start + nt - 1) div $blockSize"))))
+
+    placed
+      .groupBy(col("block_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(
+          least(col("start") + col("nt"), (col("block_id") + 1) * blockSize) -
+            greatest(col("start"), col("block_id") * blockSize))
+          .as("n_block_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("block_id"))
+  }
+}

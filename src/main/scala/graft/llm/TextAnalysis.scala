@@ -86,6 +86,41 @@ object TextAnalysis {
         col("mean_tok_len") <= maxMeanTokLen)
       .orderBy(col("doc_id"))
 
+  /** Per-document repetition signals — the Gopher/FineWeb-style
+    * "repetitious text" family a curation pipeline thresholds on
+    * alongside [[qualityScores]]:
+    *  - `top_token_frac`: occurrences of the most frequent token ÷
+    *    n_tokens (high → "spam spam spam" pages);
+    *  - `top_bigram_frac`: occurrences of the most frequent word
+    *    bigram ÷ (n_tokens - 1); NULL when the doc has < 2 tokens.
+    * Only the max COUNT is surfaced (not which token), so ties cost no
+    * determinism. Empty docs drop out (no token rows). Shape: explode
+    * + two keyed aggregations per signal — all shuffles are on doc_id
+    * (or its prefix), partial-aggregated map-side; nothing is
+    * corpus-global.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val d = TextDedup.spread(docs, "doc_id")
+    val uni = d
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_uni"))
+    val bi = d
+      .select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bi"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("max_uni").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (col("max_bi").cast("double") / (col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token frequency: the corpus's top-`k` tokens by occurrence count
     * with document frequency (deterministic order: count desc, token).
     */

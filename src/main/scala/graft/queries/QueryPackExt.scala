@@ -1099,10 +1099,109 @@ object QueryPackExt {
       SELECT CAST(NULL AS BIGINT) AS fingerprint
       FROM toks WHERE len(w) < 5"""))
 
+  /** Gopher/FineWeb-style repetition signals: most-frequent-token and
+    * most-frequent-bigram fractions per doc (the "repetitious text"
+    * curation thresholds). Only max COUNTS surface, so frequency ties
+    * cost no determinism; sub-2-token docs have a NULL bigram frac in
+    * both engines.
+    */
+  private val q68 = Q("q68_repetition_signals",
+    (s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents")),
+    Some(s"""
+      WITH $ToksCte,
+      u AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+      uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+      ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    max(c) AS max_uni
+             FROM uc GROUP BY 1),
+      b AS (SELECT doc_id, w[gs] || ' ' || w[gs + 1] AS bg
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS gs) g),
+      bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+      ba AS (SELECT doc_id, max(c) AS max_bi FROM bc GROUP BY 1)
+      SELECT ua.doc_id, n_tokens,
+             CAST(max_uni AS DOUBLE) / n_tokens AS top_token_frac,
+             CAST(max_bi AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac
+      FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+      ORDER BY ua.doc_id"""))
+
+  /** PII redaction audit over documents with deterministic synthetic
+    * PII appended (the corpus itself is clean): email, IPv4, and a
+    * phone-ish digit run per doc. Both engines run the SAME RE2-safe
+    * patterns in the same fixed order; the redacted text is gated via
+    * its md5.
+    */
+  private val q69 = Q("q69_pii_redaction",
+    (s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 tel +1 555-000-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      graft.llm.Pii.redactDocs(aug)
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("text")).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555-000-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents),
+      s1 AS (SELECT doc_id, text,
+                    regexp_replace(text, '${Pii.EmailRe}', '${Pii.EmailTag}',
+                                   'g') AS t1
+             FROM aug),
+      s2 AS (SELECT doc_id, text, t1,
+                    regexp_replace(t1, '${Pii.Ipv4Re}', '${Pii.IpTag}',
+                                   'g') AS t2
+             FROM s1)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t1, '${Pii.Ipv4Re}')) AS BIGINT)
+               AS n_ips,
+             CAST(len(regexp_extract_all(t2, '${Pii.PhoneRe}')) AS BIGINT)
+               AS n_phones,
+             md5(regexp_replace(t2, '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g'))
+               AS redacted_hash
+      FROM s2 ORDER BY doc_id"""))
+
+  /** GPT-style sequence packing (concat-then-chunk into 512-token
+    * blocks) via the two-phase distributed prefix sum in
+    * [[graft.llm.Packing]]; groupWidth=64 so the group-offset path is
+    * genuinely exercised. The oracle is the PLAIN global cumsum — the
+    * two-phase decomposition must be value-identical.
+    */
+  private val q70 = Q("q70_sequence_packing",
+    (s, dir) => graft.llm.Packing
+      .packBlocks(t(s, dir, "documents"), blockSize = 512, groupWidth = 64),
+    Some(s"""
+      WITH $ToksCte,
+      n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt FROM toks),
+      c AS (SELECT doc_id, nt,
+                   CAST(sum(nt) OVER (ORDER BY doc_id) - nt AS BIGINT) AS s
+            FROM n),
+      b AS (SELECT doc_id, nt, s, gs AS block_id
+            FROM c,
+                 LATERAL (SELECT unnest(generate_series(
+                   s // 512, (s + nt - 1) // 512)) AS gs) g
+            WHERE nt > 0)
+      SELECT block_id, count(*) AS n_docs,
+             CAST(sum(LEAST(s + nt, (block_id + 1) * 512)
+                      - GREATEST(s, block_id * 512)) AS BIGINT)
+               AS n_block_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b GROUP BY 1 ORDER BY block_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67)
+    q65, q66, q67, q68, q69, q70)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

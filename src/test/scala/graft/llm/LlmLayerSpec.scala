@@ -404,6 +404,45 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       maxBucketWidth = Some(3)).count() === 0) // width-4 bucket dropped
   }
 
+  test("repetition signals: spammy docs score high; 1-token doc null bigram") {
+    val c = docs(1L -> "spam spam spam spam", 2L -> "a fresh take on things",
+      3L -> "hi")
+    val out = TextAnalysis.repetitionSignals(c).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(2) === 1.0) // 4/4 "spam"
+    assert(out(1L).getDouble(3) === 1.0) // "spam spam" 3/(4-1)
+    assert(out(2L).getDouble(2) === 0.2) // all distinct: 1/5
+    assert(out(2L).getDouble(3) === 0.25)
+    assert(out(3L).getLong(1) === 1L && out(3L).isNullAt(3))
+  }
+
+  test("PII redaction replaces email/ip/phone in order and counts each") {
+    val c = docs(
+      1L -> ("mail bob.smith@corp.example.org server 192.168.1.100 " +
+        "call +44 20 7946 0958 end"),
+      2L -> "clean text only")
+    val out = Pii.redactDocs(c).collect().map(r => r.getLong(0) -> r).toMap
+    val t1 = out(1L).getAs[String]("text")
+    assert(t1 === ("mail <EMAIL> server <IP> call <PHONE> end"))
+    assert(out(1L).getAs[Long]("n_emails") === 1L)
+    assert(out(1L).getAs[Long]("n_ips") === 1L)
+    assert(out(1L).getAs[Long]("n_phones") === 1L)
+    assert(out(2L).getAs[String]("text") === "clean text only")
+    assert(out(2L).getAs[Long]("n_emails") === 0L)
+  }
+
+  test("sequence packing: full blocks, straddlers span, empty docs vanish") {
+    // token stream: d1[0,3) d2[3,7) d4[7,12) d5[12,13); blocks of 5
+    val c = docs(1L -> "a b c", 2L -> "d e f g", 3L -> "",
+      4L -> "h i j k l", 5L -> "m")
+    val out = Packing.packBlocks(c, blockSize = 5, groupWidth = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L, 2L)) // n_docs
+    assert(out.map(_.getLong(2)).toSeq === Seq(5L, 5L, 3L)) // block tokens
+    assert(out.map(r => (r.getLong(3), r.getLong(4))).toSeq ===
+      Seq((1L, 2L), (2L, 4L), (4L, 5L)))
+  }
+
   test("sign-sketch width derives from corpus size, not a constant") {
     // a billion-vector corpus must NOT get a handful of buckets
     assert(Similarity.derivedBits(1_000_000_000L) === 20) // maxBits clamp
