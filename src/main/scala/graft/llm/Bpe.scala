@@ -64,11 +64,25 @@ object Bpe {
       array_join(TextFns.regexTokens(text), Sep),
       s"([^$Sep])", s"$L$$1$R")
 
+  /** Merge tokens must not contain the wrapper/boundary chars (they
+    * would corrupt the wrapped encoding itself, in BOTH encoders).
+    * Checked once per pipeline build — learned tables can't produce
+    * them (non-word chars never enter a merge) but a hand-written
+    * table could.
+    */
+  private def validateMerges(merges: Seq[(String, String)]): Unit =
+    merges.foreach { case (a, b) =>
+      require(!(a + b).exists(c => c == '⟨' || c == '⟩' || c == '¦'),
+        s"merge tokens may not contain wrapper chars ⟨⟩¦: ($a, $b)")
+    }
+
   /** The wrapped string after all merges applied in rank order. */
-  def mergedColumn(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column =
+  def mergedColumn(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column = {
+    validateMerges(merges)
     merges.foldLeft(wrapColumn(text)) { case (acc, (a, b)) =>
       call_function("replace", acc, lit(s"$L$a$R$L$b$R"), lit(s"$L$a$b$R"))
     }
+  }
 
   /** BPE token array under `merges` — codegen'd scalar pipeline. */
   def tokens(text: Column, merges: Seq[(String, String)] = DefaultMerges): Column =
@@ -87,14 +101,18 @@ object Bpe {
     * oracle reproduces token values exactly.
     */
   def mergedSql(textExpr: String, merges: Seq[(String, String)] = DefaultMerges): String = {
-    // NB: DuckDB single-quoted strings are escape-free, so the Java
-    // regex (`\s` and all) is passed through verbatim — the same raw
-    // interpolation q51's token mirror uses.
+    validateMerges(merges)
+    // NB: DuckDB single-quoted strings are escape-free (no backslash
+    // escapes), so the Java regex (`\s` and all) passes through
+    // verbatim — the same raw interpolation q51's token mirror uses.
+    // The ONE char that needs escaping is the quote itself, doubled:
+    // a merge token containing ' would otherwise break the literal.
+    def q(s: String) = s.replace("'", "''")
     val pattern = TextFns.BpeTokenPattern
     val wrapped = s"regexp_replace(array_to_string(regexp_extract_all(" +
       s"lower($textExpr), '$pattern'), '$Sep'), '([^$Sep])', '$L\\1$R', 'g')"
     merges.foldLeft(wrapped) { case (acc, (a, b)) =>
-      s"replace($acc, '$L$a$R$L$b$R', '$L$a$b$R')"
+      s"replace($acc, '$L${q(a)}$R$L${q(b)}$R', '$L${q(a)}${q(b)}$R')"
     }
   }
 

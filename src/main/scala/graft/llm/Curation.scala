@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation flagship: the single operator
+  * a corpus owner actually runs, chaining the curation pillars in the
+  * canonical order —
+  *
+  *   seeded sample → benchmark decontamination → 3-stage dedup
+  *   (exact / prefix / MinHash-LSH) → quality filter → sequence
+  *   packing
+  *
+  * — and returning the packed-block summary of the surviving corpus.
+  *
+  * Stage order IS the scale design: stages strictly shrink the corpus
+  * before the next, and the cheap ones run first. Sampling is a
+  * shuffle-free codegen'd filter that fuses into the scan
+  * ([[Sampling.sampleCorpus]]); decontamination's eval-gram side is
+  * broadcast-sized ([[Decontaminate]]); dedup's only pair generation
+  * is the banded LSH join ([[TextDedup.dedupPipeline]],
+  * `maxBucketWidth`-cappable); the quality filter is explode +
+  * keyed aggregation ([[TextAnalysis.qualityFilter]]); and packing's
+  * only unpartitioned window runs over n/groupWidth group rows
+  * ([[Packing.packBlocks]]). Each stage hands the next only a
+  * `doc_id` keep-list, joined back to the (already-filtered) corpus —
+  * wide document rows are never carried through a stage's own
+  * shuffles.
+  *
+  * Oracled end-to-end as q72 (the strongest regression net over the
+  * whole llm/ layer: a value drift in ANY pillar shifts the packed
+  * blocks and fails the hash compare).
+  */
+object Curation {
+
+  /** Curate `docs` against `evalDocs` and pack the survivors into
+    * `blockSize`-token training blocks. Parameter defaults match the
+    * individually-oracled stage queries (q54/q59/q60/q62/q70), so the
+    * composition is exactly the audited pillars chained.
+    */
+  def curate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      sampleFraction: Double = 0.9,
+      sampleSeed: String = "curate",
+      decontamShingleK: Int = 3,
+      maxOverlap: Double = 0.2,
+      dedupShingleK: Int = 3,
+      nHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      prefixK: Int = 5,
+      maxBucketWidth: Option[Int] = None,
+      minTokens: Long = 5,
+      minTtr: Double = 0.3,
+      maxStopwordRatio: Double = 0.5,
+      minMeanTokLen: Double = 2.0,
+      maxMeanTokLen: Double = 12.0,
+      blockSize: Long = 512,
+      groupWidth: Long = 4096): DataFrame = {
+    val sampled = Sampling.sampleCorpus(docs, sampleFraction, sampleSeed)
+    val clean = sampled.join(
+      Decontaminate
+        .decontaminate(sampled, evalDocs, decontamShingleK, maxOverlap)
+        .select(col("doc_id")),
+      Seq("doc_id"))
+    val unique = clean.join(
+      TextDedup.dedupPipeline(clean, dedupShingleK, nHashes, bands,
+        threshold, prefixK, maxBucketWidth),
+      Seq("doc_id"))
+    val good = unique.join(
+      TextAnalysis.qualityFilter(unique, minTokens, minTtr,
+        maxStopwordRatio, minMeanTokLen, maxMeanTokLen)
+        .select(col("doc_id")),
+      Seq("doc_id"))
+    Packing.packBlocks(good, blockSize, groupWidth)
+  }
+}

@@ -69,17 +69,22 @@ object Similarity {
   }
 
   /** `bits` if explicit, else [[derivedBits]] of the corpus row count,
-    * further capped by the embedding dimension (the sketch reads
-    * leading dimensions; ANSI `element_at` past the end would throw).
-    * Costs one count + one `take(1)` at plan time — metadata-cheap next
+    * further capped by the MINIMUM embedding dimension (the sketch
+    * reads leading dimensions; ANSI `element_at` past the end would
+    * throw, so a ragged corpus must be sized by its shortest vector,
+    * and a NULL embedding must not throw at plan time). Costs ONE
+    * aggregate job (count + null-filtered min) — metadata-cheap next
     * to the pair join it sizes; callers that know their corpus pass
-    * `bits` explicitly and skip both jobs.
+    * `bits` explicitly and skip it.
     */
   private def resolveBits(emb: DataFrame, bits: Int): Int =
     if (bits > 0) bits
-    else emb.select(size(col("embedding")).as("d")).take(1) match {
-      case Array(row) => math.max(1, math.min(row.getInt(0), derivedBits(emb.count())))
-      case _ => 1 // empty corpus: any width yields zero pairs
+    else {
+      val row = emb.agg(
+        count(lit(1)).as("n"),
+        min(size(col("embedding"))).as("min_dim")).head()
+      if (row.getLong(0) == 0L || row.isNullAt(1)) 1 // empty / all-NULL corpus
+      else math.max(1, math.min(row.getInt(1), derivedBits(row.getLong(0))))
     }
 
   /** Exact brute-force cosine top-k against an EXPLICIT query set —

@@ -82,20 +82,31 @@ object TextFns {
     */
   def shingleCoefB(j: Int): Long = 2000029L + 193L * j
 
+  /** The per-token 31-bit hash array — materialize this as a REAL
+    * column (one `withColumn`) before calling [[fingerprintFromHashes]]
+    * on it. Inlining it into the gram HOF instead is quadratic: the
+    * lambda references the array ~2k× per output element, and without
+    * common-subexpression elimination the whole tokenize+md5 pipeline
+    * re-runs per reference (measured: >500 s for a corpus-wide scan
+    * that takes ~1 s with the array concrete). `CollapseProject` will
+    * NOT fuse the two projections back together — the alias is
+    * non-cheap and multiply-referenced.
+    */
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => hash31(t))
+
   /** Per-row document fingerprint (minimum 62-bit packed polynomial
-    * k-gram hash) as ONE column expression — the stateless,
-    * streaming-safe twin of the batch fingerprint in
+    * k-gram hash) over a CONCRETE token-hash array column — the
+    * stateless, streaming-safe twin of the batch fingerprint in
     * `TextDedup.fingerprintPairs` (which assembles grams with window
     * `lead`s; window functions don't exist on streaming DataFrames).
     * Same token hashes, same coefficient families, same packing —
     * values are identical (asserted in StreamOpsSpec), so a streaming
     * dedup keyed on this column agrees with a batch backfill. NULL for
-    * docs with fewer than k tokens. The HOF form is per-element
-    * interpreted — fine at one row per stream record; use the batch
-    * path for corpus-wide scans.
+    * docs with fewer than k tokens. `element_at` on an attribute is a
+    * cheap array lookup, so per-row cost is O(tokens × k) — safe on
+    * corpus-wide scans AND per stream event.
     */
-  def fingerprint(text: Column, k: Int): Column = {
-    val hs = transform(tokens(text), t => hash31(t))
+  def fingerprintFromHashes(hs: Column, k: Int): Column = {
     def gram(coef: Int => Long)(i: Column) = (0 until k).map(j =>
         (element_at(hs, i + lit(j + 1)) * lit(coef(j))) % lit(MinhashP))
       .reduce(_ + _) % lit(MinhashP)
@@ -103,5 +114,14 @@ object TextFns {
       i => gram(shingleCoef)(i) * lit(1L << 31) + gram(shingleCoefB)(i))
     when(size(hs) >= k, array_min(packed)).otherwise(lit(null).cast("long"))
   }
+
+  /** Single-expression convenience form of the fingerprint. ONLY for
+    * one-off scalar use (e.g. fingerprinting a literal): on a table
+    * scan the inlined token-hash array makes it quadratic — use
+    * `withColumn("hs", tokenHashes(text))` +
+    * [[fingerprintFromHashes]] instead (see [[tokenHashes]]).
+    */
+  def fingerprint(text: Column, k: Int): Column =
+    fingerprintFromHashes(tokenHashes(text), k)
 
 }

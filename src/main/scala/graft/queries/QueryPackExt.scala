@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.embl.FlagshipFixture
-import graft.llm.{Similarity, TextAnalysis, TextDedup}
+import graft.llm.{Pii, Similarity, TextAnalysis, TextDedup}
 import QueryPack.Q
 
 /** Extension-layer query pack: the LLM-data-pipeline operators (dedup /
@@ -1147,10 +1147,10 @@ object QueryPackExt {
     Some(s"""
       WITH aug AS (
         SELECT doc_id,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com from 10.0.'
-                    || CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555-000-'
-                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                    '@example.com from 10.0.' ||
+                    CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555-000-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
         FROM documents),
       s1 AS (SELECT doc_id, text,
                     regexp_replace(text, '${Pii.EmailRe}', '${Pii.EmailTag}',
@@ -1198,10 +1198,134 @@ object QueryPackExt {
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM b GROUP BY 1 ORDER BY block_id"""))
 
+  /** Stratified sampling ([[graft.llm.Sampling.stratifiedSample]]):
+    * an independent seeded fraction per `lang` stratum (keep all
+    * Chinese, 30% English, 5% German; other languages fall back to
+    * the 50% default) — the per-stratum threshold is one CASE over
+    * the strata column on BOTH engines, same md5 arithmetic as q62.
+    */
+  private val q71 = Q("q71_stratified_sample",
+    (s, dir) => graft.llm.Sampling
+      .stratifiedSample(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.3, "zh" -> 1.0, "de" -> 0.05),
+        seed = "7", defaultFraction = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, lang
+      FROM documents
+      WHERE ${h60("concat('7', '|', CAST(doc_id AS VARCHAR))")} % 1000000 <
+            CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 1000000
+                      WHEN 'de' THEN 50000 ELSE 500000 END
+      ORDER BY doc_id"""))
+
+  /** The curation FLAGSHIP ([[graft.llm.Curation.curate]]): seeded
+    * sample → decontaminate (vs the every-20th-doc eval slice) →
+    * 3-stage dedup → quality filter → sequence packing, end to end —
+    * the single query a training-data user actually runs, and the
+    * strongest regression net over the llm/ layer (a value drift in
+    * ANY pillar shifts the packed blocks and fails the hash). The
+    * mirror chains the SAME CTE stacks as the stage queries
+    * q62/q60/q54/q59/q70: `c`-prefixed gram CTEs for decontamination,
+    * the unprefixed gram + MinHash stack (via [[gramCtes]] /
+    * [[minhashPairCtes]]) for the dedup stage, then quality and the
+    * plain-global-cumsum packing.
+    */
+  private val q72 = Q("q72_curation_flagship",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.Curation.curate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        sampleFraction = 0.9, sampleSeed = "curate",
+        blockSize = 512, groupWidth = 64)
+    },
+    Some(s"""
+      WITH samp AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 20 <> 0
+          AND ${h60("concat('curate', '|', CAST(doc_id AS VARCHAR))")}
+              % 1000000 < 900000),
+      ctoks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM samp),
+      ctokh AS (
+        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
+        FROM ctoks,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      cgrams AS (
+        SELECT doc_id, ${gramSqlExpr(3, graft.llm.TextFns.shingleCoef)} AS gh
+        FROM ctokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      csh AS (SELECT DISTINCT doc_id, gh FROM cgrams WHERE gh IS NOT NULL),
+      evtoks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id % 20 = 0),
+      evtokh AS (
+        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
+        FROM evtoks,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      evgrams AS (
+        SELECT doc_id, ${gramSqlExpr(3, graft.llm.TextFns.shingleCoef)} AS gh
+        FROM evtokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      evg AS (SELECT DISTINCT gh FROM evgrams WHERE gh IS NOT NULL),
+      csizes AS (SELECT doc_id, count(*) AS n_grams FROM csh GROUP BY doc_id),
+      chits AS (SELECT s.doc_id, count(*) AS n_hit
+                FROM csh s JOIN evg e ON s.gh = e.gh GROUP BY s.doc_id),
+      dk AS (
+        SELECT samp.doc_id FROM samp
+        LEFT JOIN csizes USING (doc_id)
+        LEFT JOIN chits USING (doc_id)
+        WHERE CASE WHEN csizes.n_grams IS NULL THEN 0.0
+                   ELSE CAST(coalesce(chits.n_hit, 0) AS DOUBLE)
+                        / csizes.n_grams END <= 0.2),
+      s1 AS (
+        SELECT min(d.doc_id) AS doc_id
+        FROM samp d JOIN dk USING (doc_id) GROUP BY md5(d.text)),
+      toks0 AS (
+        SELECT d.doc_id,
+               list_filter(string_split(lower(d.text), ' '), x -> x <> '') AS w
+        FROM samp d JOIN s1 USING (doc_id)),
+      s2 AS (
+        SELECT min(doc_id) AS doc_id FROM (
+          SELECT doc_id, md5(array_to_string(list_slice(w, 1, 5), ' ')) AS pk
+          FROM toks0) z
+        GROUP BY pk),
+      toks AS (SELECT t.doc_id, t.w FROM toks0 t JOIN s2 USING (doc_id)),
+      ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
+      dd AS (SELECT doc_id FROM s2
+             WHERE doc_id NOT IN (SELECT db FROM pairs)),
+      q AS (
+        SELECT doc_id, w FROM (
+          SELECT t.doc_id, t.w FROM toks0 t JOIN dd USING (doc_id)) z
+        WHERE len(w) >= 5
+          AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3
+          AND CAST(len(list_filter(w,
+                x -> list_contains(['the','a','of','and','to'], x)))
+              AS DOUBLE) / len(w) <= 0.5
+          AND CAST(list_sum(list_transform(w, x -> length(x)))
+              AS DOUBLE) / len(w) >= 2.0
+          AND CAST(list_sum(list_transform(w, x -> length(x)))
+              AS DOUBLE) / len(w) <= 12.0),
+      n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt FROM q),
+      c AS (SELECT doc_id, nt,
+                   CAST(sum(nt) OVER (ORDER BY doc_id) - nt AS BIGINT) AS s
+            FROM n),
+      b AS (SELECT doc_id, nt, s, gs AS block_id
+            FROM c,
+                 LATERAL (SELECT unnest(generate_series(
+                   s // 512, (s + nt - 1) // 512)) AS gs) g
+            WHERE nt > 0)
+      SELECT block_id, count(*) AS n_docs,
+             CAST(sum(LEAST(s + nt, (block_id + 1) * 512)
+                      - GREATEST(s, block_id * 512)) AS BIGINT)
+               AS n_block_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b GROUP BY 1 ORDER BY block_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70)
+    q65, q66, q67, q68, q69, q70, q71, q72)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

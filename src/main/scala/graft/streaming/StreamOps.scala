@@ -63,24 +63,48 @@ object StreamOps {
 
   /** Streaming NEAR-dedup (the streaming twin of the q34 fingerprint
     * candidates): each row gets its min-gram-hash fingerprint
-    * ([[graft.llm.TextFns.fingerprint]] — the stateless column twin of
-    * the batch window formulation, identical values), and rows whose
-    * fingerprint was already seen within the watermark are dropped.
-    * Docs with < k tokens have no fingerprint and pass through
-    * undeduped (they'd collide on NULL otherwise). State is one
+    * ([[graft.llm.TextFns.fingerprintFromHashes]] — the stateless
+    * column twin of the batch window formulation, identical values),
+    * and rows whose fingerprint was already seen within the watermark
+    * are dropped. Docs with < k tokens have no fingerprint and pass
+    * through undeduped (they'd collide on NULL otherwise). State is one
     * fingerprint per distinct doc within the watermark horizon —
     * bounded, and partitioned by fingerprint hash across executors.
+    *
+    * Two plan-shape rules keep this NON-quadratic (it shipped
+    * quadratic twice — measured 430 s vs ~1 s at sf0.1):
+    *  1. the token-hash array is materialized as its own column, so
+    *     the gram HOF's ~2k `element_at` references per output element
+    *     hit a concrete attribute instead of re-running tokenize+md5
+    *     per reference ([[graft.llm.TextFns.tokenHashes]]);
+    *  2. the short-doc split filters on `size(_tok_hashes) < k` — NOT
+    *     on `fingerprint IS NULL`: `PushDownPredicates` substitutes a
+    *     filtered alias's FULL defining expression into the pushed
+    *     filter condition, so a nullness filter on the fingerprint
+    *     re-inlines the whole quadratic expression into a Filter that
+    *     runs per input row. The two conditions are equivalent by
+    *     construction (the fingerprint is NULL iff the doc has < k
+    *     tokens).
     */
   def streamingNearDedup(
       docs: DataFrame,
       shingleK: Int = 5,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val fp = docs
+    // token COUNT (no hashing) as the split predicate: it's the
+    // expression the pushed Filter will inline, so it must be the
+    // cheapest form that decides the branch
+    val nTok = size(graft.llm.TextFns.tokens(col("text")))
+    val wm = docs.withWatermark("ts", watermarkDelay)
+    val enough = wm
+      .filter(nTok >= shingleK)
+      .withColumn("_tok_hashes", graft.llm.TextFns.tokenHashes(col("text")))
       .withColumn("fingerprint",
-        graft.llm.TextFns.fingerprint(col("text"), shingleK))
-      .withWatermark("ts", watermarkDelay)
-    dedupWithinWatermark(fp.filter(col("fingerprint").isNotNull), "fingerprint")
-      .unionByName(fp.filter(col("fingerprint").isNull))
+        graft.llm.TextFns.fingerprintFromHashes(col("_tok_hashes"), shingleK))
+      .drop("_tok_hashes")
+    val short = wm
+      .filter(nTok < shingleK)
+      .withColumn("fingerprint", lit(null).cast("long"))
+    dedupWithinWatermark(enough, "fingerprint").unionByName(short)
   }
 
   /** Stream-STREAM interval join: each purchase matches the signups of
