@@ -1322,10 +1322,98 @@ object QueryPackExt {
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM b GROUP BY 1 ORDER BY block_id"""))
 
+  /** ST2's batch twin: [[graft.streaming.StreamOps.sessionize]]
+    * VERBATIM on the batch events table (`flatMapGroupsWithState` runs
+    * in batch mode as one state invocation per group). Batch emits
+    * only CLOSED sessions — each user's open tail session stays in
+    * state — so the mirror sessionizes per user (same `gap > 1800`
+    * boundary as q23) and drops each user's LAST session. Session
+    * boundaries depend only on second-level deltas, so intra-second
+    * event order cannot shift the gated values.
+    */
+  private val q73 = Q("q73_stream_sessionize_twin",
+    (s, dir) => {
+      import s.implicits._
+      val ev = QueryPack.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.StreamOps.UserEvent]
+      graft.streaming.StreamOps.sessionize(ev, gapSeconds = 1800)
+        .toDF()
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start"),
+          unix_timestamp(col("session_end")).as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+        FROM events),
+      m AS (
+        SELECT user_id, t, event_id,
+               CASE WHEN t - lag(t) OVER win IS NULL
+                      OR t - lag(t) OVER win > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id)),
+      g AS (
+        SELECT user_id, t,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m),
+      s AS (
+        SELECT user_id, sid, min(t) AS session_start, max(t) AS session_end,
+               count(*) AS n_events
+        FROM g GROUP BY user_id, sid)
+      SELECT user_id, session_start, session_end,
+             CAST(n_events AS BIGINT) AS n_events
+      FROM s
+      WHERE sid < (SELECT max(sid) FROM s s2 WHERE s2.user_id = s.user_id)
+      ORDER BY user_id, session_start"""))
+
+  /** ST6's batch twin:
+    * [[graft.streaming.StreamOps.streamStreamAttribution]] VERBATIM on
+    * batch purchase/signup slices of the events table (the
+    * EventTimeWatermark nodes are eliminated on batch inputs; the join
+    * itself — equi-key on user_id plus the time-range residual — plans
+    * identically). Timestamps are micros on the Spark side (`ts div
+    * 1000` in [[QueryPack.events]]), so the mirror compares
+    * `epoch_us`-floored integers — exact on both engines.
+    */
+  private val q74 = Q("q74_stream_attribution_twin",
+    (s, dir) => {
+      val ev = QueryPack.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"),
+          col("event_id").as("s_id"))
+      graft.streaming.StreamOps
+        .streamStreamAttribution(purchases, signups, windowSeconds = 3600)
+        .select(col("user_id"), col("p_id"), col("s_id"),
+          unix_timestamp(col("p_ts")).as("p_sec"),
+          unix_timestamp(col("s_ts")).as("s_sec"))
+        .orderBy(col("user_id"), col("p_id"), col("s_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'),
+      g AS (
+        SELECT user_id, event_id AS s_id, epoch_us(ts) AS s_us
+        FROM events WHERE event_type = 'signup')
+      SELECT p.user_id, p_id, s_id,
+             CAST(p_us // 1000000 AS BIGINT) AS p_sec,
+             CAST(s_us // 1000000 AS BIGINT) AS s_sec
+      FROM p JOIN g ON p.user_id = g.user_id
+         AND p_us >= s_us AND p_us <= s_us + 3600000000
+      ORDER BY p.user_id, p_id, s_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

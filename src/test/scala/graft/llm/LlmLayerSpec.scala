@@ -172,6 +172,22 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(greedyKept !== componentsKept.intersect(Set(12L, 13L, 15L)))
   }
 
+  test("duplicateComponents: deep chain exercises the maxIter rail") {
+    val s = spark
+    import s.implicits._
+    // a path graph 0-1-...-25: the min label advances one hop per
+    // round, so convergence needs ~diameter rounds — far past a small
+    // maxIter, within a generous one
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("da", "db")
+    val ex = intercept[IllegalStateException] {
+      TextDedup.duplicateComponents(chain, maxIter = 5)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val comp = TextDedup.duplicateComponents(chain, maxIter = 40).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 26 && comp.values.forall(_ == 0L))
+  }
+
   test("dedupPipeline Components mode: one survivor per transitive cluster") {
     val both = for (g <- Seq(TextDedup.Grouping.Greedy,
         TextDedup.Grouping.Components))
