@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Windows-INI database config, mirroring the reference CLI's
+  * `--db-config` contract (dask_tskmgr.py:80,92–120: configparser
+  * INI with a `[database]` section; `user`, `password`, `host`,
+  * `port` are required, and the database NAME arrives separately via
+  * `--db-name`). The engine's JDBC side input consumes the same file
+  * unchanged, so a user migrating from the reference keeps their
+  * config.
+  */
+object DbConfig {
+
+  /** Parsed `[database]` section. */
+  final case class Db(host: String, port: String, user: String, password: String) {
+    /** The Spark JDBC URL for `dbName` on this server. */
+    def jdbcUrl(dbName: String): String = s"jdbc:mysql://$host:$port/$dbName"
+  }
+
+  /** Minimal INI parser: `[section]` headers, `key = value` (or
+    * `key: value`) entries, `;`/`#` comment lines, blank lines
+    * ignored — the subset configparser accepts for these files. Keys
+    * are lower-cased like configparser's default transform.
+    */
+  def parseIni(text: String): Map[String, Map[String, String]] = {
+    val SectionRe = """\[([^\]]+)\]""".r
+    val EntryRe = """([^=:]+)[=:](.*)""".r
+    var section = ""
+    val out = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    text.linesIterator.map(_.trim).foreach {
+      case l if l.isEmpty || l.startsWith(";") || l.startsWith("#") => ()
+      case SectionRe(name) =>
+        section = name.trim
+        if (!out.contains(section)) out(section) = Map.empty
+      case EntryRe(k, v) if section.nonEmpty =>
+        out(section) = out(section) + (k.trim.toLowerCase -> v.trim)
+      case other =>
+        throw new IllegalArgumentException(s"unparseable INI line: '$other'")
+    }
+    out.toMap
+  }
+
+  /** Load the `[database]` section from an INI file, failing with the
+    * reference's message shape when a required key is missing
+    * (dask_tskmgr.py:118–120).
+    */
+  def load(path: String): Db = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    val sections = parseIni(text)
+    val db = sections.getOrElse("database",
+      throw new IllegalArgumentException(
+        s"--db-config file $path has no [database] section"))
+    def req(k: String): String = db.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"'$k' is missing from the --db-config file."))
+    Db(req("host"), req("port"), req("user"), req("password"))
+  }
+
+  /** The reference CLI's argument surface (dask_tskmgr.py:80–91),
+    * parsed from `args` when the first token is a flag; `null`-free
+    * option bag. Dask-scheduler-specific flags (`--scheduler-file`,
+    * `--tskmgr-log-file`, `--local-scratch`) are accepted and ignored
+    * — Spark owns scheduling; `--n-workers` maps to `local[n]`.
+    */
+  final case class CliArgs(
+      dbConfig: Option[String] = None,
+      dbName: Option[String] = None,
+      outputDir: Option[String] = None,
+      enaPaths: Seq[String] = Nil,
+      nWorkers: Option[Int] = None)
+
+  def parseCli(args: Seq[String]): CliArgs = {
+    def go(rest: List[String], acc: CliArgs): CliArgs = rest match {
+      case Nil => acc
+      case ("--db-config" | "-conf") :: v :: t => go(t, acc.copy(dbConfig = Some(v)))
+      case ("--db-name" | "-dbn") :: v :: t => go(t, acc.copy(dbName = Some(v)))
+      case ("--output-dir" | "-out") :: v :: t => go(t, acc.copy(outputDir = Some(v)))
+      case ("--n-workers" | "-nWorkers") :: v :: t => go(t, acc.copy(nWorkers = Some(v.toInt)))
+      case ("--scheduler-file" | "-s" | "--tskmgr-log-file" | "-log" |
+            "--local-scratch" | "-scratch") :: _ :: t => go(t, acc) // no-op under Spark
+      case "--ena-paths" :: t =>
+        val (paths, more) = t.span(!_.startsWith("-"))
+        go(more, acc.copy(enaPaths = acc.enaPaths ++ paths))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    go(args.toList, CliArgs())
+  }
+}

@@ -8,15 +8,28 @@ import graft.embl.{EnaPipeline, SegMetrics}
   * the reference's `ena_dask_tskmgr` console script
   * (reference pyproject.toml:23, dask_tskmgr.py:45-257).
   *
-  * Usage:
+  * Usage (positional form):
   *   EnaMain <outDir> <idmappingSource> <enaRoot> [<enaRoot> ...]
+  *
+  * Usage (reference-compatible flag form, dask_tskmgr.py:80-91):
+  *   EnaMain --db-config <ini> --db-name <db> --output-dir <dir>
+  *           --ena-paths <root> [<root> ...] [--n-workers n]
+  *
+  * The flag form reads the reference's Windows-INI `[database]`
+  * section (host/port/user/password — see [[DbConfig]]) and builds the
+  * MySQL JDBC source from it, so a migrating user's config file works
+  * unchanged; `--n-workers` maps to `local[n]`, and the dask-specific
+  * flags (`--scheduler-file`, `--tskmgr-log-file`, `--local-scratch`)
+  * are accepted and ignored — Spark owns scheduling and shuffle
+  * scratch.
   *
   * `idmappingSource` is either a parquet path or a JDBC URL
   * (`jdbc:...`) — the reference's MySQL side input
   * (mysql_database.py:92-117). For JDBC, credentials come from
-  * ENA_DB_USER / ENA_DB_PASSWORD and the table name from
-  * ENA_IDMAPPING_TABLE (default `idmapping`); rows stream with
-  * fetchsize=1000, matching the reference's cursor batching (S7).
+  * ENA_DB_USER / ENA_DB_PASSWORD (or the INI in flag form) and the
+  * table name from ENA_IDMAPPING_TABLE (default `idmapping`); rows
+  * stream with fetchsize=1000, matching the reference's cursor
+  * batching (S7).
   *
   * Env toggles: ENA_SINGLE_FILE=1 writes one globally ordered TSV
   * (the reference's `ena.tab` concat, S12/O2) instead of the parallel
@@ -29,8 +42,15 @@ import graft.embl.{EnaPipeline, SegMetrics}
   */
 object EnaMain {
 
-  /** S6/S7: idmapping side input from parquet snapshot or JDBC. */
-  def readIdmapping(spark: SparkSession, source: String): DataFrame =
+  /** S6/S7: idmapping side input from parquet snapshot or JDBC.
+    * Explicit credentials (the `--db-config` path) win over the
+    * ENA_DB_USER / ENA_DB_PASSWORD env fallbacks.
+    */
+  def readIdmapping(
+      spark: SparkSession,
+      source: String,
+      user: Option[String] = None,
+      password: Option[String] = None): DataFrame =
     if (source.startsWith("jdbc:")) {
       val base = spark.read.format("jdbc")
         .option("url", source)
@@ -47,9 +67,9 @@ object EnaMain {
             .option("upperBound", sys.env.getOrElse("ENA_JDBC_UPPER", "1000000000"))
         case _ => base
       }
-      val withUser = sys.env.get("ENA_DB_USER")
+      val withUser = user.orElse(sys.env.get("ENA_DB_USER"))
         .fold(reader)(u => reader.option("user", u))
-      val withPass = sys.env.get("ENA_DB_PASSWORD")
+      val withPass = password.orElse(sys.env.get("ENA_DB_PASSWORD"))
         .fold(withUser)(p => withUser.option("password", p))
       withPass.load().select(col("foreign_id"), col("uniprot_id"))
     } else {
@@ -74,14 +94,44 @@ object EnaMain {
       idmapping.limit(maxRows.toInt + 1).count() <= maxRows
     }
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: EnaMain <outDir> <idmappingSource> <enaRoot> [<enaRoot>...]")
-    val outDir = args(0)
-    val idmappingSource = args(1)
-    val roots = args.drop(2).toSeq
+  /** Resolved launch parameters from either argument form. */
+  final case class Launch(
+      outDir: String,
+      idmappingSource: String,
+      roots: Seq[String],
+      user: Option[String],
+      password: Option[String],
+      nWorkers: Option[Int])
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** Both CLI forms → one launch spec (flag form iff args lead with a
+    * flag). Separated from main() so the spec is unit-testable without
+    * a SparkSession.
+    */
+  def resolveArgs(args: Seq[String]): Launch =
+    if (args.headOption.exists(_.startsWith("-"))) {
+      val cli = DbConfig.parseCli(args)
+      def req[A](v: Option[A], flag: String): A = v.getOrElse(
+        throw new IllegalArgumentException(s"$flag is required"))
+      val conf = DbConfig.load(req(cli.dbConfig, "--db-config"))
+      val dbName = req(cli.dbName, "--db-name")
+      require(cli.enaPaths.nonEmpty, "--ena-paths requires at least one path")
+      Launch(req(cli.outputDir, "--output-dir"), conf.jdbcUrl(dbName),
+        cli.enaPaths, Some(conf.user), Some(conf.password), cli.nWorkers)
+    } else {
+      require(args.length >= 3,
+        "usage: EnaMain <outDir> <idmappingSource> <enaRoot> [<enaRoot>...] | " +
+          "EnaMain --db-config <ini> --db-name <db> --output-dir <dir> --ena-paths <root>...")
+      Launch(args(0), args(1), args.drop(2).toSeq, None, None, None)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val launch = resolveArgs(args.toSeq)
+    val outDir = launch.outDir
+    val idmappingSource = launch.idmappingSource
+    val roots = launch.roots
+
+    val cpus = launch.nWorkers.map(_.toString)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("ena-build")
@@ -93,7 +143,8 @@ object EnaMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val idmapping = readIdmapping(spark, idmappingSource)
+    val idmapping =
+      readIdmapping(spark, idmappingSource, launch.user, launch.password)
     // S8 connection preflight (dask_tskmgr.py:122-126): fail fast on bad
     // credentials/URL before the multi-hour scan launches
     if (idmappingSource.startsWith("jdbc:")) idmapping.limit(1).count()

@@ -62,8 +62,9 @@ object Curation {
     // Each stage's keep-list is localCheckpoint'd: downstream stages
     // consume their input corpus several times (dedup alone joins it
     // 4×), and without the barrier every consumer would re-run the
-    // upstream stage's full gram pipeline (measured 14.7 s → 6.6 s at
-    // sf0.1 — the composition now costs ≈ the sum of its stages). Only the doc_id lists are pinned — bytes-per-row tiny,
+    // upstream stage's full gram pipeline (isolated best-of-2 A/B at
+    // sf0.1: 18.6 s without the barrier → 6.9 s with it — the
+    // composition now costs ≈ the sum of its stages). Only the doc_id lists are pinned — bytes-per-row tiny,
     // broadcast-sized next to the corpus — while the wide corpus rows
     // are re-derived from the (columnar, pruned) scan + broadcast
     // id-list joins, which is the right trade at 100 TB versus
