@@ -68,4 +68,41 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     val p = planExt("q42_multimodal_meta")
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q67: no Filter node contains the gram-hash expression (432s regression shape)") {
+    // the near-dedup fingerprint must be evaluated in exactly one
+    // Project over the concrete token-hash array; a nullness (or any)
+    // predicate over the fingerprint column gets pushed down and
+    // re-inlines the whole quadratic expression into a per-row Filter
+    val qe = QueryPackExt.queries("q67_stream_neardedup_twin")(spark, sf)
+      .queryExecution
+    val filters = qe.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.toString
+    }
+    assert(filters.nonEmpty, "expected the short-doc split filters")
+    filters.foreach { c =>
+      assert(!c.contains("array_min") && !c.contains("2000029"),
+        s"fingerprint expression leaked into a Filter: ${c.take(200)}")
+    }
+  }
+
+  test("q72: curation flagship has no cartesian and checkpointed stage barriers") {
+    val p = planExt("q72_curation_flagship")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-stage keep-lists are materialized scans, not recomputed
+    // gram pipelines: the plan reads them back as checkpointed RDDs
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("q74: stream-stream attribution twin is an equi-join with a range residual") {
+    val p = planExt("q74_stream_attribution_twin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("q64: overlap count aggregates partially map-side (no pair rows shuffled)") {
+    val p = planExt("q64_count_overlaps")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // map-side partial aggregation
+  }
 }
