@@ -64,6 +64,13 @@ object Bench {
               false
           }
         val secs = (System.nanoTime() - t0) / 1e9
+        // OUTSIDE the timed region: drop blocks the query checkpointed
+        // or cached. Each run rebuilds its plan from scratch, so
+        // nothing legitimately survives a run — but localCheckpoint
+        // blocks (q61 CC rounds, q72 stage keep-lists) otherwise stay
+        // pinned for the REST OF THE SUITE, and the accumulated GC
+        // pressure inflated the late-alphabet queries ~2x.
+        graft.operators.Checkpoints.releaseLeaked(spark)
         if (ok) secs else -secs
       }
       val good = times.filter(_ > 0)

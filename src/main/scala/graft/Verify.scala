@@ -28,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent: blocks a query checkpointed (q61/q72)
+      // must not stay pinned while the remaining ~70 queries run
+      graft.operators.Checkpoints.releaseLeaked(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

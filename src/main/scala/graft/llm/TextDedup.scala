@@ -369,8 +369,12 @@ object TextDedup {
     * needed = component DIAMETER, and near-dup components are
     * shallow (dup clusters of one document family), so the fixpoint
     * lands in a handful of rounds. Each round `localCheckpoint`s to
-    * truncate the growing lineage, and convergence is detected with a
-    * bounded `limit(1)` probe (labels only ever decrease). `maxIter`
+    * truncate the growing lineage, and the SUPERSEDED round's pinned
+    * blocks are released as soon as the convergence probe has read
+    * them — without that, an N-round run holds N copies of the label
+    * set in executor memory for the rest of the session. Convergence
+    * is detected with a bounded `limit(1)` probe (labels only ever
+    * decrease). `maxIter`
     * is the safety rail for adversarially deep chains; hitting it
     * raises rather than silently returning unmerged labels. At
     * corpus scale every round is shuffle-keyed on doc id — no
@@ -405,9 +409,13 @@ object TextDedup {
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") < col("o.lbl"))
         .limit(1).count() == 0
+      graft.operators.Checkpoints.release(labels) // probe done — old round's blocks free
       labels = next
       iter += 1
     }
+    // edges fed every round but the RETURNED plan reads only the final
+    // labels checkpoint — release the edge blocks too
+    graft.operators.Checkpoints.release(edges)
     labels.select(col("id").as("doc_id"), col("lbl").as("component"))
       .orderBy(col("doc_id"))
   }
