@@ -59,6 +59,47 @@ object Sampling {
       when(bucketOf(seed, col(keyCol)) < threshold(valFraction), lit("val"))
         .otherwise(lit("train")))
 
+  /** Temperature-weighted source mixing — the standard pretraining
+    * data-mixture op: resample so the effective mixture over
+    * `sourceCol` is proportional to `n_s^alpha` instead of `n_s`
+    * (alpha < 1 flattens the mixture toward uniform; alpha = 1 is a
+    * no-op). The per-source keep fraction is
+    * `f_s = (n_min / n_s)^(1 - alpha)` — the smallest source is kept
+    * whole and larger sources are downsampled, so no source is ever
+    * upsampled (no row duplication, output is a pure subset).
+    *
+    * Row membership reuses the seeded md5 bucket of [[bucketOf]], so
+    * the mix is deterministic and engine-portable. Shape: one tiny
+    * per-source count aggregation (map-side partial, |sources| rows),
+    * broadcast back onto the corpus, then a codegen'd filter — the
+    * corpus is scanned twice but never shuffled. At warehouse scale
+    * the counts frame can be replaced by metastore statistics.
+    *
+    * Parity note: for `alpha = 0.5` the fraction is computed as
+    * `sqrt(n_min / n)` — a chain of correctly-rounded IEEE ops
+    * (divide, sqrt, multiply, floor), bit-identical across engines.
+    * Other alphas go through `pow`, which libm implementations may
+    * round differently in the last ulp; fine in production, but pin
+    * alpha = 0.5 when exact cross-engine parity matters.
+    */
+  def temperatureMix(
+      docs: DataFrame,
+      sourceCol: String,
+      alpha: Double,
+      seed: String,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("__n").cast("double")
+    val frac = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col(sourceCol), floor(frac * lit(Buckets.toDouble)).as("__thresh"))
+    docs.join(broadcast(thresholds), sourceCol)
+      .filter(bucketOf(seed, col(keyCol)) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Stratified sample: an independent seeded fraction per value of
     * `strataCol` (e.g. keep 100% of rare languages, 1% of English).
     * Strata absent from `fractions` fall back to `defaultFraction`.

@@ -132,6 +132,46 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Corpus-induced stopword signal: a token is a corpus stopword when
+    * its document frequency reaches `dfThreshold` (as a fraction of
+    * corpus size) — the data-driven counterpart of a fixed stopword
+    * list, and the detector for corpus-specific boilerplate (site
+    * headers, license blurbs) that no static list knows about. Emits
+    * per document the token count, the number of occurrences that are
+    * stopwords, and the stopword mass ratio — the curation signal
+    * (a doc that is mostly corpus-stopwords carries no information).
+    *
+    * Scale shape: explode → one keyed token aggregation for DF; the
+    * qualifying set is then broadcast back onto the exploded tokens.
+    * The broadcast is bounded by construction: sum(df) ≤ total token
+    * occurrences, so at most `avg_doc_len / dfThreshold` distinct
+    * tokens can qualify — independent of corpus size. The final
+    * per-doc aggregation partial-aggregates map-side on doc_id.
+    */
+  def corpusStopwordStats(
+      docs: DataFrame,
+      dfThreshold: Double): DataFrame = {
+    require(dfThreshold > 0.0 && dfThreshold <= 1.0,
+      "dfThreshold must be in (0, 1]")
+    val toks = TextDedup.spread(docs, "doc_id")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+    val stop = toks
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df").cast("double") >= col("__n_docs") * lit(dfThreshold))
+      .select(col("tok"), lit(1).as("__is_stop"))
+    toks.join(broadcast(stop), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__is_stop"), lit(0))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // marker-token sets per language for the ID heuristic
   private val EnMarkers = Seq("the", "a", "of")
   private val DeMarkers = Seq("der", "die", "und")

@@ -1410,10 +1410,81 @@ object QueryPackExt {
          AND p_us >= s_us AND p_us <= s_us + 3600000000
       ORDER BY p.user_id, p_id, s_id"""))
 
+  /** Temperature-weighted source mixing
+    * ([[graft.llm.Sampling.temperatureMix]]): flatten the source
+    * mixture toward uniform with alpha = 0.5 — per-source keep
+    * fraction `sqrt(n_min / n_s)`, membership by the q62 seeded md5
+    * bucket. alpha is pinned at 0.5 so the fraction is a chain of
+    * correctly-rounded IEEE ops (divide, sqrt, multiply, floor) —
+    * bit-identical thresholds on both engines, exact row parity.
+    * The synthetic table has UNIFORM source sizes (and `source` is a
+    * pure function of doc_id, so modulo predicates degenerate) —
+    * mixing the raw table would be a no-op. The input is therefore
+    * skewed with an INDEPENDENT seeded bucket first: source `srcK`
+    * keeps a `(K+1) * 5%` slice, ramping sizes ~1..25 at sf0.01 — the
+    * mix then genuinely downsamples the large sources.
+    */
+  private val q75 = Q("q75_temperature_mix",
+    (s, dir) => graft.llm.Sampling
+      .temperatureMix(
+        t(s, dir, "documents").filter(
+          graft.llm.Sampling.bucketOf("skew", col("doc_id")) <
+            (substring(col("source"), 4, 2).cast("long") + 1) * 50000),
+        "source", alpha = 0.5, seed = "mix")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH skew AS (
+        SELECT doc_id, source FROM documents
+        WHERE ${h60("concat('skew', '|', CAST(doc_id AS VARCHAR))")}
+              % 1000000 <
+              (CAST(substr(source, 4) AS BIGINT) + 1) * 50000),
+      n AS (
+        SELECT source, count(*) AS n FROM skew GROUP BY source),
+      m AS (SELECT min(n) AS n_min FROM n),
+      f AS (
+        SELECT source,
+               CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS thresh
+        FROM n, m)
+      SELECT d.doc_id, d.source
+      FROM skew d JOIN f USING (source)
+      WHERE ${h60("concat('mix', '|', CAST(doc_id AS VARCHAR))")}
+            % 1000000 < f.thresh
+      ORDER BY d.doc_id"""))
+
+  /** Corpus-induced stopwords
+    * ([[graft.llm.TextAnalysis.corpusStopwordStats]]): tokens whose
+    * document frequency reaches 40% of the corpus are data-driven
+    * stopwords; per doc, the token count, stopword occurrences, and
+    * stopword mass ratio. The DF threshold compare (`df >= n_docs *
+    * 0.4`) is one double multiply on both engines; the ratio is one
+    * exact int→double divide.
+    */
+  private val q76 = Q("q76_corpus_stopwords",
+    (s, dir) => TextAnalysis
+      .corpusStopwordStats(t(s, dir, "documents"), dfThreshold = 0.4),
+    Some(s"""
+      WITH $ToksCte,
+      tk AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      stop AS (
+        SELECT tok FROM tk, nd
+        GROUP BY tok, n_docs
+        HAVING CAST(count(DISTINCT doc_id) AS DOUBLE) >= n_docs * 0.4)
+      SELECT tk.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stop,
+             CAST(sum(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS stop_ratio
+      FROM tk LEFT JOIN stop s ON tk.tok = s.tok
+      GROUP BY tk.doc_id ORDER BY tk.doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -235,6 +235,65 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("temperatureMix: flattens skewed sources, keeps the smallest whole") {
+    val s = spark
+    import s.implicits._
+    // sizes 10 / 40 / 90 / 160 — ratios 1:4:9:16, so sqrt-flattening
+    // (alpha = 0.5) should keep ~10 / 20 / 30 / 40 rows per source
+    val d = ((1L to 10L).map(i => (i, "tiny")) ++
+      (11L to 50L).map(i => (i, "small")) ++
+      (51L to 140L).map(i => (i, "mid")) ++
+      (141L to 300L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(d, "source", alpha = 0.5, seed = "t")
+    val bySource = out.collect().groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length).toMap
+    assert(bySource("tiny") === 10) // f = sqrt(10/10) = 1: kept whole
+    assert(bySource("small") > 10 && bySource("small") < 32,
+      s"small: ${bySource("small")}")
+    assert(bySource("mid") > 16 && bySource("mid") < 46,
+      s"mid: ${bySource("mid")}")
+    assert(bySource("big") > 24 && bySource("big") < 58,
+      s"big: ${bySource("big")}")
+    // deterministic: rerun is row-identical
+    val ids1 = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    val ids2 = Sampling.temperatureMix(d, "source", alpha = 0.5, seed = "t")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids1 === ids2)
+    // alpha = 1 is a no-op mixture (every threshold = 10^6)
+    assert(Sampling.temperatureMix(d, "source", alpha = 1.0, seed = "t")
+      .count() === 300L)
+    // scale shape: the thresholds come back via broadcast, never a
+    // shuffled join of the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("corpusStopwordStats: DF-induced stopwords, per-doc mass ratio") {
+    val d = docs(
+      1L -> "the cat sat",
+      2L -> "the the dog",
+      3L -> "the bird",
+      4L -> "fish pond")
+    // df(the) = 3 of 4 docs >= 0.5 threshold; everything else df = 1
+    val out = TextAnalysis.corpusStopwordStats(d, dfThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_stop"),
+          r.getAs[Double]("stop_ratio"))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) === ((3L, 2L, 2.0 / 3))) // occurrences, not distinct
+    assert(out(3L) === ((2L, 1L, 0.5)))
+    assert(out(4L) === ((2L, 0L, 0.0)))
+    // threshold 1.0: only tokens in EVERY doc qualify — none here
+    val none = TextAnalysis.corpusStopwordStats(d, dfThreshold = 1.0)
+      .collect().map(_.getAs[Long]("n_stop")).sum
+    assert(none === 0L)
+    // the qualifying set joins back as a broadcast, not a shuffle join
+    val plan = TextAnalysis.corpusStopwordStats(d, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("fingerprintPairs: min-shingle-hash fingerprint matches dups, no cartesian") {
     val q = TextDedup.fingerprintPairs(corpus, shingleK = 5)
     assertNoCartesian(q)
