@@ -118,26 +118,27 @@ object TextDedup {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("gh")).as("sh"))
 
-  /** MinHash-LSH near-dedup: deterministic seeded signatures, banded
-    * buckets, bucket-keyed candidate self-join, exact-Jaccard rerank.
-    * Emits (da, db, jaccard) for candidate pairs with Jaccard ≥
-    * `threshold`. Recall follows the LSH S-curve
-    * P(candidate) = 1-(1-j^r)^b with r = nHashes/bands rows per band.
+  /** The MinHash-LSH front end in persisted-index form:
+    * `(buckets, sets)` — `buckets` is the LSH posting list
+    * `(doc_id, band, bucket)` (persist/bucket it by `(band, bucket)`
+    * in production) and `sets` the per-doc shingle-hash sets for the
+    * exact-Jaccard rerank. Build the index over a corpus ONCE; each
+    * new batch then probes it with [[probeMinhashIndex]] instead of
+    * re-signaturing 100 TB per increment.
+    *
+    * Both frames are localCheckpointed: each is read 2–3 times by the
+    * self-join/rerank consumers, and the checkpoint is the in-session
+    * analog of the parquet index a production job writes between
+    * stages.
     */
-  def minhashLshPairs(
+  def minhashIndex(
       docs: DataFrame,
       shingleK: Int = 3,
       nHashes: Int = 12,
       bands: Int = 4,
-      threshold: Double = 0.5,
-      maxBucketWidth: Option[Int] = None): DataFrame = {
+      maxBucketWidth: Option[Int] = None): (DataFrame, DataFrame) = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
-    // the shingle-set table is read three times (signatures + both
-    // rerank probes) and the banded table twice (candidate self-join):
-    // materialize each once instead of recomputing the text pipeline
-    // per consumer — the in-session analog of the persisted signature
-    // table a production dedup job writes between stages
     val sets = shingleSets(docs, shingleK).localCheckpoint()
 
     // signature via explode -> scalar permutations -> partial-aggregated
@@ -169,7 +170,67 @@ object TextDedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val buckets = maxBucketWidth
       .fold(allBuckets)(capBucketWidth(allBuckets, Seq("band", "bucket"), _))
+    (buckets, sets)
+  }
 
+  /** Incremental near-dedup: probe a NEW batch of docs against an
+    * existing corpus index ([[minhashIndex]]) — the daily-crawl
+    * scenario, where re-running pairwise dedup over corpus ∪ batch
+    * would re-signature the whole corpus for a 0.1% increment. The
+    * batch computes its own signatures (same seeded permutations, so
+    * values are comparable by construction), meets the index on the
+    * `(band, bucket)` equi-key, and reranks candidates by exact
+    * Jaccard. Emits `(new_id, corpus_id, jaccard)` with jaccard ≥
+    * `threshold`.
+    *
+    * Scale shape: the probe side is small, so its bucket and set
+    * frames broadcast (AQE picks this up from size); the corpus index
+    * is only ever touched by equi-joins — when the index parquet is
+    * bucketed by `(band, bucket)` the candidate join is co-located
+    * and shuffle-free on the corpus side too.
+    */
+  def probeMinhashIndex(
+      newDocs: DataFrame,
+      indexBuckets: DataFrame,
+      indexSets: DataFrame,
+      shingleK: Int = 3,
+      nHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val (nb, ns) = minhashIndex(newDocs, shingleK, nHashes, bands, None)
+    val cand = indexBuckets.as("a")
+      .join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(ns.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+      .join(indexSets.select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+        "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** MinHash-LSH near-dedup: deterministic seeded signatures, banded
+    * buckets, bucket-keyed candidate self-join, exact-Jaccard rerank.
+    * Emits (da, db, jaccard) for candidate pairs with Jaccard ≥
+    * `threshold`. Recall follows the LSH S-curve
+    * P(candidate) = 1-(1-j^r)^b with r = nHashes/bands rows per band.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      nHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val (buckets, sets) =
+      minhashIndex(docs, shingleK, nHashes, bands, maxBucketWidth)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -118,7 +118,10 @@ object QueryPackExt {
     * `sh` gram-hash CTE (append after [[gramCtes]]); composable so the
     * pipeline query (q54) can chain it after its own survivor CTEs.
     */
-  private def minhashPairCtes(threshold: Double, cap: Option[Int]): String = {
+  private def minhashPairCtes(
+      threshold: Double,
+      cap: Option[Int],
+      candCond: String = "a.doc_id < b.doc_id"): String = {
     val capQualify = cap
       .map(c => s"\n        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $c")
       .getOrElse("")
@@ -139,7 +142,7 @@ object QueryPackExt {
       cand AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          ON a.band = b.band AND a.bucket = b.bucket AND ($candCond)),
       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       inter AS (
         -- zero-intersection candidates drop out here; the Spark side
@@ -1481,10 +1484,33 @@ object QueryPackExt {
       FROM tk LEFT JOIN stop s ON tk.tok = s.tok
       GROUP BY tk.doc_id ORDER BY tk.doc_id"""))
 
+  /** Incremental dedup ([[TextDedup.minhashIndex]] +
+    * [[TextDedup.probeMinhashIndex]]): every 10th doc plays the "new
+    * crawl batch" and probes the index built over the other 90% —
+    * the corpus is never re-signatured for the increment. The mirror
+    * reuses the SAME minhash CTE stack as q30 with the candidate
+    * self-join condition swapped for the corpus×batch split, so index
+    * and probe signatures are provably the same hash family.
+    */
+  private val q77 = Q("q77_dedup_index_probe",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val (buckets, sets) =
+        TextDedup.minhashIndex(d.filter(col("doc_id") % 10 =!= 0))
+      TextDedup.probeMinhashIndex(
+        d.filter(col("doc_id") % 10 === 0), buckets, sets)
+    },
+    Some(s"""
+      WITH $ToksCte, ${gramCtes(3)},
+      ${minhashPairCtes(0.5, None,
+        candCond = "a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0")}
+      SELECT db AS new_id, da AS corpus_id, jaccard FROM pairs
+      ORDER BY new_id, corpus_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

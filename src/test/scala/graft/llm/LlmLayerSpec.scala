@@ -235,6 +235,39 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("probeMinhashIndex: new batch meets corpus index, no re-signature, no cartesian") {
+    val corpusDocs = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different content about spark engines here",
+      5L -> "tiny")
+    val batch = docs(
+      2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
+      6L -> "nothing like anything in the corpus at all today")
+    val (buckets, sets) = TextDedup.minhashIndex(corpusDocs,
+      shingleK = 3, nHashes = 12, bands = 4)
+    val q = TextDedup.probeMinhashIndex(batch, buckets, sets,
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5)
+    assertNoCartesian(q)
+    val hits = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // jaccard(1,2) = 0.75 over 3-shingles; LSH surfaces it with
+    // P ≈ 0.89 — assert the value only when the candidate is surfaced,
+    // exactly like the q30 unit test
+    hits.get((2L, 1L)).foreach(j => assert(j === 0.75))
+    assert(!hits.keySet.exists(_._1 == 6L)) // unrelated doc: no match
+    assert(!hits.keySet.exists(p => p._1 == p._2))
+    // probing must equal what full self-dedup over corpus ∪ batch
+    // would report for cross pairs (same hash family on both paths)
+    val full = TextDedup.minhashLshPairs(corpusDocs.union(batch),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    hits.foreach { case ((n, c), j) =>
+      assert(full.get((math.min(n, c), math.max(n, c))).contains(j),
+        s"probe pair ($n,$c) missing from full dedup")
+    }
+  }
+
   test("temperatureMix: flattens skewed sources, keeps the smallest whole") {
     val s = spark
     import s.implicits._
