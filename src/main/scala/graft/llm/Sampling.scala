@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Seeded, deterministic corpus sampling — the curation op behind
@@ -98,6 +99,49 @@ object Sampling {
     docs.join(broadcast(thresholds), sourceCol)
       .filter(bucketOf(seed, col(keyCol)) < col("__thresh"))
       .drop("__thresh")
+  }
+
+  /** Greedy token-budget selection: keep documents in
+    * `(qualityCol DESC, keyCol ASC)` order while the running sum of
+    * `tokenCol` stays within `budget` — "fill a 10B-token training
+    * budget with the best documents first". Exactly equivalent to a
+    * global ordered cumulative sum + filter, but computed as a
+    * two-phase prefix sum (the [[Packing]] pattern): per-quality-value
+    * token totals (a tiny aggregate, one row per distinct quality)
+    * are cumulated in one window over that tiny frame and broadcast
+    * back; each row then adds only its within-quality prefix, which
+    * rides a window PARTITIONED by the quality value. No global sort
+    * of the corpus, no unpartitioned window over row-level data.
+    *
+    * `qualityCol` must be coarse (an integer score, a bucketed
+    * double): the phase-1 frame has one row per distinct value, so a
+    * continuous score should be bucketized before calling (the
+    * selection boundary then lands inside one bucket, which is the
+    * usual curation semantics anyway).
+    */
+  def budgetSelect(
+      docs: DataFrame,
+      tokenCol: String,
+      qualityCol: String,
+      budget: Long,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val grpSums = docs.groupBy(col(qualityCol))
+      .agg(sum(col(tokenCol)).as("__g_sum"))
+    // the only unpartitioned window runs over the distinct-quality
+    // frame (|distinct qualities| rows), mirroring Packing's
+    // group-offset phase
+    val wq = Window.orderBy(col(qualityCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = grpSums
+      .withColumn("__offset", sum(col("__g_sum")).over(wq) - col("__g_sum"))
+      .select(col(qualityCol), col("__offset"))
+    val ww = Window.partitionBy(col(qualityCol)).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), qualityCol)
+      .withColumn("__cum", col("__offset") + sum(col(tokenCol)).over(ww))
+      .filter(col("__cum") <= budget)
+      .drop("__offset", "__cum")
   }
 
   /** Stratified sample: an independent seeded fraction per value of

@@ -1507,10 +1507,39 @@ object QueryPackExt {
       SELECT db AS new_id, da AS corpus_id, jaccard FROM pairs
       ORDER BY new_id, corpus_id"""))
 
+  /** Token-budget selection ([[graft.llm.Sampling.budgetSelect]]):
+    * fill a 10k-token budget with the highest-`n_chars` documents
+    * first (greedy in (n_chars DESC, doc_id) order). The engine runs
+    * the two-phase prefix sum (per-quality offsets broadcast back +
+    * partitioned within-quality window); the mirror is the PLAIN
+    * global cumulative sum — the decomposition must be
+    * value-identical, exactly like q70's packing gate.
+    */
+  private val q78 = Q("q78_budget_select",
+    (s, dir) => graft.llm.Sampling
+      .budgetSelect(
+        t(s, dir, "documents").withColumn("n_tokens",
+          size(graft.llm.TextFns.tokens(col("text"))).cast("long")),
+        tokenCol = "n_tokens", qualityCol = "n_chars", budget = 10000)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens FROM (
+        SELECT doc_id, n_chars, n_tokens,
+               sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+        FROM t) z
+      WHERE cum <= 10000
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

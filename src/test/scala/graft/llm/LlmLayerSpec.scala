@@ -302,6 +302,29 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("budgetSelect: greedy quality-ordered fill equals the global cumsum") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, 3L, 5L), (2L, 3L, 5L), // quality tier 3: 5+5 tokens
+      (3L, 2L, 5L), // tier 2
+      (4L, 1L, 5L)) // tier 1
+      .toDF("doc_id", "quality", "n_tokens")
+    def ids(budget: Long) =
+      Sampling.budgetSelect(d, "n_tokens", "quality", budget)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(0) === Set.empty)
+    assert(ids(9) === Set(1L)) // second doc would overflow
+    assert(ids(12) === Set(1L, 2L)) // boundary mid-tier-2
+    assert(ids(15) === Set(1L, 2L, 3L))
+    assert(ids(100) === Set(1L, 2L, 3L, 4L))
+    // scale shape: offsets broadcast back; the row-level window is
+    // PARTITIONED by the quality value (no global row-level sort)
+    val plan = Sampling.budgetSelect(d, "n_tokens", "quality", 12)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("corpusStopwordStats: DF-induced stopwords, per-doc mass ratio") {
     val d = docs(
       1L -> "the cat sat",

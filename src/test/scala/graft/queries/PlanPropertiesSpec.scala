@@ -100,6 +100,17 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Join") || p.contains("join"), p)
   }
 
+  test("q75/q77/q78: mixing, index probe, and budget select stay keyed/broadcast") {
+    val mix = planExt("q75_temperature_mix")
+    assert(mix.contains("BroadcastHashJoin"), mix)
+    assert(!mix.contains("SortMergeJoin"), mix) // corpus is never shuffled
+    val probe = planExt("q77_dedup_index_probe")
+    assert(!probe.contains("CartesianProduct"), probe)
+    val sel = planExt("q78_budget_select")
+    assert(sel.contains("BroadcastHashJoin"), sel)
+    assert(!sel.contains("CartesianProduct"), sel)
+  }
+
   test("q64: overlap count aggregates partially map-side (no pair rows shuffled)") {
     val p = planExt("q64_count_overlaps")
     assert(!p.contains("CartesianProduct"), p)
