@@ -172,6 +172,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-LM familiarity score — the integer-exact stand-in for the
+    * CCNet-style "LM perplexity" quality signal: score each document
+    * by the mean corpus frequency of its word bigrams. Text that
+    * looks like the rest of the corpus (common constructions,
+    * boilerplate) scores high; rare/garbled text scores low. Unlike a
+    * real LM logprob (whose `log` rounds differently across libm
+    * implementations), counts and one final int→double division are
+    * bit-identical on every engine.
+    *
+    * Bigrams ride the [[TextDedup.gramHashes]] front end: one md5 per
+    * token on the codegen'd path, window-lead assembly, 8-byte keys
+    * through both shuffles (never bigram strings). Docs with < 2
+    * tokens drop out (no bigrams). Self-counting is intentional —
+    * every doc contributes its own bigrams to the corpus model,
+    * mirroring how the production signal trains on the corpus itself.
+    */
+  def familiarityScores(docs: DataFrame): DataFrame = {
+    val bg = TextDedup.gramHashes(docs, 2)
+    val counts = bg.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+    bg.join(counts, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("c_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("c_sum").cast("double") / col("n_bigrams")).as("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+
   // marker-token sets per language for the ID heuristic
   private val EnMarkers = Seq("the", "a", "of")
   private val DeMarkers = Seq("der", "die", "und")

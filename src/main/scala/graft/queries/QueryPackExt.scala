@@ -1536,10 +1536,30 @@ object QueryPackExt {
       WHERE cum <= 10000
       ORDER BY doc_id"""))
 
+  /** Corpus-LM familiarity ([[TextAnalysis.familiarityScores]]): mean
+    * corpus frequency of each doc's word bigrams — the integer-exact
+    * perplexity-proxy quality signal (no `log`, whose libm rounding
+    * differs across engines). The mirror rides the SAME gram-hash CTE
+    * stack as the dedup queries at k = 2, with multiplicity (the
+    * `grams` CTE, not the distinct `sh`).
+    */
+  private val q79 = Q("q79_familiarity",
+    (s, dir) => TextAnalysis.familiarityScores(t(s, dir, "documents")),
+    Some(s"""
+      WITH $ToksCte, ${gramCtes(2)},
+      bg AS (SELECT doc_id, gh FROM grams WHERE gh IS NOT NULL),
+      c AS (SELECT gh, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY gh)
+      SELECT bg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(c.c) AS DOUBLE) / count(*) AS familiarity
+      FROM bg JOIN c ON bg.gh = c.gh
+      GROUP BY bg.doc_id ORDER BY bg.doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
-    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
+    q79)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -302,6 +302,22 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("familiarityScores: common bigrams score high, short docs drop out") {
+    val d = docs(
+      1L -> "a b c", // bigrams (a b), (b c)
+      2L -> "a b d", // shares (a b) with 1
+      3L -> "x y", // unique bigram
+      4L -> "solo") // < 2 tokens: no row
+    val out = TextAnalysis.familiarityScores(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("familiarity"))).toMap
+    // (a b) occurs 2x corpus-wide; (b c)/(b d)/(x y) once
+    assert(out(1L) === ((2L, 1.5))) // (2 + 1) / 2
+    assert(out(2L) === ((2L, 1.5)))
+    assert(out(3L) === ((1L, 1.0)))
+    assert(!out.contains(4L))
+  }
+
   test("budgetSelect: greedy quality-ordered fill equals the global cumsum") {
     val s = spark
     import s.implicits._
