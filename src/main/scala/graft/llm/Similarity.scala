@@ -312,4 +312,28 @@ object Similarity {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("sim"))
       .orderBy(col("va"), col("vb"))
   }
+
+  /** SemDeDup-lite: full semantic deduplication over an embedding
+    * column — [[nearDupPairs]] closed transitively into duplicate
+    * components ([[TextDedup.duplicateComponents]]), then every
+    * vector labeled with a keep/drop decision: the MINIMUM vec_id of
+    * each component survives, singletons (no near-dup) keep
+    * trivially. This is the decision layer q41's pair list stops
+    * short of — the operator a curation pipeline actually calls.
+    * Scale posture inherits from the parts: sign-LSH bucketed pair
+    * generation (never all-pairs) + bounded min-label propagation.
+    */
+  def semanticDedup(
+      emb: DataFrame, bits: Int = DeriveBits, threshold: Double = 0.4,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val pairs = nearDupPairs(emb, bits, threshold, maxBucketWidth)
+      .select(col("va").as("da"), col("vb").as("db"))
+    val comp = TextDedup.duplicateComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("component"))
+    emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .withColumn("keep",
+        col("component").isNull || col("component") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
 }

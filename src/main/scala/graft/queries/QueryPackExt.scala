@@ -1555,11 +1555,44 @@ object QueryPackExt {
       FROM bg JOIN c ON bg.gh = c.gh
       GROUP BY bg.doc_id ORDER BY bg.doc_id"""))
 
+  /** Semantic dedup end-to-end ([[Similarity.semanticDedup]]): q41's
+    * sign-LSH near-dup pairs closed into components (q61's recursive
+    * min-label mirror) and every vector labeled keep/drop — keeper =
+    * min vec_id per component, singletons keep. The one query a
+    * curation pipeline runs against the embedding table.
+    */
+  private val q80 = Q("q80_semantic_dedup",
+    (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+      bits = 2, threshold = 0.4),
+    Some(s"""
+      WITH RECURSIVE ${normCte(s", ${signBucketSql(2)} AS bucket")},
+      p AS (
+        SELECT va, vb FROM (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                   AS sim
+          FROM e a JOIN e b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id) z
+        WHERE sim >= 0.4),
+      edges AS (
+        SELECT va AS a, vb AS b FROM p
+        UNION
+        SELECT vb AS a, va AS b FROM p),
+      reach(id, lbl) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e2.b, r.lbl FROM reach r JOIN edges e2 ON e2.a = r.id),
+      comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+      SELECT emb.vec_id, comp.component,
+             (comp.component IS NULL OR comp.component = emb.vec_id) AS keep
+      FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
+      ORDER BY emb.vec_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79)
+    q79, q80)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -302,6 +302,20 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("semanticDedup: min-id keeper per component, singletons keep") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1), // unrelated direction
+      (4L, Array(0.8f, 0.2f, 0f, 0f), 0) // near-dup of 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(emb, bits = 2, threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out === Map(1L -> true, 2L -> true, 4L -> false))
+  }
+
   test("familiarityScores: common bigrams score high, short docs drop out") {
     val d = docs(
       1L -> "a b c", // bigrams (a b), (b c)
