@@ -111,6 +111,20 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!sel.contains("CartesianProduct"), sel)
   }
 
+  test("q76/q79/q80: stopwords, familiarity, semantic dedup stay keyed/bounded") {
+    val stop = planExt("q76_corpus_stopwords")
+    // the DF-qualifying set joins back as a broadcast, never a shuffle
+    assert(stop.contains("BroadcastHashJoin"), stop)
+    assert(!stop.contains("CartesianProduct"), stop)
+    val fam = planExt("q79_familiarity")
+    assert(!fam.contains("CartesianProduct"), fam)
+    // the bigram-count join is gh-keyed: bounded exchange count guards
+    // against a future shape regression re-shuffling the corpus
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(fam).length
+    assert(nEx <= 5, s"q79 exchange count grew to $nEx:\n$fam")
+    assert(!planExt("q80_semantic_dedup").contains("CartesianProduct"))
+  }
+
   test("q64: overlap count aggregates partially map-side (no pair rows shuffled)") {
     val p = planExt("q64_count_overlaps")
     assert(!p.contains("CartesianProduct"), p)
