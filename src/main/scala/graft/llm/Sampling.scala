@@ -82,6 +82,10 @@ object Sampling {
     * Other alphas go through `pow`, which libm implementations may
     * round differently in the last ulp; fine in production, but pin
     * alpha = 0.5 when exact cross-engine parity matters.
+    *
+    * Rows with a NULL `sourceCol` are dropped (the threshold join-back
+    * is null-rejecting, standard SQL equi-join semantics) — clean the
+    * source column first if nulls must survive.
     */
   def temperatureMix(
       docs: DataFrame,
@@ -117,7 +121,10 @@ object Sampling {
     * double): the phase-1 frame has one row per distinct value, so a
     * continuous score should be bucketized before calling (the
     * selection boundary then lands inside one bucket, which is the
-    * usual curation semantics anyway).
+    * usual curation semantics anyway). Rows with a NULL quality are
+    * dropped by the offset join-back; NULL token counts cost 0 toward
+    * the budget (SQL `sum` skips nulls) — clean both columns upstream
+    * if those defaults don't fit.
     */
   def budgetSelect(
       docs: DataFrame,

@@ -147,6 +147,7 @@ object TextAnalysis {
     * occurrences, so at most `avg_doc_len / dfThreshold` distinct
     * tokens can qualify — independent of corpus size. The final
     * per-doc aggregation partial-aggregates map-side on doc_id.
+    * Docs with NULL or empty text emit no row (no tokens to score).
     */
   def corpusStopwordStats(
       docs: DataFrame,

@@ -104,6 +104,32 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assertHolds(p, 3)
   }
 
+  test("property: index probe equals the cross-split slice of full self-dedup") {
+    // the incremental path (build index over corpus, probe the batch)
+    // must report EXACTLY the corpus×batch pairs the monolithic
+    // self-dedup over corpus ∪ batch reports — same hash family, same
+    // candidates, same jaccard values
+    val p = Prop.forAll(Gen.listOfN(6, text)) { texts =>
+      val df = corpus(texts)
+      val corp = df.filter(col("doc_id") % 2 === 0)
+      val batch = df.filter(col("doc_id") % 2 === 1)
+      val (buckets, sets) = TextDedup.minhashIndex(corp,
+        shingleK = 3, nHashes = 12, bands = 4)
+      val probed = TextDedup.probeMinhashIndex(batch, buckets, sets,
+        shingleK = 3, nHashes = 12, bands = 4, threshold = 0.3)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1))) -> r.getDouble(2)).toMap
+      val full = TextDedup.minhashLshPairs(df, shingleK = 3,
+        nHashes = 12, bands = 4, threshold = 0.3)
+        .collect()
+        .filter(r => (r.getLong(0) % 2) != (r.getLong(1) % 2)) // cross only
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      probed == full
+    }
+    assertHolds(p, 3)
+  }
+
   test("property: LSH candidate pairs are a subset of the exact-jaccard pairs") {
     val p = Prop.forAll(Gen.listOfN(6, text)) { texts =>
       val df = corpus(texts)
