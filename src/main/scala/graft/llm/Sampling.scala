@@ -151,6 +151,33 @@ object Sampling {
       .drop("__offset", "__cum")
   }
 
+  /** Per-group top-fraction selection — relative quality calibration:
+    * keep the best `fraction` of rows WITHIN each group (e.g. the top
+    * 30% by quality per language), so a single global threshold never
+    * starves low-resource groups. Exact rank-based semantics — keep
+    * rank ≤ ceil(fraction × group size) under the total order
+    * `(orderCol DESC, keyCol ASC)` — which both engines compute
+    * identically (no percentile-function interpolation to mismatch).
+    * One exchange: rank and group count ride the same group-keyed
+    * window partition.
+    */
+  def topFractionPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      fraction: Double,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val wr = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(keyCol))
+    val wn = Window.partitionBy(col(groupCol))
+    docs
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .filter(col("__rn") <= ceil(col("__n") * lit(fraction)))
+      .drop("__rn", "__n")
+  }
+
   /** Stratified sample: an independent seeded fraction per value of
     * `strataCol` (e.g. keep 100% of rare languages, 1% of English).
     * Strata absent from `fractions` fall back to `defaultFraction`.

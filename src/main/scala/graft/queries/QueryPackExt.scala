@@ -1588,11 +1588,29 @@ object QueryPackExt {
       FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
       ORDER BY emb.vec_id"""))
 
+  /** Per-group top-fraction selection
+    * ([[graft.llm.Sampling.topFractionPerGroup]]): the best 30% by
+    * `n_chars` within each language — exact rank-based quantile
+    * filtering (rank ≤ ceil(0.3 × group size) under a total order),
+    * no percentile-function interpolation to mismatch across engines.
+    */
+  private val q81 = Q("q81_top_fraction",
+    (s, dir) => graft.llm.Sampling
+      .topFractionPerGroup(t(s, dir, "documents"), "lang", "n_chars", 0.3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, lang, n_chars FROM documents
+      QUALIFY row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id)
+              <= ceil((count(*) OVER (PARTITION BY lang)) * 0.3)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q80)
+    q79, q80, q81)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -332,6 +332,29 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("topFractionPerGroup: exact rank-based per-group quantile, single exchange") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "en", 40L), (2L, "en", 30L), (3L, "en", 20L), (4L, "en", 10L),
+      (5L, "de", 3L), (6L, "de", 2L), (7L, "de", 1L))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = Sampling.topFractionPerGroup(d, "lang", "n_chars", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // en: ceil(4*0.5)=2 -> docs 1,2; de: ceil(3*0.5)=2 -> docs 5,6
+    assert(kept === Set(1L, 2L, 5L, 6L))
+    // ties break on doc_id: equal scores keep the smaller id
+    val tied = Seq((1L, "en", 5L), (2L, "en", 5L), (3L, "en", 5L), (4L, "en", 5L))
+      .toDF("doc_id", "lang", "n_chars")
+    assert(Sampling.topFractionPerGroup(tied, "lang", "n_chars", 0.5)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // rank and group count share ONE group-keyed exchange
+    val plan = Sampling.topFractionPerGroup(d, "lang", "n_chars", 0.5)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(nEx === 1, plan)
+  }
+
   test("budgetSelect: greedy quality-ordered fill equals the global cumsum") {
     val s = spark
     import s.implicits._
