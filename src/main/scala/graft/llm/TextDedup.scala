@@ -250,6 +250,37 @@ object TextDedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Cross-source duplicate attribution — the curation diagnostic
+    * behind "is src7 a mirror of src3?": near-dup pairs
+    * ([[minhashLshPairs]]) are attributed to their source pair
+    * (unordered, via least/greatest) and counted. A heavy off-diagonal
+    * cell means two feeds ship the same content (drop one); a heavy
+    * diagonal cell means one feed re-publishes itself. The pair list
+    * is the dedup output (small relative to the corpus), so the two
+    * doc_id-keyed source lookups broadcast under AQE at any corpus
+    * size.
+    */
+  def dupSourceAttribution(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      shingleK: Int = 3,
+      nHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
+    val pairs =
+      minhashLshPairs(docs, shingleK, nHashes, bands, threshold, maxBucketWidth)
+    val src = docs.select(col("doc_id"), col(sourceCol))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col(sourceCol).as("sa")), "da")
+      .join(src.select(col("doc_id").as("db"), col(sourceCol).as("sb")), "db")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Exact n-gram Jaccard over an inverted shingle index (the verify
     * path): docs sharing ≥1 shingle meet in the shingle-keyed
     * self-join; pairs with Jaccard ≥ `threshold` survive. The index

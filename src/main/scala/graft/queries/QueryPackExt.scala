@@ -1606,11 +1606,29 @@ object QueryPackExt {
               <= ceil((count(*) OVER (PARTITION BY lang)) * 0.3)
       ORDER BY doc_id"""))
 
+  /** Cross-source duplicate attribution
+    * ([[TextDedup.dupSourceAttribution]]): q30's near-dup pairs
+    * attributed to unordered source pairs and counted — the "which
+    * feeds mirror each other" curation diagnostic.
+    */
+  private val q82 = Q("q82_dup_source_attribution",
+    (s, dir) => TextDedup.dupSourceAttribution(t(s, dir, "documents"),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
+    Some(s"""
+      WITH $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)}
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_dup_pairs
+      FROM pairs p
+      JOIN documents a ON a.doc_id = p.da
+      JOIN documents b ON b.doc_id = p.db
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q80, q81)
+    q79, q80, q81, q82)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -268,6 +268,20 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dupSourceAttribution: near-dup pairs land on unordered source cells") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "feedA"),
+      (4L, "the quick brown fox jumps over the lazy dog", "feedB"), // = 1
+      (3L, "completely different content about spark engines here", "feedB"))
+      .toDF("doc_id", "text", "source")
+    val out = TextDedup.dupSourceAttribution(d, threshold = 0.99)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_dup_pairs")).toMap
+    assert(out === Map(("feedA", "feedB") -> 1L)) // unordered, one cell
+  }
+
   test("temperatureMix: flattens skewed sources, keeps the smallest whole") {
     val s = spark
     import s.implicits._
