@@ -133,8 +133,13 @@ object Sampling {
       budget: Long,
       keyCol: String = "doc_id"): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    // NULL token counts cost 0 (coalesced INSIDE both sums) — without
+    // this, a NULL running prefix would turn __cum NULL and silently
+    // DROP the row instead of keeping it free, contradicting the
+    // contract above
+    val cost = coalesce(col(tokenCol), lit(0L))
     val grpSums = docs.groupBy(col(qualityCol))
-      .agg(sum(col(tokenCol)).as("__g_sum"))
+      .agg(sum(cost).as("__g_sum"))
     // the only unpartitioned window runs over the distinct-quality
     // frame (|distinct qualities| rows), mirroring Packing's
     // group-offset phase
@@ -146,7 +151,7 @@ object Sampling {
     val ww = Window.partitionBy(col(qualityCol)).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.join(broadcast(offsets), qualityCol)
-      .withColumn("__cum", col("__offset") + sum(col(tokenCol)).over(ww))
+      .withColumn("__cum", col("__offset") + sum(cost).over(ww))
       .filter(col("__cum") <= budget)
       .drop("__offset", "__cum")
   }

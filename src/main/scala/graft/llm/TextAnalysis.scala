@@ -154,20 +154,28 @@ object TextAnalysis {
       dfThreshold: Double): DataFrame = {
     require(dfThreshold > 0.0 && dfThreshold <= 1.0,
       "dfThreshold must be in (0, 1]")
-    val toks = TextDedup.spread(docs, "doc_id")
+    // per-(doc, token) occurrence counts, materialized ONCE: both the
+    // DF aggregation and the per-doc scoring read this frame, so the
+    // scan+explode+tokenize pipeline runs a single time (the
+    // minhashIndex convention); it is doc-vocabulary-sized, far
+    // smaller than the raw token stream
+    val tc = TextDedup.spread(docs, "doc_id")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
-    val stop = toks
+    val stop = tc
       .groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df")) // tc is unique per (doc, tok): df = doc freq
       .crossJoin(broadcast(nDocs))
       .filter(col("df").cast("double") >= col("__n_docs") * lit(dfThreshold))
       .select(col("tok"), lit(1).as("__is_stop"))
-    toks.join(broadcast(stop), Seq("tok"), "left")
+    tc.join(broadcast(stop), Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("__is_stop"), lit(0))).cast("long").as("n_stop"))
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * coalesce(col("__is_stop"), lit(0))).as("n_stop"))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
       .orderBy(col("doc_id"))
@@ -190,11 +198,20 @@ object TextAnalysis {
     * mirroring how the production signal trains on the corpus itself.
     */
   def familiarityScores(docs: DataFrame): DataFrame = {
-    val bg = TextDedup.gramHashes(docs, 2)
-    val counts = bg.groupBy(col("gh")).agg(count(lit(1)).as("c"))
-    bg.join(counts, "gh")
+    // per-(doc, gram) counts materialized once — corpus totals and
+    // per-doc scoring both read this doc-vocabulary-sized frame, so
+    // the tokenize+md5+window gram pipeline runs a single time; the
+    // groupBy rides the gram window's doc_id partitioning (no extra
+    // exchange before the checkpoint)
+    val bgc = TextDedup.gramHashes(docs, 2)
+      .groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val counts = bgc.groupBy(col("gh")).agg(sum(col("c")).as("corpus_c"))
+    bgc.join(counts, "gh")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("c_sum"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("corpus_c")).as("c_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("c_sum").cast("double") / col("n_bigrams")).as("familiarity"))
       .orderBy(col("doc_id"))

@@ -126,10 +126,13 @@ object TextDedup {
     * new batch then probes it with [[probeMinhashIndex]] instead of
     * re-signaturing 100 TB per increment.
     *
-    * Both frames are localCheckpointed: each is read 2–3 times by the
-    * self-join/rerank consumers, and the checkpoint is the in-session
-    * analog of the parquet index a production job writes between
-    * stages.
+    * `sets` and the internal signature table are localCheckpointed
+    * (each is read 2–3 times by the self-join/rerank consumers — the
+    * in-session analog of the parquet index a production job writes
+    * between stages); `buckets` itself is NOT — it re-derives from the
+    * checkpointed signatures with one cheap band explode per read.
+    * The pinned blocks are released by the harness broom
+    * (`Checkpoints.releaseLeaked`) between queries.
     */
   def minhashIndex(
       docs: DataFrame,
@@ -173,6 +176,32 @@ object TextDedup {
     (buckets, sets)
   }
 
+  /** The exact-Jaccard rerank shared by the monolithic and
+    * incremental dedup paths: join each candidate side to its shingle
+    * set, intersect, threshold. Zero-intersection candidates keep
+    * jaccard 0 and fall to any positive threshold — identical on both
+    * paths (and to the SQL mirror, whose inner gram join drops them).
+    */
+  private def jaccardRerank(
+      cand: DataFrame,
+      leftSets: DataFrame,
+      rightSets: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      threshold: Double): DataFrame =
+    cand
+      .join(leftSets.select(col("doc_id").as(leftKey), col("sh").as("sha")),
+        leftKey)
+      .join(rightSets.select(col("doc_id").as(rightKey), col("sh").as("shb")),
+        rightKey)
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(leftKey), col(rightKey), col("jaccard"))
+      .orderBy(col(leftKey), col(rightKey))
+
   /** Incremental near-dedup: probe a NEW batch of docs against an
     * existing corpus index ([[minhashIndex]]) — the daily-crawl
     * scenario, where re-running pairwise dedup over corpus ∪ batch
@@ -181,7 +210,10 @@ object TextDedup {
     * values are comparable by construction), meets the index on the
     * `(band, bucket)` equi-key, and reranks candidates by exact
     * Jaccard. Emits `(new_id, corpus_id, jaccard)` with jaccard ≥
-    * `threshold`.
+    * `threshold`. A batch doc whose doc_id already exists in the index
+    * (a re-crawled, unchanged document) never pairs with ITSELF — the
+    * degenerate (id, id, 1.0) row that would make a naive consumer
+    * drop the corpus's only copy.
     *
     * Scale shape: the probe side is small, so its bucket and set
     * frames broadcast (AQE picks this up from size); the corpus index
@@ -200,20 +232,11 @@ object TextDedup {
     val (nb, ns) = minhashIndex(newDocs, shingleK, nHashes, bands, None)
     val cand = indexBuckets.as("a")
       .join(nb.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("corpus_id"))
       .distinct()
-    cand
-      .join(ns.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
-      .join(indexSets.select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
-        "corpus_id")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"), col("jaccard"))
-      .orderBy(col("new_id"), col("corpus_id"))
+    jaccardRerank(cand, ns, indexSets, "new_id", "corpus_id", threshold)
   }
 
   /** MinHash-LSH near-dedup: deterministic seeded signatures, banded
@@ -237,17 +260,7 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-
-    cand
-      .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
+    jaccardRerank(cand, sets, sets, "da", "db", threshold)
   }
 
   /** Cross-source duplicate attribution — the curation diagnostic

@@ -1432,7 +1432,9 @@ object QueryPackExt {
       .temperatureMix(
         t(s, dir, "documents").filter(
           graft.llm.Sampling.bucketOf("skew", col("doc_id")) <
-            (substring(col("source"), 4, 2).cast("long") + 1) * 50000),
+            // 2-arg substring (suffix to end), matching the mirror's
+            // substr(source, 4) for ANY suffix width
+            (expr("substring(source, 4)").cast("long") + 1) * 50000),
         "source", alpha = 0.5, seed = "mix")
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id")),
@@ -1519,7 +1521,10 @@ object QueryPackExt {
     (s, dir) => graft.llm.Sampling
       .budgetSelect(
         t(s, dir, "documents").withColumn("n_tokens",
-          size(graft.llm.TextFns.tokens(col("text"))).cast("long")),
+          // explicit NULL for NULL text regardless of ANSI config
+          // (legacy size() returns -1), matching DuckDB len(NULL)
+          when(col("text").isNotNull,
+            size(graft.llm.TextFns.tokens(col("text"))).cast("long"))),
         tokenCol = "n_tokens", qualityCol = "n_chars", budget = 10000)
       .select(col("doc_id"), col("n_chars"), col("n_tokens"))
       .orderBy(col("doc_id")),

@@ -256,6 +256,15 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     hits.get((2L, 1L)).foreach(j => assert(j === 0.75))
     assert(!hits.keySet.exists(_._1 == 6L)) // unrelated doc: no match
     assert(!hits.keySet.exists(p => p._1 == p._2))
+    // a re-crawled UNCHANGED doc (same doc_id, same text, already in
+    // the index) must not pair with itself — the degenerate
+    // (id, id, 1.0) row would make a naive consumer drop the corpus's
+    // only copy
+    val recrawl = docs(1L -> "the quick brown fox jumps over the lazy dog")
+    val re = TextDedup.probeMinhashIndex(recrawl, buckets, sets,
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!re.contains((1L, 1L)), s"self-pair leaked: $re")
     // probing must equal what full self-dedup over corpus ∪ batch
     // would report for cross pairs (same hash family on both paths)
     val full = TextDedup.minhashLshPairs(corpusDocs.union(batch),
