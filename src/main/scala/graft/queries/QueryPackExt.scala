@@ -1629,11 +1629,32 @@ object QueryPackExt {
       JOIN documents b ON b.doc_id = p.db
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Dataset card ([[TextAnalysis.datasetCard]]): the one-row release
+    * summary — each distinct-count is its own tiny agg (no Expand),
+    * avg is explicit sum/count.
+    */
+  private val q83 = Q("q83_dataset_card",
+    (s, dir) => TextAnalysis.datasetCard(t(s, dir, "documents")),
+    Some("""
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        (SELECT CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> ''))) AS BIGINT)
+         FROM documents) AS n_tokens,
+        (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents)
+          AS avg_chars,
+        (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+          AS n_langs,
+        (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+          AS n_sources,
+        (SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+         FROM documents) AS n_exact_dup_docs"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q80, q81, q82)
+    q79, q80, q81, q82, q83)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -277,6 +277,26 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("datasetCard: one-row summary with exact distinct counts, no Expand") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a b c", "en", "s2", 5L), // exact dup of 1
+      (3L, "x y", "de", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = TextAnalysis.datasetCard(d)
+    val r = card.head()
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_tokens") === 8L)
+    assert(r.getAs[Long]("n_langs") === 2L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Long]("n_exact_dup_docs") === 1L)
+    assert(math.abs(r.getAs[Double]("avg_chars") - 13.0 / 3) < 1e-12)
+    // separate tiny aggs, not one multi-distinct agg: no Expand node
+    assert(!card.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("dupSourceAttribution: near-dup pairs land on unordered source cells") {
     val s = spark
     import s.implicits._
