@@ -176,6 +176,38 @@ object TextDedup {
     (buckets, sets)
   }
 
+  /** Persist a [[minhashIndex]] as bucketed tables — the production
+    * form of the incremental-dedup index: `buckets` bucketed (and
+    * sorted) by the `(band, bucket)` probe key and `sets` bucketed by
+    * `doc_id` (the rerank key), so a later [[probeMinhashIndex]] scans
+    * the corpus side pre-partitioned — the candidate join needs no
+    * exchange on the (huge) index side, only on the (small) batch
+    * side. `numBuckets` should match the cluster's parallelism at the
+    * index's scale.
+    */
+  def writeMinhashIndex(
+      buckets: DataFrame,
+      sets: DataFrame,
+      bucketsTable: String,
+      setsTable: String,
+      numBuckets: Int = 64): Unit = {
+    buckets.write
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .mode("overwrite").saveAsTable(bucketsTable)
+    sets.write
+      .bucketBy(numBuckets, "doc_id")
+      .mode("overwrite").saveAsTable(setsTable)
+  }
+
+  /** The persisted index back as `(buckets, sets)`, bucket layout
+    * intact — pass straight to [[probeMinhashIndex]].
+    */
+  def readMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      bucketsTable: String,
+      setsTable: String): (DataFrame, DataFrame) =
+    (spark.table(bucketsTable), spark.table(setsTable))
+
   /** The exact-Jaccard rerank shared by the monolithic and
     * incremental dedup paths: join each candidate side to its shingle
     * set, intersect, threshold. Zero-intersection candidates keep

@@ -13,6 +13,40 @@ import graft.SparkSpec
   */
 class BucketingSpec extends AnyFunSuite with SparkSpec {
 
+  test("persisted minhash index probes from the bucket layout, results unchanged") {
+    val s = spark
+    import s.implicits._
+    val corpusDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines here"),
+      (5L, "tiny")).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    try {
+      val (b0, s0) = graft.llm.TextDedup.minhashIndex(corpusDocs)
+      graft.llm.TextDedup.writeMinhashIndex(b0, s0,
+        "mh_buckets", "mh_sets", numBuckets = 4)
+      val (b1, s1) = graft.llm.TextDedup
+        .readMinhashIndex(s, "mh_buckets", "mh_sets")
+      val fromDisk = graft.llm.TextDedup.probeMinhashIndex(batch, b1, s1)
+      // the corpus side scans its bucket layout: the table scan itself
+      // reports as bucketed in the formatted plan
+      val plan = fromDisk.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("Bucketed: true"), plan)
+      // results identical to the in-memory probe
+      val mem = graft.llm.TextDedup.probeMinhashIndex(batch, b0, s0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val disk = fromDisk
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(disk === mem)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS mh_buckets")
+      s.sql("DROP TABLE IF EXISTS mh_sets")
+    }
+  }
+
   test("bucketed fact-fact join runs without a shuffle on either side") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
