@@ -336,4 +336,40 @@ object Similarity {
         col("component").isNull || col("component") === col("vec_id"))
       .orderBy(col("vec_id"))
   }
+
+  /** Per-vector int8 scalar quantization — the 4× memory compression
+    * that makes a 100 TB float corpus ANN-searchable in a quarter of
+    * the executor footprint. Affine-maps each vector to codes
+    * 0..255 against its own [min, max] (`floor(x + 0.5)` rounding —
+    * `round()` half-even/half-up semantics differ across engines;
+    * floor doesn't), and reports the code checksum plus the exact
+    * L2² reconstruction error of the dequantized vector.
+    *
+    * Pure per-row array HOFs — no shuffle at all except the output
+    * sort; arithmetic is double-exact in a fixed order, so codes AND
+    * the error doubles are oracle-bit-identical. Degenerate constant
+    * vectors (max = min) quantize to code 0 with zero error.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val mn = col("mn")
+    val mx = col("mx")
+    val span = mx - mn
+    def codeOf(v: Column): Column =
+      when(span === 0d, lit(0L)).otherwise(
+        floor((v.cast("double") - mn) * lit(255.0) / span + lit(0.5))
+          .cast("long"))
+    val codes = transform(col("embedding"), codeOf(_))
+    def dequant(c: Column): Column = mn + c.cast("double") * span / lit(255.0)
+    val sqErrs = zip_with(col("embedding"), col("codes"),
+      (v, c) => { val d = v.cast("double") - dequant(c); d * d })
+    emb
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), mn, mx,
+        aggregate(col("codes"), lit(0L), _ + _).as("code_sum"),
+        aggregate(sqErrs, lit(0.0), _ + _).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
 }

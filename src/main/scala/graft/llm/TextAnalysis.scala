@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents(doc_id, text, lang, source,
@@ -215,6 +216,84 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         (col("c_sum").cast("double") / col("n_bigrams")).as("familiarity"))
       .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style familiarity bucketing: split the corpus into `n`
+    * equal-depth buckets (head = most corpus-familiar … tail = least)
+    * by [[familiarityScores]]'s signal, `ntile` over the total order
+    * (familiarity, doc_id) so the split is deterministic under ties.
+    * Per bucket: doc count, familiarity min/max, total bigram mass —
+    * all order-free aggregates (a mean of doubles would sum in
+    * engine-dependent order and break bit-parity; min/max/long-sum
+    * don't).
+    *
+    * Scale: the bucketing `ntile` is a single-partition window over
+    * the per-DOC score frame (one row per doc — the corpus itself
+    * never serializes); at 100 TB the same split comes from
+    * `approx_percentile` cutoffs instead, trading exact equal depth
+    * for a fully parallel pass — this exact form is the oracle-able
+    * twin.
+    */
+  def familiarityBuckets(docs: DataFrame, n: Int = 3): DataFrame =
+    familiarityScores(docs)
+      .withColumn("bucket",
+        ntile(n).over(Window.orderBy(col("familiarity"), col("doc_id"))))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("familiarity")).as("min_familiarity"),
+        max(col("familiarity")).as("max_familiarity"),
+        sum(col("n_bigrams")).as("sum_bigrams"))
+      .orderBy(col("bucket"))
+
+  /** BM25 keyword retrieval over the corpus for a literal term set —
+    * the lexical half of a retrieval stack (the dense half is
+    * [[Similarity]]). Per doc: tf per term via a per-row array filter
+    * (NO posexplode — term frequency never shuffles), then corpus
+    * stats (N, Σdl, df per term) as ONE tiny aggregate broadcast back,
+    * and the score assembled with a fixed left-to-right term-sum so
+    * float addition order is engine-portable. Top-k via
+    * TakeOrderedAndProject (bounded heap per partition — never a full
+    * sort).
+    *
+    * For oracle bit-parity the idf is the RATIONAL Robertson form
+    * (N - df + 0.5)/(df + 0.5) *without* the usual log() wrap: log is
+    * not correctly-rounded and differs between JVM and C runtimes;
+    * every operation here is IEEE +,*,/ on exactly-derived doubles.
+    * Monotone in the log form, so rankings agree.
+    */
+  def bm25Rank(
+      docs: DataFrame,
+      terms: Seq[String] = Seq("filter", "merge", "spark", "vector", "window"),
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9_]+")),
+      "terms must be simple lowercase tokens (SQL-literal-safe)")
+    val ts = terms.sorted
+    val perDoc = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+      .select(Seq(col("doc_id"), col("dl")) ++ ts.map(t =>
+        size(filter(col("w"), x => x === t)).cast("double").as(s"tf_$t")): _*)
+    val statCols = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")) ++ ts.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))
+    def termScore(t: String): Column = {
+      val idf = ((col("n_docs") - col(s"df_$t")).cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5))
+      idf * ((col(s"tf_$t") * lit(k1 + 1.0)) / (col(s"tf_$t") + norm))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        ts.map(termScore).reduce(_ + _).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
   }
 
   /** The dataset card: the one-row corpus summary every dataset

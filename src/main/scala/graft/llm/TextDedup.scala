@@ -60,6 +60,49 @@ object TextDedup {
       .orderBy(col("prefix_key"))
   }
 
+  /** Segment-level exact dedup (the C4 "line dedup" pass, over
+    * fixed-width token segments since this corpus is single-line):
+    * chunk each doc into consecutive `width`-token segments, keep only
+    * the globally-first occurrence of each distinct segment (ordered
+    * by (doc_id, seg_idx) — repeats *within* a doc drop too), and
+    * reassemble each doc from its surviving segments in order. One row
+    * per doc: `(doc_id, n_segments, n_kept, clean_text)`.
+    *
+    * Scale: segmentation is a per-row array transform (no explode
+    * shuffle to build segments); the dedup itself is ONE shuffle on
+    * the 128-bit segment hash (the window) and one shuffle back to
+    * doc_id for reassembly — both keyed, no joins. Zero-token docs
+    * contribute a single empty segment so every doc survives to the
+    * output.
+    */
+  def segmentDedup(docs: DataFrame, width: Int = 8): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nSeg = greatest(
+      ceil(size(col("w")).cast("double") / width).cast("int"), lit(1))
+    val segments = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(col("w"), i * width + 1, lit(width)), " "))
+    val firstOccurrence = Window
+      .partitionBy(md5(col("segment")))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    docs
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        posexplode(segments).as(Seq("seg_idx", "segment")))
+      .withColumn("rn", row_number().over(firstOccurrence))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1,
+                struct(col("seg_idx"), col("segment"))))),
+            s => s.getField("segment")),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hash-distribute a corpus scan across the session's shuffle
     * parallelism before a CPU-bound stage. Small-file corpora (and any
     * non-splittable input) can scan as a handful of partitions, which

@@ -1650,11 +1650,131 @@ object QueryPackExt {
         (SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
          FROM documents) AS n_exact_dup_docs"""))
 
+  /** Segment-level exact dedup ([[TextDedup.segmentDedup]]): the C4
+    * "line dedup" pass over fixed 8-token segments — globally-first
+    * occurrence keeps, docs reassembled from surviving segments.
+    */
+  private val q84 = Q("q84_segment_dedup",
+    (s, dir) => TextDedup.segmentDedup(t(s, dir, "documents"), width = 8),
+    Some(s"""
+      WITH $ToksCte,
+      seg AS (
+        SELECT doc_id, gs - 1 AS seg_idx,
+               array_to_string(list_slice(w, (gs - 1) * 8 + 1, gs * 8), ' ')
+                 AS segment
+        FROM toks, LATERAL (SELECT unnest(generate_series(1,
+               greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1))) AS gs) g),
+      rn AS (
+        SELECT doc_id, seg_idx, segment,
+               row_number() OVER (PARTITION BY md5(segment)
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM seg)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+             coalesce(string_agg(segment, ' ' ORDER BY seg_idx)
+                        FILTER (WHERE rn = 1), '') AS clean_text
+      FROM rn GROUP BY doc_id ORDER BY doc_id"""))
+
+  private val Bm25Terms = Seq("filter", "merge", "spark", "vector", "window")
+
+  /** DuckDB mirror of one BM25 term score — the exact expression tree
+    * of [[TextAnalysis.bm25Rank]]'s `termScore` (rational idf, fixed
+    * op order).
+    */
+  private def bm25TermSql(t: String): String =
+    s"""(CAST(g.n_docs - g.df_$t AS DOUBLE) + 0.5)
+             / (CAST(g.df_$t AS DOUBLE) + 0.5)
+             * ((d.tf_$t * 2.2) / (d.tf_$t + 1.2 * (0.25
+                + 0.75 * (CAST(d.dl AS DOUBLE)
+                          / (CAST(g.sum_dl AS DOUBLE) / g.n_docs)))))"""
+
+  /** BM25 keyword retrieval ([[TextAnalysis.bm25Rank]]): per-row tf
+    * (no explode), one broadcast stats row, rational-idf score summed
+    * in fixed term order, top-20.
+    */
+  private val q85 = Q("q85_bm25_rank",
+    (s, dir) => TextAnalysis.bm25Rank(t(s, dir, "documents"), Bm25Terms),
+    Some(s"""
+      WITH $ToksCte,
+      d AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+               ${Bm25Terms.sorted.map(t =>
+                 s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+                 .mkString(",\n               ")}
+        FROM toks),
+      g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl,
+               ${Bm25Terms.sorted.map(t =>
+                 s"CAST(count(*) FILTER (WHERE tf_$t > 0) AS BIGINT) AS df_$t")
+                 .mkString(",\n               ")}
+        FROM d)
+      SELECT doc_id, dl, score FROM (
+        SELECT d.doc_id, d.dl,
+               ${Bm25Terms.sorted.map(bm25TermSql).mkString("\n             + ")}
+                 AS score
+        FROM d, g) z
+      WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
+  /** CCNet-style familiarity bucketing
+    * ([[TextAnalysis.familiarityBuckets]]): equal-depth ntile over
+    * q79's familiarity signal, order-free per-bucket aggregates.
+    */
+  private val q86 = Q("q86_familiarity_buckets",
+    (s, dir) => TextAnalysis.familiarityBuckets(t(s, dir, "documents"), n = 3),
+    Some(s"""
+      WITH $ToksCte, ${gramCtes(2)},
+      bg AS (SELECT doc_id, gh FROM grams WHERE gh IS NOT NULL),
+      c AS (SELECT gh, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY gh),
+      f AS (
+        SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(c.c) AS DOUBLE) / count(*) AS familiarity
+        FROM bg JOIN c ON bg.gh = c.gh GROUP BY bg.doc_id),
+      nt AS (
+        SELECT n_bigrams, familiarity,
+               ntile(3) OVER (ORDER BY familiarity, doc_id) AS bucket
+        FROM f)
+      SELECT CAST(bucket AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             min(familiarity) AS min_familiarity,
+             max(familiarity) AS max_familiarity,
+             CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams
+      FROM nt GROUP BY bucket ORDER BY bucket"""))
+
+  /** Int8 scalar quantization ([[Similarity.quantizeInt8]]): per-row
+    * affine codes + exact L2² reconstruction error, no shuffle.
+    */
+  private val q87 = Q("q87_embed_quantize",
+    (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings")),
+    Some("""
+      WITH q AS (
+        SELECT vec_id, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               CAST(list_max(embedding) AS DOUBLE) AS mx
+        FROM embeddings),
+      c AS (
+        SELECT vec_id, embedding, mn, mx,
+               list_transform(embedding, v -> CASE WHEN mx - mn = 0 THEN 0
+                 ELSE CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0
+                                 / (mx - mn) + 0.5) AS BIGINT) END) AS codes
+        FROM q)
+      SELECT vec_id, mn, mx,
+             CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             coalesce(list_sum(list_transform(generate_series(1, len(embedding)),
+               i -> (CAST(embedding[i] AS DOUBLE)
+                     - (mn + CAST(codes[i] AS DOUBLE) * (mx - mn) / 255.0))
+                  * (CAST(embedding[i] AS DOUBLE)
+                     - (mn + CAST(codes[i] AS DOUBLE) * (mx - mn) / 255.0)))),
+               0.0) AS recon_err
+      FROM c ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q80, q81, q82, q83)
+    q79, q80, q81, q82, q83, q84, q85, q86, q87)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
