@@ -116,6 +116,32 @@ object Bpe {
     }
   }
 
+  /** The counting kernel of one BPE TRAINING iteration (step 0:
+    * character pairs): distinct pre-tokens are counted once
+    * corpus-wide, then each word's adjacent symbol pairs contribute
+    * the word's corpus count — top-k pairs by weighted count, exactly
+    * the statistic argmaxed to learn the next merge rule. Running it
+    * as corpus aggregation instead of a driver loop is what makes
+    * vocabulary induction distributable: the corpus is scanned ONCE
+    * (word-count groupBy on the word string); the pair explosion runs
+    * over the distinct-word frame, which is vocabulary-sized, not
+    * corpus-sized.
+    */
+  def pairCounts(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(TextFns.regexTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val pairs = when(length(col("word")) >= 2,
+      transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    words
+      .select(explode(pairs).as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** The classical rank-loop BPE encode of one pre-token (the merged
     * pair with the lowest rank merges everywhere, repeat to fixpoint).
     */

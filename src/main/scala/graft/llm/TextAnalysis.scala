@@ -87,6 +87,38 @@ object TextAnalysis {
         col("mean_tok_len") <= maxMeanTokLen)
       .orderBy(col("doc_id"))
 
+  /** Explainable rejection — the audit layer over [[qualityFilter]]'s
+    * boolean: every doc gets the LIST of quality rules it fails (empty
+    * ⇒ keep), so a curation run can report WHY each drop dropped and
+    * which rule dominates. Same thresholds and score frame as
+    * qualityFilter; the reasons array is a per-row filter over CASE
+    * labels, so the only shuffles are [[qualityScores]]' own. Docs
+    * with zero tokens drop out with the score frame (same as q36).
+    */
+  def filterReasons(
+      docs: DataFrame,
+      minTokens: Long = 5,
+      minTtr: Double = 0.3,
+      maxStopwordRatio: Double = 0.5,
+      minMeanTokLen: Double = 2.0,
+      maxMeanTokLen: Double = 12.0): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("n_tokens") < minTokens),
+      "low_ttr" -> (col("ttr") < minTtr),
+      "high_stopword" -> (col("stopword_ratio") > maxStopwordRatio),
+      "tok_len_out_of_range" -> (col("mean_tok_len") < minMeanTokLen ||
+        col("mean_tok_len") > maxMeanTokLen))
+    val reasons = filter(
+      array(rules.map { case (n, c) => when(c, lit(n)) }: _*),
+      r => r.isNotNull)
+    qualityScores(docs)
+      .select(col("doc_id"),
+        array_join(reasons, ",").as("reasons"),
+        size(reasons).cast("long").as("n_reasons"))
+      .withColumn("keep", col("n_reasons") === 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document repetition signals — the Gopher/FineWeb-style
     * "repetitious text" family a curation pipeline thresholds on
     * alongside [[qualityScores]]:

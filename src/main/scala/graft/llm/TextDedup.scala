@@ -401,6 +401,38 @@ object TextDedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) over distinct
+    * word k-gram sets — the signal that catches a document EMBEDDED in
+    * a larger one (quote farms, boilerplate wrappers), which symmetric
+    * Jaccard dilutes toward 0 as the host document grows. Same
+    * inverted-index shape as [[ngramJaccardPairs]] (postings self-join
+    * on the 8-byte gram hash, never all-pairs): the exact verify path;
+    * at corpus scale generate candidates with the banded LSH first and
+    * compute containment only on survivors.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      maxDocId: Option[Long] = None,
+      shingleK: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val bounded = maxDocId.fold(docs)(m => docs.filter(col("doc_id") < m))
+    val sets = shingleSets(bounded, shingleK)
+    val postings = sets.select(col("doc_id"), explode(col("sh")).as("gh"))
+    val inter = postings.as("a")
+      .join(postings.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sets.select(col("doc_id").as("da"), size(col("sh")).as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), size(col("sh")).as("nb")), "db")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("da"), col("db"), col("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
   private val SimhashHalfBits = 32
 
   /** 64-bit SimHash signatures as two nonnegative 32-bit halves

@@ -1770,11 +1770,84 @@ object QueryPackExt {
                0.0) AS recon_err
       FROM c ORDER BY vec_id"""))
 
+  /** Containment near-dup pairs ([[TextDedup.containmentPairs]]):
+    * |A∩B| / min(|A|,|B|) — catches a doc embedded in a larger one,
+    * which Jaccard dilutes. Same inverted-index shape as q31.
+    */
+  private val q88 = Q("q88_containment_pairs",
+    (s, dir) => TextDedup.containmentPairs(t(s, dir, "documents"),
+      maxDocId = Some(250), shingleK = 3, threshold = 0.6),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id < 250), ${gramCtes(3)},
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db, containment FROM (
+        SELECT da, db, CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db) z
+      WHERE containment >= 0.6 ORDER BY da, db"""))
+
+  /** BPE pair-count training kernel ([[graft.llm.Bpe.pairCounts]]):
+    * the weighted adjacent-pair statistic one merge-learning iteration
+    * argmaxes, over the vocabulary-sized distinct-word frame.
+    */
+  private val q89 = Q("q89_bpe_pair_counts",
+    (s, dir) => graft.llm.Bpe.pairCounts(t(s, dir, "documents"), topK = 20),
+    Some(s"""
+      WITH w AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                '${graft.llm.TextFns.BpeTokenPattern}')) AS tok
+              FROM documents) x
+        GROUP BY tok),
+      p AS (
+        SELECT substr(tok, gs, 2) AS pair, c
+        FROM w, LATERAL (SELECT unnest(generate_series(1, length(tok) - 1)) AS gs) g
+        WHERE length(tok) >= 2)
+      SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+      FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
+
+  /** Explainable rejection ([[TextAnalysis.filterReasons]]): per-doc
+    * list of failed quality rules — q59's boolean with the audit
+    * trail attached.
+    */
+  private val q90 = Q("q90_filter_reasons",
+    (s, dir) => TextAnalysis.filterReasons(t(s, dir, "documents")),
+    Some(s"""
+      WITH $ToksCte,
+      s AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / len(w) AS mean_tok_len,
+               CAST(len(list_filter(w,
+                      x -> list_contains(['the','a','of','and','to'], x)))
+                    AS DOUBLE) / len(w) AS stopword_ratio
+        FROM toks WHERE len(w) > 0),
+      r AS (
+        SELECT doc_id, list_filter([
+                 CASE WHEN n_tokens < 5 THEN 'too_short' END,
+                 CASE WHEN ttr < 0.3 THEN 'low_ttr' END,
+                 CASE WHEN stopword_ratio > 0.5 THEN 'high_stopword' END,
+                 CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0
+                      THEN 'tok_len_out_of_range' END
+               ], x -> x IS NOT NULL) AS rl
+        FROM s)
+      SELECT doc_id, coalesce(array_to_string(rl, ','), '') AS reasons,
+             CAST(len(rl) AS BIGINT) AS n_reasons,
+             len(rl) = 0 AS keep
+      FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -62,6 +62,43 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("containmentPairs: embedded doc scores 1.0 where jaccard dilutes") {
+    val host = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val out = TextDedup.containmentPairs(docs(
+      1L -> host,
+      2L -> "alpha beta gamma delta epsilon", // strict prefix of doc 1
+      3L -> "unrelated words entirely different content here"),
+      shingleK = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 2's 3 shingles are all among doc 1's 8 → containment 1.0
+    assert(out((1L, 2L)) === 1.0)
+    assert(out.size === 1) // doc 3 shares nothing
+  }
+
+  test("bpePairCounts: weighted adjacent char pairs, single chars drop") {
+    val out = graft.llm.Bpe.pairCounts(docs(
+      1L -> "aa ab aa",
+      2L -> "b aa"), topK = 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt")).toMap
+    // word 'aa' (corpus count 3) contributes pair "aa" ×3, word 'ab'
+    // contributes "ab" ×1, single-char 'b' contributes nothing
+    assert(out === Map("aa" -> 3L, "ab" -> 1L))
+  }
+
+  test("filterReasons: failing docs list their rules, clean docs keep") {
+    val s = spark
+    import s.implicits._
+    val out = TextAnalysis.filterReasons(Seq(
+      (1L, "one two", "en"), // < 5 tokens
+      (2L, "the quick brown fox jumps over pretty lazy dogs quietly", "en"))
+      .toDF("doc_id", "text", "lang"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reasons"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L)._1.contains("too_short") && !out(1L)._2)
+    assert(out(2L) === (("", true)))
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._
