@@ -202,4 +202,30 @@ object Sampling {
     }
     docs.filter(bucketOf(seed, col(keyCol)) < thresh)
   }
+
+  /** Deterministic training-shard assignment: every doc hash-assigned
+    * to one of `nShards` shards by its seeded md5 bucket — the
+    * write-side layout op for a training corpus (shard =
+    * `repartition(nShards, col("shard"))` + partitioned write). Same
+    * portability contract as the samplers: assignment is a pure
+    * function of (seed, key), stable across engines, runs, and
+    * cluster sizes — a resumed or re-run export produces byte-stable
+    * shard membership. Emits per-shard balance stats (the skew audit:
+    * md5 buckets spread uniformly, so shard sizes concentrate tightly
+    * around n/nShards).
+    */
+  def shardStats(
+      docs: DataFrame,
+      nShards: Int,
+      seed: String,
+      keyCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("shard", (bucketOf(seed, col(keyCol)) % nShards).cast("int"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("shard"))
 }

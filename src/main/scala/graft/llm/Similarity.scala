@@ -235,6 +235,18 @@ object Similarity {
       nProbe: Int = 2,
       nQueries: Int = 5,
       k: Int = 3): DataFrame = {
+    val (cent, cells) = ivfTrain(emb, dims)
+    ivfProbe(cent, cells,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      nProbe, k)
+  }
+
+  /** The IVF "train" step alone: `(centroids(ccell, cv), inverted
+    * file(vec_id, cell, embedding, nrm))` — the index [[ivfProbe]]
+    * serves queries from, and the pair [[writeIvfIndex]] persists.
+    */
+  def ivfTrain(emb: DataFrame, dims: Int = 64): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val e = TextDedup.spread(emb, "vec_id")
@@ -254,11 +266,24 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("ccell").as("cell"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
+    (cent, cells)
+  }
 
+  /** Probe a (possibly persisted) IVF index with an explicit query set
+    * `queries(query_id, qv)`: rank centroids per query, search the
+    * nearest `nProbe` cells only, exact-cosine rerank inside them.
+    */
+  def ivfProbe(
+      cent: DataFrame,
+      cells: DataFrame,
+      queries: DataFrame,
+      nProbe: Int = 2,
+      k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(cells.sparkSession)
+    import org.apache.spark.sql.expressions.Window
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("ccell"))
-    val probes = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = queries
       .crossJoin(broadcast(cent))
       .withColumn("d2", dist2(col("qv"), col("cv")))
       .withColumn("crn", row_number().over(wProbe))
@@ -282,6 +307,32 @@ object Similarity {
         cells("cell").as("cell"), col("sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Persist a trained IVF index: centroids as a plain (tiny) table,
+    * the inverted file bucketed on `cell` so a later [[ivfProbe]]'s
+    * cell equi-join reads pre-clustered buckets with no exchange on
+    * the corpus side — the ANN twin of the persisted MinHash dedup
+    * index ([[TextDedup.writeMinhashIndex]]).
+    */
+  def writeIvfIndex(
+      cent: DataFrame,
+      cells: DataFrame,
+      centTable: String,
+      cellsTable: String,
+      numBuckets: Int = 16): Unit = {
+    cent.write.mode("overwrite").saveAsTable(centTable)
+    cells.write.bucketBy(numBuckets, "cell")
+      .mode("overwrite").saveAsTable(cellsTable)
+  }
+
+  /** The persisted index back as `(cent, cells)` — pass straight to
+    * [[ivfProbe]].
+    */
+  def readIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      centTable: String,
+      cellsTable: String): (DataFrame, DataFrame) =
+    (spark.table(centTable), spark.table(cellsTable))
 
   /** Embedding-cosine near-dup pairs: sign-sketch bucket self-join for
     * candidates (equi-keyed, never all-pairs), exact cosine ≥ threshold

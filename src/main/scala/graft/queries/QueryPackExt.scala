@@ -1843,11 +1843,78 @@ object QueryPackExt {
              len(rl) = 0 AS keep
       FROM r ORDER BY doc_id"""))
 
+  /** IVF train/probe split ([[Similarity.ivfTrain]]/[[Similarity.ivfProbe]]):
+    * the index is built once and served an EXPLICIT query set — the
+    * session-decoupled path [[Similarity.writeIvfIndex]] persists
+    * (write/read roundtrip equality is spec-asserted; this query gates
+    * the split's values). Query set disjoint from q43's.
+    */
+  private val q91 = Q("q91_ivf_index_probe",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (cent, cells) = Similarity.ivfTrain(emb, dims = 64)
+      Similarity.ivfProbe(cent, cells,
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        nProbe = 2, k = 3)
+    },
+    Some(s"""
+      WITH cent AS (
+        SELECT label, $centroidList AS cv FROM embeddings GROUP BY label),
+      assign AS (
+        SELECT vec_id, cell, embedding, nrm FROM (
+          SELECT e.vec_id, c.label AS cell, e.embedding,
+                 sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${dist2Sql("e.embedding", "c.cv")},
+                                             c.label) AS rn
+          FROM embeddings e, cent c) x WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qv, qn, cell FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qv,
+                 sqrt(${dotSql("q.embedding", "q.embedding")}) AS qn,
+                 c.label AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${dist2Sql("q.embedding", "c.cv")},
+                                             c.label) AS crn
+          FROM embeddings q, cent c
+          WHERE q.vec_id >= 5 AND q.vec_id < 10) y WHERE crn <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id, a.cell,
+               ${dotSql("p.qv", "a.embedding")} / (p.qn * a.nrm) AS sim
+        FROM assign a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id),
+      r AS (SELECT query_id, vec_id, cell, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cell, sim
+      FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""))
+
+  /** Deterministic shard assignment ([[graft.llm.Sampling.shardStats]]):
+    * seeded md5 shard per doc + per-shard balance stats — the
+    * write-side layout op for a training export.
+    */
+  private val q92 = Q("q92_shard_stats",
+    (s, dir) => graft.llm.Sampling.shardStats(t(s, dir, "documents"),
+      nShards = 8, seed = "shard0"),
+    Some(s"""
+      WITH $ToksCte,
+      b AS (
+        SELECT doc_id, w,
+               CAST((${h60("concat('shard0', '|', CAST(doc_id AS VARCHAR))")}
+                     % 1000000) % 8 AS INTEGER) AS shard
+        FROM toks)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM b GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -99,6 +99,15 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === (("", true)))
   }
 
+  test("shardStats: exhaustive partition, rerun-stable") {
+    val corpus = docs((1L to 40L).map(i => i -> s"word$i more text"): _*)
+    val rows = Sampling.shardStats(corpus, nShards = 4, seed = "s").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 40L)
+    assert(rows.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 4).toSet))
+    val again = Sampling.shardStats(corpus, nShards = 4, seed = "s").collect()
+    assert(rows.map(_.toSeq) === again.map(_.toSeq))
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._

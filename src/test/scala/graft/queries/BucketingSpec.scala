@@ -47,6 +47,31 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("persisted IVF index probes from the bucket layout, results unchanged") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    try {
+      val (c0, f0) = graft.llm.Similarity.ivfTrain(emb, dims = 64)
+      graft.llm.Similarity.writeIvfIndex(c0, f0,
+        "ivf_cent", "ivf_cells", numBuckets = 4)
+      val (c1, f1) = graft.llm.Similarity.readIvfIndex(s, "ivf_cent", "ivf_cells")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val fromDisk = graft.llm.Similarity.ivfProbe(c1, f1, queries, 2, 3)
+      val plan = fromDisk.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("Bucketed: true"), plan)
+      val mem = graft.llm.Similarity.ivfProbe(c0, f0, queries, 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val disk = fromDisk
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(disk === mem)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS ivf_cent")
+      s.sql("DROP TABLE IF EXISTS ivf_cells")
+    }
+  }
+
   test("bucketed fact-fact join runs without a shuffle on either side") {
     val s = spark
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
