@@ -64,7 +64,17 @@ object Plans {
     "q82_dup_source_attribution" ->
       "near-dup pair list (dedup-output-sized) joins source lookups; candidate generation inherits q30's equi-keyed shape — no CartesianProduct",
     "q83_dataset_card" ->
-      "each distinct-count is its OWN tiny aggregate crossJoined back as a broadcast — no Expand multiplying the corpus through the agg")
+      "each distinct-count is its OWN tiny aggregate crossJoined back as a broadcast — no Expand multiplying the corpus through the agg",
+    "q84_segment_dedup" ->
+      "segments built per-row (ONE Generate, after the array chunking); dedup is one window on the segment hash + one reassembly agg on doc_id — no joins",
+    "q85_bm25_rank" ->
+      "tf per term is a per-row array filter (no Generate, no corpus join); corpus stats broadcast as one row; top-k is TakeOrderedAndProject",
+    "q87_embed_quantize" ->
+      "pure per-row codegen — no Exchange except the output sort",
+    "q89_bpe_pair_counts" ->
+      "pair explode runs over the AGGREGATED distinct-word frame (vocabulary-sized), never the corpus; top-k is TakeOrderedAndProject",
+    "q91_ivf_index_probe" ->
+      "probes broadcast to the inverted file on the cell equi-key; no CartesianProduct anywhere in train or probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

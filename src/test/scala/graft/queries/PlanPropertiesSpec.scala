@@ -130,4 +130,45 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p) // map-side partial aggregation
   }
+
+  test("q84: segments are built per-row — no Generate below the dedup window") {
+    val p = planExt("q84_segment_dedup")
+    // exactly one Generate (the posexplode of the per-row segment
+    // array); a second would mean tokens explode before chunking
+    assert(p.linesIterator.count(_.contains("Generate")) === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q85: BM25 never explodes or joins the corpus; top-k is TakeOrdered") {
+    val p = planExt("q85_bm25_rank")
+    assert(!p.contains("Generate"), p) // tf is a per-row array filter
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row stats broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q87: quantization is shuffle-free (only the output sort exchanges)") {
+    val p = planExt("q87_embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q89: pair explode runs over the aggregated word frame, not the corpus") {
+    val p = planExt("q89_bpe_pair_counts")
+    // the corpus-side Generate (regex pre-tokenize) feeds an aggregate
+    // BEFORE the pair Generate: assert the pair explode sees a
+    // HashAggregate child, i.e. the plan has an agg between the two
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.zipWithIndex.filter(_._1.contains("Generate")).map(_._2)
+    assert(genIdx.size === 2, p)
+    assert(lines.slice(genIdx.min, genIdx.max)
+      .exists(_.contains("HashAggregate")), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q91: IVF probe joins the inverted file on the cell equi-key") {
+    val p = planExt("q91_ivf_index_probe")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // probes broadcast to cells
+  }
 }
