@@ -153,6 +153,36 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       k, excludeSelf = true)
 
+  /** Retrieval-based classification: label each query vector by the
+    * majority label of its k nearest corpus neighbors (tie → smaller
+    * label wins), scored against the query's own `label` — the
+    * labeling-by-retrieval pattern behind quality classifiers and
+    * weak supervision at corpus scale. Votes ride [[bruteForceTopK]]'s
+    * bounded-heap output; the label lookup is an equi-join against the
+    * corpus projection; the vote argmax is a per-query window over at
+    * most |labels| rows.
+    */
+  def knnLabelVote(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = bruteForceTopK(emb, nQueries, k)
+      .join(emb.select(col("vec_id"), col("label").as("neighbor_label")),
+        "vec_id")
+      .groupBy(col("query_id"), col("neighbor_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("neighbor_label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id"),
+        col("neighbor_label").as("predicted_label"),
+        col("n_votes"), col("true_label"),
+        (col("neighbor_label") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   /** Bucketed (sign-LSH) cosine top-k — the scale path: queries only
     * meet candidates in their own sketch bucket via an equi-join, so
     * the per-query candidate set shrinks ~2^bits-fold. Approximate:

@@ -250,6 +250,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document top-k TF-IDF terms — the sparse feature extraction
+    * behind classic quality classifiers and lexical retrieval
+    * indexes. The idf is the rational `(N + 1)/(df + 1)` (log-free
+    * for cross-engine bit-parity; monotone in the log form, so
+    * per-doc rankings agree). tf and df both derive from ONE
+    * (doc, term) count frame (checkpointed — the tokenize+explode
+    * pipeline runs once); N broadcasts back; the per-doc top-k is a
+    * window over the doc's distinct terms only.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = TextDedup.spread(docs, "doc_id")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        ((col("n_docs").cast("double") + lit(1.0)) /
+          (col("df").cast("double") + lit(1.0))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** CCNet-style familiarity bucketing: split the corpus into `n`
     * equal-depth buckets (head = most corpus-familiar … tail = least)
     * by [[familiarityScores]]'s signal, `ntile` over the total order

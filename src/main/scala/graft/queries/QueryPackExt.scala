@@ -1910,11 +1910,70 @@ object QueryPackExt {
              min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       FROM b GROUP BY shard ORDER BY shard"""))
 
+  /** kNN label vote ([[Similarity.knnLabelVote]]): retrieval-based
+    * classification — majority label of the 10 nearest neighbors vs
+    * the query's own label (tie → smaller label).
+    */
+  private val q93 = Q("q93_knn_label_vote",
+    (s, dir) => Similarity.knnLabelVote(t(s, dir, "embeddings"),
+      nQueries = 5, k = 10),
+    Some(s"""
+      WITH ${normCte()},
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               ${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm) AS sim
+        FROM e JOIN q ON e.vec_id <> q.query_id),
+      r AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rnk
+            FROM scored),
+      v AS (SELECT r.query_id, em.label AS neighbor_label,
+                   CAST(count(*) AS BIGINT) AS n_votes
+            FROM r JOIN embeddings em ON em.vec_id = r.vec_id
+            WHERE r.rnk <= 10 GROUP BY 1, 2),
+      p AS (SELECT query_id, neighbor_label, n_votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n_votes DESC, neighbor_label)
+                     AS rn
+            FROM v)
+      SELECT p.query_id, p.neighbor_label AS predicted_label, p.n_votes,
+             tq.label AS true_label,
+             p.neighbor_label = tq.label AS correct
+      FROM p JOIN embeddings tq ON tq.vec_id = p.query_id
+      WHERE p.rn = 1 ORDER BY p.query_id"""))
+
+  /** Per-doc top-k TF-IDF terms ([[TextAnalysis.tfidfTopTerms]]):
+    * rational idf (N+1)/(df+1), per-doc window top-5.
+    */
+  private val q94 = Q("q94_tfidf_top_terms",
+    (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5),
+    Some(s"""
+      WITH $ToksCte,
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM toks) x
+             GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                   CAST(tf.tf AS DOUBLE) * ((CAST(n.n_docs AS DOUBLE) + 1.0)
+                     / (CAST(dfreq.df AS DOUBLE) + 1.0)) AS score
+            FROM tf JOIN dfreq USING (term), n),
+      r AS (SELECT doc_id, term, tf, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rnk
+            FROM s)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, score
+      FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
-    q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
+    q93, q94)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

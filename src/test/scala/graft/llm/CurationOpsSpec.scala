@@ -108,6 +108,38 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.toSeq) === again.map(_.toSeq))
   }
 
+  test("knnLabelVote: majority label wins, tie breaks to smaller label") {
+    val s = spark
+    import s.implicits._
+    // query 0 at origin-ish; corpus: two label-1 vectors nearby, one
+    // label-2 vector also nearby → majority 1
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 9),
+      (10L, Seq(0.9f, 0.1f), 1),
+      (11L, Seq(0.8f, 0.2f), 1),
+      (12L, Seq(0.7f, 0.3f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelVote(emb, nQueries = 1, k = 3).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Int]("predicted_label") === 1)
+    assert(out.head.getAs[Long]("n_votes") === 2L)
+    assert(out.head.getAs[Int]("true_label") === 9)
+    assert(!out.head.getAs[Boolean]("correct"))
+  }
+
+  test("tfidfTopTerms: rare terms outscore common ones, rank is per-doc") {
+    val out = TextAnalysis.tfidfTopTerms(docs(
+      1L -> "common rare common",
+      2L -> "common other words",
+      3L -> "common common common"), k = 2).collect()
+    val top1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+      .sortBy(_.getAs[Long]("rnk")).map(_.getAs[String]("term")).toSeq
+    // doc 1: common scores 2*(4/4)=2.0, rare scores 1*(4/2)=2.0 —
+    // exact tie, broken by the term tie-break: 'common' < 'rare'
+    assert(top1 === Seq("common", "rare"))
+    assert(out.count(_.getAs[Long]("doc_id") == 3L) === 1) // only 1 term
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._
