@@ -182,4 +182,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("funnel: strict first-occurrence ordering; drop-off leaves the stage") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1 completes a->b->c in order
+      (1L, "a", ts(10)), (1L, "b", ts(20)), (1L, "c", ts(30)),
+      // user 2: b BEFORE a, never after -> stops at stage a
+      (2L, "b", ts(5)), (2L, "a", ts(10)),
+      // user 3: a then c (no b) -> stops at stage a
+      (3L, "a", ts(10)), (3L, "c", ts(40)),
+      // user 4: b same second as a -> strict '>' rejects it
+      (4L, "a", ts(10)), (4L, "b", ts(10)))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnelCounts(ev, Seq("a", "b", "c")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users"))
+      .toSeq
+    assert(out === Seq("a" -> 4L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("retention: cohort is first day, offsets count whole weeks") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L
+    def ts(d: Long) = new java.sql.Timestamp(d * day * 1000L)
+    val ev = Seq(
+      (1L, "x", ts(0)), (1L, "x", ts(8)),  // week 0 and week 1
+      (2L, "x", ts(0)), (2L, "x", ts(3)),  // both inside week 0
+      (3L, "x", ts(7)))                    // later cohort, week 0 only
+      .toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.retentionCohorts(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_sec"), r.getAs[Long]("week_offset"),
+        r.getAs[Long]("n_users"))).toSet
+    assert(out === Set((0L, 0L, 2L), (0L, 1L, 1L), (7L * day, 0L, 1L)))
+  }
 }
