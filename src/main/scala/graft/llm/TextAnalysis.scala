@@ -358,6 +358,32 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Token-length histogram on log2 buckets — the length-distribution
+    * panel of a dataset report (q83's card gives the mean; this gives
+    * the shape: truncation spikes, boilerplate stubs, outlier tails).
+    * Bucket b covers lengths [2^b, 2^(b+1)); zero-token docs land in
+    * bucket -1. Pure integer math (floor(log2 n) via bit length —
+    * log() isn't bit-portable, integer comparisons are), one map-side
+    * partial agg.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val n = size(TextFns.tokens(col("text"))).cast("long")
+    // floor(log2(n)) as the highest set bit: SUM over bit positions of
+    // (n >= 2^b) - 1 ... expressed portably as a CASE chain over the
+    // 31 possible buckets of an int-sized token count
+    val bucket = (30 to 0 by -1).foldLeft(lit(-1)) { (acc, b) =>
+      when(n >= (1L << b), lit(b)).otherwise(acc)
+    }
+    docs
+      .select(bucket.as("bucket"), n.as("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_len"),
+        max(col("n")).as("max_len"))
+      .orderBy(col("bucket"))
+  }
+
   /** The dataset card: the one-row corpus summary every dataset
     * release ships — doc/token counts, language/source cardinalities,
     * exact-dup count, mean doc length. Each distinct-count runs as its

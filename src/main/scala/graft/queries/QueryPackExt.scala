@@ -2009,12 +2009,38 @@ object QueryPackExt {
       FROM d JOIN c USING (user_id)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** DuckDB mirror of [[TextAnalysis.lengthHistogram]]'s log2 bucket:
+    * the same highest-set-bit CASE chain (log2() is not bit-portable;
+    * integer comparisons are).
+    */
+  private def log2BucketSql(expr: String): String =
+    (30 to 0 by -1).foldLeft("-1") { (acc, b) =>
+      s"CASE WHEN $expr >= ${1L << b} THEN $b ELSE $acc END"
+    }
+
+  /** Token-length histogram ([[TextAnalysis.lengthHistogram]]):
+    * log2-bucketed length distribution — the shape panel next to
+    * q83's mean.
+    */
+  private val q97 = Q("q97_length_histogram",
+    (s, dir) => TextAnalysis.lengthHistogram(t(s, dir, "documents")),
+    Some(s"""
+      WITH $ToksCte,
+      b AS (SELECT ${log2BucketSql("len(w)")} AS bucket,
+                   CAST(len(w) AS BIGINT) AS n
+            FROM toks)
+      SELECT CAST(bucket AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             min(n) AS min_len, max(n) AS max_len
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-    q93, q94, q95, q96)
+    q93, q94, q95, q96, q97)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -203,6 +203,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out === Seq("a" -> 4L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("compaction: file count follows the byte target, not input partitioning") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(16) // simulate a many-task upstream
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+
+    // generous target -> exactly one output file
+    Compaction.compactTo(docs, targetBytes = 1L << 30)
+      .write.mode("overwrite").parquet(s"$dir/one")
+    def partFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.startsWith("part-"))
+    assert(partFiles(s"$dir/one") === 1)
+
+    // tiny target -> file count scales with estimated bytes
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val tiny = Compaction.compactTo(docs, targetBytes = (est / 4).toLong max 1L)
+    tiny.write.mode("overwrite").parquet(s"$dir/four")
+    assert(partFiles(s"$dir/four") >= 4)
+  }
+
   test("retention: cohort is first day, offsets count whole weeks") {
     val s = spark
     import s.implicits._
