@@ -82,4 +82,94 @@ object Curation {
     val good = unique.join(goodIds, Seq("doc_id"))
     Packing.packBlocks(good, blockSize, groupWidth)
   }
+
+  /** Order-independent corpus digest per `by` group: `bit_xor` over
+    * the 60-bit md5 hash of each `(doc_id, text)` pair, plus doc and
+    * token counts. XOR is commutative, associative, and overflow-free,
+    * so the digest is identical under ANY partitioning, row order,
+    * engine, or cluster size — the cheap integrity check for a 100 TB
+    * replication or migration: compute on both copies, compare one
+    * tiny row per group. (Equality is necessary, not sufficient — a
+    * 60-bit xor can collide — so it is a drift ALARM, not a proof;
+    * for forensics on a mismatched group, diff that group with
+    * [[corpusDiff]].)
+    */
+  def corpusDigest(docs: DataFrame, by: String = "source"): DataFrame =
+    docs
+      .withColumn("h",
+        TextFns.hash60(concat_ws("|", col("doc_id"), col("text"))))
+      .groupBy(col(by))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
+        expr("bit_xor(h)").as("digest"))
+      .orderBy(col(by))
+
+  /** Snapshot diff keyed on doc_id: counts (and id ranges, for
+    * forensics) of added / removed / changed / unchanged docs between
+    * two corpus versions. One full-outer equi-join on doc_id carrying
+    * only 128-bit content hashes — the release-engineering op behind
+    * "what moved between v1 and v2".
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"))
+      .join(
+        newDocs.select(col("doc_id"), md5(col("text")).as("new_hash")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("status"))
+
+  /** The release gate: the one-row go/no-go report a corpus release
+    * runs last — exact-dup fraction, PII-bearing-doc fraction, and
+    * benchmark-contamination fraction, each thresholded into a pass
+    * boolean, all-pass rolled into `release_ok`. Every metric is an
+    * independent tiny aggregate over the corpus (the q83 no-Expand
+    * shape) crossJoined into one broadcast row; contamination reuses
+    * [[Decontaminate.decontaminate]] verbatim so the gate's number IS
+    * the audited operator's.
+    */
+  def releaseGate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      maxDupFrac: Double = 0.05,
+      maxPiiFrac: Double = 0.25,
+      maxContamFrac: Double = 0.1,
+      shingleK: Int = 3,
+      maxOverlap: Double = 0.2): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val dups = docs.agg(
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+    val pii = docs.agg(
+      sum(when(col("text").rlike(Pii.EmailRe) ||
+          col("text").rlike(Pii.Ipv4Re) ||
+          col("text").rlike(Pii.PhoneRe), 1L).otherwise(0L))
+        .as("n_pii_docs"))
+    val clean = Decontaminate
+      .decontaminate(docs, evalDocs, shingleK, maxOverlap)
+      .agg(count(lit(1)).as("n_clean"))
+    base.crossJoin(broadcast(dups))
+      .crossJoin(broadcast(pii))
+      .crossJoin(broadcast(clean))
+      .select(col("n_docs"), col("n_tokens"),
+        (col("n_dups").cast("double") / col("n_docs")).as("dup_frac"),
+        (col("n_pii_docs").cast("double") / col("n_docs"))
+          .as("pii_doc_frac"),
+        ((col("n_docs") - col("n_clean")).cast("double") / col("n_docs"))
+          .as("contamination_frac"))
+      .withColumn("pass_dup", col("dup_frac") <= maxDupFrac)
+      .withColumn("pass_pii", col("pii_doc_frac") <= maxPiiFrac)
+      .withColumn("pass_contamination",
+        col("contamination_frac") <= maxContamFrac)
+      .withColumn("release_ok",
+        col("pass_dup") && col("pass_pii") && col("pass_contamination"))
+  }
 }

@@ -2035,12 +2035,128 @@ object QueryPackExt {
              min(n) AS min_len, max(n) AS max_len
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  /** Order-independent corpus digest ([[graft.llm.Curation.corpusDigest]]):
+    * per-source bit_xor of (doc_id, text) hashes — partitioning- and
+    * engine-independent replication check.
+    */
+  private val q98 = Q("q98_corpus_digest",
+    (s, dir) => graft.llm.Curation.corpusDigest(t(s, dir, "documents")),
+    Some(s"""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens,
+             bit_xor(${h60("concat(CAST(doc_id AS VARCHAR), '|', text)")})
+               AS digest
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Snapshot diff ([[graft.llm.Curation.corpusDiff]]): v1 = docs with
+    * doc_id % 7 <> 0; v2 = docs with doc_id % 5 <> 0, texts of
+    * doc_id % 11 = 0 rewritten — added/removed/changed/unchanged
+    * counts.
+    */
+  private val q99 = Q("q99_corpus_diff",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.Curation.corpusDiff(
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))))
+    },
+    Some("""
+      WITH o AS (SELECT doc_id, md5(text) AS old_hash
+                 FROM documents WHERE doc_id % 7 <> 0),
+      n AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                            ELSE text END) AS new_hash
+            FROM documents WHERE doc_id % 5 <> 0),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   old_hash, new_hash
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT CASE WHEN old_hash IS NULL THEN 'added'
+                  WHEN new_hash IS NULL THEN 'removed'
+                  WHEN old_hash <> new_hash THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
+  /** The release gate ([[graft.llm.Curation.releaseGate]]): dup / PII /
+    * contamination fractions thresholded into one go/no-go row, over
+    * the q60 corpus/eval split.
+    */
+  private val q100 = Q("q100_release_gate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.Curation.releaseGate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id % 20 <> 0), ${gramCtes(3)},
+      evtoks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id % 20 = 0),
+      evtokh AS (
+        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
+        FROM evtoks,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      evgrams AS (
+        SELECT doc_id, ${gramSqlExpr(3, graft.llm.TextFns.shingleCoef)} AS gh
+        FROM evtokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      evg AS (SELECT DISTINCT gh FROM evgrams WHERE gh IS NOT NULL),
+      sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+      hits AS (SELECT s.doc_id, count(*) AS n_hit
+               FROM sh s JOIN evg e ON s.gh = e.gh GROUP BY s.doc_id),
+      surv AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_clean FROM (
+          SELECT b.doc_id,
+                 CASE WHEN sz.n_grams IS NULL THEN 0.0
+                      ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / sz.n_grams
+                 END AS overlap
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) b
+          LEFT JOIN sizes sz USING (doc_id)
+          LEFT JOIN hits h USING (doc_id)) z
+        WHERE overlap <= 0.2),
+      base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(w)) AS BIGINT) AS n_tokens
+        FROM toks),
+      dups AS (
+        SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
+        FROM documents WHERE doc_id % 20 <> 0),
+      pii AS (
+        SELECT CAST(count(*) FILTER (WHERE
+                 regexp_matches(text, '${graft.llm.Pii.EmailRe}')
+                 OR regexp_matches(text, '${graft.llm.Pii.Ipv4Re}')
+                 OR regexp_matches(text, '${graft.llm.Pii.PhoneRe}'))
+               AS BIGINT) AS n_pii_docs
+        FROM documents WHERE doc_id % 20 <> 0)
+      SELECT base.n_docs, base.n_tokens,
+             CAST(dups.n_dups AS DOUBLE) / base.n_docs AS dup_frac,
+             CAST(pii.n_pii_docs AS DOUBLE) / base.n_docs AS pii_doc_frac,
+             CAST(base.n_docs - surv.n_clean AS DOUBLE) / base.n_docs
+               AS contamination_frac,
+             CAST(dups.n_dups AS DOUBLE) / base.n_docs <= 0.05 AS pass_dup,
+             CAST(pii.n_pii_docs AS DOUBLE) / base.n_docs <= 0.25
+               AS pass_pii,
+             CAST(base.n_docs - surv.n_clean AS DOUBLE) / base.n_docs <= 0.1
+               AS pass_contamination,
+             (CAST(dups.n_dups AS DOUBLE) / base.n_docs <= 0.05)
+               AND (CAST(pii.n_pii_docs AS DOUBLE) / base.n_docs <= 0.25)
+               AND (CAST(base.n_docs - surv.n_clean AS DOUBLE) / base.n_docs
+                    <= 0.1) AS release_ok
+      FROM base, dups, pii, surv"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-    q93, q94, q95, q96, q97)
+    q93, q94, q95, q96, q97, q98, q99, q100)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

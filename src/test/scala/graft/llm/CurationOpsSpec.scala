@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
@@ -138,6 +139,57 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     // exact tie, broken by the term tie-break: 'common' < 'rare'
     assert(top1 === Seq("common", "rare"))
     assert(out.count(_.getAs[Long]("doc_id") == 3L) === 1) // only 1 term
+  }
+
+  test("corpusDigest: invariant under repartitioning; flips on any content change") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta", "web"), (2L, "gamma delta", "web"),
+      (3L, "epsilon", "books")).toDF("doc_id", "text", "source")
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Curation.corpusDigest(df).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("digest")).toMap
+    val base = digests(corpus)
+    assert(digests(corpus.repartition(7)) === base) // order-independent
+    val mutated = corpus.withColumn("text",
+      when(col("doc_id") === 2L, lit("gamma CHANGED")).otherwise(col("text")))
+    assert(digests(mutated)("web") !== base("web"))
+    assert(digests(mutated)("books") === base("books"))
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged classified by id+hash") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = graft.llm.Curation.corpusDiff(v1, v2).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
+    assert(out === Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+  }
+
+  test("releaseGate: thresholds flip the pass booleans") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // dup
+      (3L, "contact me at alice@example.com for all the details"),
+      (4L, "entirely unrelated clean content with plenty of words"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "benchmark only text nothing shared"))
+      .toDF("doc_id", "text")
+    val strict = graft.llm.Curation.releaseGate(corpus, eval,
+      maxDupFrac = 0.1, maxPiiFrac = 0.1).collect().head
+    assert(!strict.getAs[Boolean]("pass_dup")) // 1/4 dup > 0.1
+    assert(!strict.getAs[Boolean]("pass_pii")) // 1/4 pii > 0.1
+    assert(!strict.getAs[Boolean]("release_ok"))
+    val lax = graft.llm.Curation.releaseGate(corpus, eval,
+      maxDupFrac = 0.5, maxPiiFrac = 0.5).collect().head
+    assert(lax.getAs[Boolean]("pass_dup") && lax.getAs[Boolean]("pass_pii"))
+    assert(lax.getAs[Boolean]("pass_contamination"))
+    assert(lax.getAs[Boolean]("release_ok"))
   }
 
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
