@@ -74,7 +74,11 @@ object Plans {
     "q89_bpe_pair_counts" ->
       "pair explode runs over the AGGREGATED distinct-word frame (vocabulary-sized), never the corpus; top-k is TakeOrderedAndProject",
     "q91_ivf_index_probe" ->
-      "probes broadcast to the inverted file on the cell equi-key; no CartesianProduct anywhere in train or probe")
+      "probes broadcast to the inverted file on the cell equi-key; no CartesianProduct anywhere in train or probe",
+    "q98_corpus_digest" ->
+      "one scan, one keyed agg with map-side partial xor — the digest never moves more than one row per (source, partition)",
+    "q100_release_gate" ->
+      "every metric its own tiny aggregate (no Expand) crossJoined as broadcast one-row frames; contamination inherits decontaminate's broadcast-sized eval gram side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

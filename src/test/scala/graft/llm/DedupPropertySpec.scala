@@ -141,4 +141,56 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     }
     assertHolds(p, 3)
   }
+
+  test("property: segmentDedup keeps each distinct segment exactly once") {
+    val p = Prop.forAll(Gen.listOfN(5, text)) { texts =>
+      val df = corpus(texts)
+      val width = 3
+      val out = TextDedup.segmentDedup(df, width).collect()
+      // reference segmentation, driver-side
+      val segs = texts.map(_.split(" ").filter(_.nonEmpty).toSeq
+        .grouped(width).map(_.mkString(" ")).toSeq match {
+        case Nil => Seq("")
+        case s => s
+      })
+      val distinctSegs = segs.flatten.toSet
+      val keptTotal = out.map(_.getAs[Long]("n_kept")).sum
+      // every distinct segment survives exactly once, corpus-wide
+      keptTotal == distinctSegs.size &&
+        // and each doc's clean_text is drawn from its own segments in order
+        out.forall { r =>
+          val id = r.getAs[Long]("doc_id").toInt
+          val clean = r.getAs[String]("clean_text")
+          val own = segs(id)
+          // kept segments appear in original order: clean_text is the
+          // in-order join of a subsequence of the doc's segments
+          isOrderedSubsequenceJoin(clean, own)
+        }
+    }
+    assertHolds(p, 4)
+  }
+
+  /** `clean` equals some in-order subsequence of `segs` joined by a
+    * space (empty string = empty subsequence or a kept empty segment).
+    */
+  private def isOrderedSubsequenceJoin(clean: String, segs: Seq[String]): Boolean = {
+    if (clean.isEmpty) true
+    else {
+      // greedy match: each candidate subsequence element must appear
+      // in order; segments are space-joined, so split back by scanning
+      var rest = clean
+      var ok = true
+      val it = segs.iterator
+      while (rest.nonEmpty && ok) {
+        if (!it.hasNext) ok = false
+        else {
+          val s = it.next()
+          if (rest == s) rest = ""
+          else if (s.nonEmpty && rest.startsWith(s + " "))
+            rest = rest.substring(s.length + 1)
+        }
+      }
+      ok && rest.isEmpty
+    }
+  }
 }
