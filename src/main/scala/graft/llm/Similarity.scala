@@ -338,6 +338,39 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** One full Lloyd (k-means) iteration beyond [[ivfTrain]]'s seed:
+    * re-estimate centroids from the current assignment, re-assign
+    * every vector, and report the resulting cell census
+    * `(cell, n_members, centroid_mass)`. Centroid elements round to 3
+    * decimals after each estimate — partial double sums merge in
+    * partition order, and the rounding absorbs that (the q43
+    * technique) so engines and reruns agree exactly.
+    *
+    * This is the training loop's body: at 100 TB each iteration is
+    * one broadcast (centroids) + one keyed aggregation — clustering
+    * cost stays linear per pass and the loop is driver-side trivial.
+    */
+  def kmeansStep(emb: DataFrame, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, cells1) = ivfTrain(emb, dims)
+    val cent2 = cells1.groupBy(col("cell"))
+      .agg(array((1 to dims).map(i =>
+        round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
+        .as("cv"))
+      .select(col("cell").as("ccell"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("ccell"))
+    cells1.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent2))
+      .withColumn("d2", dist2(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("ccell").as("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        first(aggregate(col("cv"), lit(0.0), _ + _)).as("centroid_mass"))
+      .orderBy(col("cell"))
+  }
+
   /** Persist a trained IVF index: centroids as a plain (tiny) table,
     * the inverted file bucketed on `cell` so a later [[ivfProbe]]'s
     * cell equi-join reads pre-clustered buckets with no exchange on

@@ -308,6 +308,34 @@ object TextAnalysis {
         sum(col("n_bigrams")).as("sum_bigrams"))
       .orderBy(col("bucket"))
 
+  /** The 100 TB twin of [[familiarityBuckets]]: bucket boundaries come
+    * from `approx_percentile` over the scores instead of a
+    * single-partition ntile — fully parallel (sketches merge
+    * map-side), no global window anywhere; bucket depths are equal
+    * only up to the sketch's rank error, which is the production
+    * trade. Spec-gated, not oracled: approximate sketches aren't
+    * SQL-mirrorable across engines.
+    */
+  def familiarityBucketsApprox(
+      docs: DataFrame, n: Int = 3, accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, "need at least two buckets")
+    val scores = familiarityScores(docs).localCheckpoint()
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val cuts = scores.agg(
+      percentile_approx(col("familiarity"), typedlit(probs), lit(accuracy))
+        .as("cuts"))
+    scores.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        aggregate(col("cuts"), lit(1),
+          (acc, c) => acc + when(col("familiarity") > c, 1).otherwise(0)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("familiarity")).as("min_familiarity"),
+        max(col("familiarity")).as("max_familiarity"),
+        sum(col("n_bigrams")).as("sum_bigrams"))
+      .orderBy(col("bucket"))
+  }
+
   /** BM25 keyword retrieval over the corpus for a literal term set —
     * the lexical half of a retrieval stack (the dense half is
     * [[Similarity]]). Per doc: tf per term via a per-row array filter

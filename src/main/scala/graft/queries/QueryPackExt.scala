@@ -2151,12 +2151,42 @@ object QueryPackExt {
                     <= 0.1) AS release_ok
       FROM base, dups, pii, surv"""))
 
+  /** One Lloyd iteration ([[Similarity.kmeansStep]]): centroids
+    * re-estimated from the seed assignment (3-decimal rounding absorbs
+    * partial-sum order), every vector re-assigned, cell census out.
+    */
+  private val q101 = Q("q101_kmeans_step",
+    (s, dir) => Similarity.kmeansStep(t(s, dir, "embeddings"), dims = 64),
+    Some(s"""
+      WITH cent AS (
+        SELECT label, $centroidList AS cv FROM embeddings GROUP BY label),
+      a1 AS (
+        SELECT vec_id, cell, embedding FROM (
+          SELECT e.vec_id, c.label AS cell, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${dist2Sql("e.embedding", "c.cv")},
+                                             c.label) AS rn
+          FROM embeddings e, cent c) x WHERE rn = 1),
+      cent2 AS (
+        SELECT cell, $centroidList AS cv FROM a1 GROUP BY cell),
+      a2 AS (
+        SELECT vec_id, cell2 FROM (
+          SELECT a1.vec_id, c.cell AS cell2,
+                 row_number() OVER (PARTITION BY a1.vec_id
+                                    ORDER BY ${dist2Sql("a1.embedding", "c.cv")},
+                                             c.cell) AS rn
+          FROM a1, cent2 c) y WHERE rn = 1)
+      SELECT c.cell, CAST(count(*) AS BIGINT) AS n_members,
+             list_sum(c.cv) AS centroid_mass
+      FROM a2 JOIN cent2 c ON c.cell = a2.cell2
+      GROUP BY c.cell, list_sum(c.cv) ORDER BY c.cell"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-    q93, q94, q95, q96, q97, q98, q99, q100)
+    q93, q94, q95, q96, q97, q98, q99, q100, q101)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -192,6 +192,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(lax.getAs[Boolean]("release_ok"))
   }
 
+  test("kmeansStep: census covers every vector, cells from the label space") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.kmeansStep(emb, dims = 64).collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum === emb.count())
+    val labels = emb.select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(out.map(_.getAs[Int]("cell")).toSet.subsetOf(labels))
+  }
+
+  test("familiarityBucketsApprox: exhaustive, ordered, non-overlapping") {
+    val corpus = docs(
+      1L -> "the cat sat", 2L -> "the cat ran", 3L -> "the dog sat",
+      4L -> "a bird flew", 5L -> "the cat sat", 6L -> "odd words only")
+    val out = TextAnalysis.familiarityBucketsApprox(corpus, n = 3).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 6L)
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Int]("bucket") < hi.getAs[Int]("bucket"))
+      assert(lo.getAs[Double]("max_familiarity")
+        <= hi.getAs[Double]("min_familiarity") + 1e-12)
+    }
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._
