@@ -27,10 +27,15 @@ object EventAnalytics {
 
   /** Per-step completion counts for the ordered `steps` funnel:
     * stage i's time is the user's FIRST occurrence of step i strictly
-    * after their stage-(i−1) time. One row per step:
+    * after their stage-(i−1) time — and, when `maxGapSecs` is set,
+    * within that window of it (the conversion-window form: "purchased
+    * within an hour of clicking"). One row per step:
     * `(step, event_type, n_users)`.
     */
-  def funnelCounts(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnelCounts(
+      events: DataFrame,
+      steps: Seq[String],
+      maxGapSecs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(col("user_id"), col("event_type"),
       tsec(col("ts")).as("tsec"))
@@ -40,9 +45,12 @@ object EventAnalytics {
         case Nil =>
           hits.groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
         case prev :: _ =>
+          val inWindow = maxGapSecs
+            .map(g => col("tsec") <= col("t_prev") + g)
+            .getOrElse(lit(true))
           prev.select(col("user_id"), col("t").as("t_prev"))
             .join(hits, "user_id")
-            .filter(col("tsec") > col("t_prev"))
+            .filter(col("tsec") > col("t_prev") && inWindow)
             .groupBy(col("user_id")).agg(min(col("tsec")).as("t"))
       }
       stage :: acc

@@ -2181,12 +2181,37 @@ object QueryPackExt {
       FROM a2 JOIN cent2 c ON c.cell = a2.cell2
       GROUP BY c.cell, list_sum(c.cv) ORDER BY c.cell"""))
 
+  /** Conversion-window funnel (q95 with `maxGapSecs`): each stage
+    * must land within an hour of the previous one.
+    */
+  private val q102 = Q("q102_funnel_windowed",
+    (s, dir) => graft.operators.EventAnalytics.funnelCounts(
+      QueryPack.events(s, dir), Seq("view", "click", "purchase"),
+      maxGapSecs = Some(3600L)),
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+                        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+                 FROM events),
+      s1 AS (SELECT user_id, min(tsec) AS t FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.tsec) AS t FROM e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.tsec > s1.t
+               AND e.tsec <= s1.t + 3600 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.tsec) AS t FROM e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.tsec > s2.t
+               AND e.tsec <= s2.t + 3600 GROUP BY 1)
+      SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+             (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+      ORDER BY step"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-    q93, q94, q95, q96, q97, q98, q99, q100, q101)
+    q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -201,6 +201,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users"))
       .toSeq
     assert(out === Seq("a" -> 4L, "b" -> 1L, "c" -> 1L))
+
+    // conversion window: user 1's c at +10s misses a 5s gap cap
+    val windowed = EventAnalytics
+      .funnelCounts(ev, Seq("a", "b", "c"), maxGapSecs = Some(5L))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users"))
+      .toSeq
+    assert(windowed === Seq("a" -> 4L, "b" -> 1L, "c" -> 0L))
   }
 
   test("compaction: file count follows the byte target, not input partitioning") {
