@@ -202,13 +202,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .toSeq
     assert(out === Seq("a" -> 4L, "b" -> 1L, "c" -> 1L))
 
-    // conversion window: user 1's c at +10s misses a 5s gap cap
+    // conversion window: user 1's b at +10s misses a 5s gap cap, so
+    // the funnel empties from stage b on
     val windowed = EventAnalytics
       .funnelCounts(ev, Seq("a", "b", "c"), maxGapSecs = Some(5L))
       .collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users"))
       .toSeq
-    assert(windowed === Seq("a" -> 4L, "b" -> 1L, "c" -> 0L))
+    assert(windowed === Seq("a" -> 4L, "b" -> 0L, "c" -> 0L))
+    // a 10s cap readmits both downstream stages (gap = 10 <= cap)
+    val cap10 = EventAnalytics
+      .funnelCounts(ev, Seq("a", "b", "c"), maxGapSecs = Some(10L))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users"))
+      .toSeq
+    assert(cap10 === Seq("a" -> 4L, "b" -> 1L, "c" -> 1L))
   }
 
   test("compaction: file count follows the byte target, not input partitioning") {
