@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Null-input behavior of the curation layer — at 100 TB there IS a
+  * null text and a null embedding somewhere, and an operator that
+  * throws under ANSI mode kills the job. These tests pin the
+  * contract: null rows either drop out or carry null outputs; nothing
+  * throws.
+  */
+class NullRobustnessSpec extends AnyFunSuite with SparkSpec {
+
+  private def withNullText = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, Option("alpha beta gamma delta epsilon")),
+      (2L, Option.empty[String]),
+      (3L, Option("alpha beta gamma delta epsilon")))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup: null text forms its own (null-hash) group, no throw") {
+    val out = TextDedup.exactDupGroups(withNullText).collect()
+    assert(out.map(_.getAs[Long]("n_copies")).sum === 3L)
+  }
+
+  test("segmentDedup: null text behaves like an empty doc (one null segment)") {
+    val out = TextDedup.segmentDedup(withNullText, width = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))).toMap
+    // null tokenizes to a null segment array -> ONE null segment: the
+    // doc survives with empty clean text (the empty-doc contract), and
+    // all null-text docs dedup together on the null hash
+    assert(out(2L) === ((1L, 1L, "")))
+    assert(out(1L)._2 === 3L) // doc 1 keeps its 3 distinct segments
+    assert(out(3L)._2 === 0L) // exact dup of doc 1: everything drops
+  }
+
+  test("quality scores / filter reasons: null-text doc drops with the score frame") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, Option("the quick brown fox jumps"), "en"),
+      (2L, Option.empty[String], "en")).toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.qualityScores(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+    assert(TextAnalysis.filterReasons(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+  }
+
+  test("bm25: null-text doc scores null and is filtered, no throw") {
+    val out = TextAnalysis.bm25Rank(withNullText,
+      terms = Seq("alpha"), topK = 10).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 3L))
+  }
+
+  test("quantizeInt8: null embedding carries null outputs, no throw") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq((1L, Option(Seq(0.0f, 1.0f))),
+      (2L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.isNullAt(r.fieldIndex("code_sum")))
+      .toMap
+    assert(out === Map(1L -> false, 2L -> true))
+  }
+
+  test("corpusDigest / releaseGate inputs: null text does not throw") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, Option("alpha beta"), "web"),
+      (2L, Option.empty[String], "web")).toDF("doc_id", "text", "source")
+    val dig = graft.llm.Curation.corpusDigest(docs).collect()
+    assert(dig.map(_.getAs[Long]("n_docs")).sum === 2L)
+  }
+}
