@@ -20,6 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
 
     // Warm-up (untimed): one representative query end-to-end so session
     // startup + first-job codegen/scheduler costs aren't billed to the

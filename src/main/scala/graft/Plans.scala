@@ -91,6 +91,7 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of headline queries\n\n")

@@ -17,6 +17,7 @@ object GraftFunctions {
   val VecDist2Name = "graft_vec_dist2"
   val TopKName = "graft_topk"
   val NormalizeLocationName = "normalize_location"
+  val Hash60Name = "graft_hash60"
 
   private val vecDotInfo = new ExpressionInfo(
     classOf[FloatVecDot].getName, VecDotName)
@@ -46,11 +47,19 @@ object GraftFunctions {
     NormalizeLocation(args(0), args(1), args(2), args(3))
   }
 
+  private val hash60Info = new ExpressionInfo(
+    classOf[Hash60].getName, Hash60Name)
+  private def hash60Builder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$Hash60Name expects exactly 1 argument")
+    Hash60(args.head)
+  }
+
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
     (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
     (FunctionIdentifier(TopKName), topKInfo, topKBuilder _),
-    (FunctionIdentifier(NormalizeLocationName), normLocInfo, normLocBuilder _))
+    (FunctionIdentifier(NormalizeLocationName), normLocInfo, normLocBuilder _),
+    (FunctionIdentifier(Hash60Name), hash60Info, hash60Builder _))
 
   /** Idempotent per-session registration (the analyzer resolves
     * `call_function` names through the session's FunctionRegistry).

@@ -94,7 +94,8 @@ object Curation {
     * for forensics on a mismatched group, diff that group with
     * [[corpusDiff]].)
     */
-  def corpusDigest(docs: DataFrame, by: String = "source"): DataFrame =
+  def corpusDigest(docs: DataFrame, by: String = "source"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs
       .withColumn("h",
         TextFns.hash60(concat_ws("|", col("doc_id"), col("text"))))
@@ -103,6 +104,7 @@ object Curation {
         sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
         expr("bit_xor(h)").as("digest"))
       .orderBy(col(by))
+  }
 
   /** Snapshot diff keyed on doc_id: counts (and id ranges, for
     * forensics) of added / removed / changed / unchanged docs between

@@ -45,8 +45,10 @@ object Sampling {
       docs: DataFrame,
       fraction: Double,
       seed: String,
-      keyCol: String = "doc_id"): DataFrame =
+      keyCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.filter(bucketOf(seed, col(keyCol)) < threshold(fraction))
+  }
 
   /** Every row labeled `'val'` (seeded bucket under `valFraction`) or
     * `'train'` — a disjoint, exhaustive, rerun-stable split.
@@ -55,10 +57,12 @@ object Sampling {
       docs: DataFrame,
       valFraction: Double,
       seed: String,
-      keyCol: String = "doc_id"): DataFrame =
+      keyCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs.withColumn("split",
       when(bucketOf(seed, col(keyCol)) < threshold(valFraction), lit("val"))
         .otherwise(lit("train")))
+  }
 
   /** Temperature-weighted source mixing — the standard pretraining
     * data-mixture op: resample so the effective mixture over
@@ -94,6 +98,7 @@ object Sampling {
       seed: String,
       keyCol: String = "doc_id"): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
     val nMin = counts.agg(min(col("__n")).as("__n_min"))
     val ratio = col("__n_min").cast("double") / col("__n").cast("double")
@@ -196,6 +201,7 @@ object Sampling {
       seed: String,
       defaultFraction: Double = 0.0,
       keyCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val thresh = fractions.foldLeft(lit(threshold(defaultFraction))) {
       case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit(threshold(f))).otherwise(acc)
@@ -218,7 +224,8 @@ object Sampling {
       docs: DataFrame,
       nShards: Int,
       seed: String,
-      keyCol: String = "doc_id"): DataFrame =
+      keyCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs
       .withColumn("shard", (bucketOf(seed, col(keyCol)) % nShards).cast("int"))
       .groupBy(col("shard"))
@@ -228,4 +235,5 @@ object Sampling {
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("shard"))
+  }
 }

@@ -136,10 +136,12 @@ object TextDedup {
       (h * lit(coef(j))) % lit(TextFns.MinhashP)
     }.reduce(_ + _) % lit(TextFns.MinhashP)
 
-  private def tokenHashRows(docs: DataFrame): DataFrame =
+  private def tokenHashRows(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     spread(docs, "doc_id")
       .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
       .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
+  }
 
   private[llm] def gramHashes(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -47,10 +47,15 @@ object TextFns {
     array_distinct(shingles(tokens(text), k))
 
   /** First 60 bits of md5 as a positive long — the engine-portable
-    * stand-in for a seeded hash function.
+    * stand-in for a seeded hash function. Evaluates through the
+    * native [[graft.functions.Hash60]] kernel (bit-identical to
+    * `conv(substring(md5(c),1,15),16,10)`, no hex-string churn);
+    * callers' DataFrame entry points must have run
+    * `GraftFunctions.ensureRegistered` on the session (every operator
+    * below does).
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function(graft.functions.GraftFunctions.Hash60Name, c)
 
   /** 31-bit base hash (low bits of hash60) for universal-hash
     * permutation families: small enough that `a*h + b` stays far from

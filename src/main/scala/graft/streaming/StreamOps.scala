@@ -93,6 +93,7 @@ object StreamOps {
     // token COUNT (no hashing) as the split predicate: it's the
     // expression the pushed Filter will inline, so it must be the
     // cheapest form that decides the branch
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val nTok = size(graft.llm.TextFns.tokens(col("text")))
     val wm = docs.withWatermark("ts", watermarkDelay)
     val enough = wm
