@@ -18,6 +18,7 @@ object GraftFunctions {
   val TopKName = "graft_topk"
   val NormalizeLocationName = "normalize_location"
   val Hash60Name = "graft_hash60"
+  val Hash64Name = "graft_hash64"
 
   private val vecDotInfo = new ExpressionInfo(
     classOf[FloatVecDot].getName, VecDotName)
@@ -54,12 +55,20 @@ object GraftFunctions {
     Hash60(args.head)
   }
 
+  private val hash64Info = new ExpressionInfo(
+    classOf[Hash64].getName, Hash64Name)
+  private def hash64Builder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$Hash64Name expects exactly 1 argument")
+    Hash64(args.head)
+  }
+
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
     (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
     (FunctionIdentifier(TopKName), topKInfo, topKBuilder _),
     (FunctionIdentifier(NormalizeLocationName), normLocInfo, normLocBuilder _),
-    (FunctionIdentifier(Hash60Name), hash60Info, hash60Builder _))
+    (FunctionIdentifier(Hash60Name), hash60Info, hash60Builder _),
+    (FunctionIdentifier(Hash64Name), hash64Info, hash64Builder _))
 
   /** Idempotent per-session registration (the analyzer resolves
     * `call_function` names through the session's FunctionRegistry).

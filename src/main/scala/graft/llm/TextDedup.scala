@@ -459,13 +459,17 @@ object TextDedup {
     * size with uniform hashing.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val tok = spread(docs, "doc_id")
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .withColumn("m", md5(col("tok")))
-      // one md5 per token; halves from hex digits 1-8 / 9-16 (32 bits each)
+      // ONE native digest per token (graft_hash64 = md5 bytes 0..7);
+      // halves = hex digits 1-8 / 9-16 = h >>> 32 / h & 0xFFFFFFFF —
+      // bit-identical to the two conv(substring(md5)) parses replaced
+      .withColumn("h64",
+        call_function(graft.functions.GraftFunctions.Hash64Name, col("tok")))
       .select(col("doc_id"),
-        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hlo"),
-        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hhi"))
+        shiftrightunsigned(col("h64"), 32).as("hlo"),
+        col("h64").bitwiseAND(lit(0xFFFFFFFFL)).as("hhi"))
     // 2·Σ bit_b > n  ⇔  the ±1 vote sum is strictly positive; summing
     // the extracted bit (0/1) partial-aggregates map-side like any sum
     val ones =
