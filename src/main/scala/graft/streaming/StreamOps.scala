@@ -235,4 +235,29 @@ object StreamOps {
       else text
     pruned.mapPartitions(it => EmblSegmenter.segment(it, metrics))
   }
+
+  /** ST7 — online ANN serving: a stream of query vectors
+    * `(query_id, qv)` probed against a STATIC (pre-trained, usually
+    * [[graft.llm.Similarity.readIvfIndex]]-loaded) IVF index, each
+    * micro-batch answered with exact-cosine top-k from its nProbe
+    * nearest cells. `foreachBatch` is the idiomatic serving bridge:
+    * the probe plan (windows included — not available on streaming
+    * frames directly) runs as a BATCH query per micro-batch against
+    * the static index, so results are identical to the batch probe on
+    * the same queries (asserted in StreamOpsSpec), and index state
+    * lives in the (broadcast) tables rather than stream state.
+    */
+  def streamingAnnProbe(
+      queries: DataFrame,
+      cent: DataFrame,
+      cells: DataFrame,
+      nProbe: Int = 2,
+      k: Int = 3)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.llm.Similarity.ivfProbe(cent, cells, batch, nProbe, k), id)
+      }
+      .start()
 }

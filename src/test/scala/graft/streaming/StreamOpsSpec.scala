@@ -175,6 +175,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("value"), e.getMessage)
   }
 
+  test("streaming ANN probe equals the batch probe on the same queries") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cent, cells) = graft.llm.Similarity.ivfTrain(emb, dims = 64)
+    val queryRows = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .as[(Long, Seq[Float])].collect()
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.streamingAnnProbe(
+      in.toDF().toDF("query_id", "qv"), cent, cells, nProbe = 2, k = 3) {
+      (batchResult, _) =>
+        results ++= batchResult.collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+            r.getAs[Long]("vec_id")))
+    }
+    try {
+      in.addData(queryRows.take(2).toSeq) // two micro-batches
+      q.processAllAvailable()
+      in.addData(queryRows.drop(2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = graft.llm.Similarity.ivfProbe(cent, cells,
+      emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      nProbe = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"))).toSet
+    assert(results.toSet === batch)
+  }
+
   test("streaming EMBL ingest matches the batch segmentation") {
     val s = spark
     import s.implicits._
