@@ -435,6 +435,31 @@ object TextDedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Edit-distance near-dup pairs with prefix blocking: candidates
+    * share their first-`prefixK`-token key (the q28 blocking key — an
+    * equi-join, never all-pairs), then exact Levenshtein on the full
+    * text keeps pairs within `maxDist`. The classic fuzzy-match
+    * verify for OCR/typo-level duplication that shingle Jaccard
+    * under-scores (one in-word edit changes k shingles). Cost is
+    * O(len²) per CANDIDATE, so the blocking key must stay selective —
+    * at corpus scale feed LSH survivors instead of raw blocks.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      prefixK: Int = 3,
+      maxDist: Int = 60): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val keyed = docs.select(col("doc_id"), col("text"),
+      md5(array_join(slice(toks, 1, prefixK), " ")).as("blk"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("da"), col("db"))
+  }
+
   private val SimhashHalfBits = 32
 
   /** 64-bit SimHash signatures as two nonnegative 32-bit halves

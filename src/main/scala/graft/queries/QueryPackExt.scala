@@ -2206,12 +2206,71 @@ object QueryPackExt {
       UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
       ORDER BY step"""))
 
+  /** Window-function zoo over per-customer order history: the full
+    * ranking/distribution/frame surface in one deterministic query
+    * (explicit full frames — default frames differ subtly across
+    * engines; (date, orderkey) total order breaks every tie).
+    */
+  private val q103 = Q("q103_window_zoo",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = byDate.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(byDate).cast("long").as("rn"),
+          percent_rank().over(byDate).as("prank"),
+          cume_dist().over(byDate).as("cdist"),
+          first(col("o_orderkey")).over(full).as("first_ok"),
+          last(col("o_orderkey")).over(full).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_ok"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             percent_rank() OVER w AS prank,
+             cume_dist() OVER w AS cdist,
+             first_value(o_orderkey) OVER wf AS first_ok,
+             last_value(o_orderkey) OVER wf AS last_ok,
+             nth_value(o_orderkey, 2) OVER wf AS second_ok
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, rn"""))
+
+  /** Edit-distance near-dup pairs ([[TextDedup.editDistancePairs]]):
+    * prefix-blocked Levenshtein — the fuzzy-match verify for
+    * typo-level duplication that shingle Jaccard under-scores.
+    */
+  private val q104 = Q("q104_edit_distance_pairs",
+    (s, dir) => TextDedup.editDistancePairs(t(s, dir, "documents"),
+      prefixK = 3, maxDist = 60),
+    Some(s"""
+      WITH keyed AS (
+        SELECT doc_id, text,
+               md5(array_to_string(list_slice(
+                 list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                 1, 3), ' ')) AS blk
+        FROM documents)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      FROM keyed a JOIN keyed b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.text, b.text) <= 60
+      ORDER BY da, db"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-    q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
+    q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -215,6 +215,17 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("editDistancePairs: blocked candidates only, exact distances") {
+    val out = TextDedup.editDistancePairs(docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilom", // 1 edit, same block
+      3L -> "alpha beta gamma delta epsilon", // exact dup of 1
+      4L -> "zeta eta theta iota kappa"),     // different block
+      prefixK = 3, maxDist = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("dist")).toMap
+    assert(out === Map((1L, 2L) -> 1L, (1L, 3L) -> 0L, (2L, 3L) -> 1L))
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._
