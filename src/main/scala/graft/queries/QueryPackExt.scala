@@ -2258,11 +2258,13 @@ object QueryPackExt {
                  list_filter(string_split(lower(text), ' '), x -> x <> ''),
                  1, 3), ' ')) AS blk
         FROM documents)
-      SELECT a.doc_id AS da, b.doc_id AS db,
-             CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-      FROM keyed a JOIN keyed b
-        ON a.blk = b.blk AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.text, b.text) <= 60
+      SELECT da, db, dist FROM (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM keyed a JOIN keyed b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+         AND abs(length(a.text) - length(b.text)) <= 60) z
+      WHERE dist <= 60
       ORDER BY da, db"""))
 
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
