@@ -78,7 +78,13 @@ object Plans {
     "q98_corpus_digest" ->
       "one scan, one keyed agg with map-side partial xor — the digest never moves more than one row per (source, partition)",
     "q100_release_gate" ->
-      "every metric its own tiny aggregate (no Expand) crossJoined as broadcast one-row frames; contamination inherits decontaminate's broadcast-sized eval gram side")
+      "every metric its own tiny aggregate (no Expand) crossJoined as broadcast one-row frames; contamination inherits decontaminate's broadcast-sized eval gram side",
+    "q105_boilerplate_strip" ->
+      "segments build per-row; document frequency is one keyed agg FILTERED to frequent keys before the join back (boilerplate-sized side) — no corpus-wide window, no cartesian",
+    "q106_quality_blend" ->
+      "no corpus-wide sort anywhere: percent-ranks come from distinct-VALUE histograms (keyed partial agg, then a window over the value domain only) joined back as broadcasts; the only single-partition exchanges are domain-sized",
+    "q108_cdc_chunks" ->
+      "token numbering and chunk ids ride windows KEYED by doc_id (never global); chunk text is hashed inside its keyed agg and discarded — stats aggregate partially map-side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -64,6 +64,55 @@ object TextAnalysis {
         (col("stop_hits").cast("double") / col("n_tokens")).as("stopword_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Rank-blended quality score: each signal (token count, distinct
+    * tokens, characters) is converted to its empirical percent-rank
+    * over the corpus and the three ranks averaged — the standard trick
+    * for combining incommensurable quality signals without hand-tuned
+    * scales (ranks are scale-free; an outlier distorts one signal's
+    * tail, never the blend). The bucket is `floor(blend·10)` capped at
+    * 9 — a per-row function of the blend, NOT an ntile, so no
+    * corpus-wide sort exists anywhere in the plan: each percent-rank
+    * comes from the signal's distinct-VALUE histogram (a groupBy the
+    * size of the value domain, hundreds of rows here) cumulated with a
+    * window over those values only, then equi-joined back (broadcast —
+    * the rank tables are tiny by construction).
+    *
+    * percent_rank(v) = |{rows with value < v}| / (N−1): exactly SQL
+    * PERCENT_RANK's tie semantics, one IEEE division of exact integer
+    * counts, so engines agree bitwise. Assumes ≥2 documents (N=1 makes
+    * PERCENT_RANK 0/0; SQL defines it as 0 — a corpus of one document
+    * needs no quality ranking).
+    */
+  def qualityBlend(docs: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val base = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      col("n_chars").cast("long").as("n_chars"))
+    // rows strictly below each distinct value of `sig`, from the
+    // value histogram (window runs over distinct VALUES, not rows)
+    def lessTable(sig: String): DataFrame = {
+      val byValue = Window.orderBy(col(sig))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col(sig)).agg(count(lit(1)).as("cnt"))
+        .select(col(sig),
+          coalesce(sum(col("cnt")).over(byValue), lit(0L)).as(s"less_$sig"))
+    }
+    def pr(sig: String) =
+      col(s"less_$sig").cast("double") / (col("n_total") - 1)
+    base
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_total"))))
+      .join(broadcast(lessTable("n_toks")), Seq("n_toks"))
+      .join(broadcast(lessTable("n_distinct")), Seq("n_distinct"))
+      .join(broadcast(lessTable("n_chars")), Seq("n_chars"))
+      .select(col("doc_id"),
+        round((pr("n_toks") + pr("n_distinct") + pr("n_chars")) / 3, 9)
+          .as("blend"))
+      .withColumn("bucket",
+        least(floor(col("blend") * 10), lit(9L)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Threshold-based quality filter — the second pillar of
     * training-data curation next to dedup: keep documents whose
     * [[qualityScores]] signals clear the given bounds. Returns the

@@ -103,6 +103,99 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
+    * dedup pass, over fixed-width token segments since this corpus is
+    * single-line): a segment occurring in at least `minDocs` DISTINCT
+    * documents is boilerplate (headers, footers, navigation chrome) —
+    * drop EVERY occurrence and reassemble the survivors in order. One
+    * row per doc: `(doc_id, n_segments, n_dropped, clean_text)`.
+    *
+    * Contrast with [[segmentDedup]]: that keeps the globally-FIRST
+    * occurrence of each segment (dedup — later repeats drop); this
+    * drops ALL occurrences of corpus-frequent segments while keeping
+    * rare content intact even when it repeats a few times.
+    *
+    * Scale: segmentation is per-row; document frequency is one
+    * groupBy on the 128-bit segment hash whose output is FILTERED to
+    * frequent keys before the re-join — at threshold k over S total
+    * segments the boilerplate table has at most S/k rows (real
+    * boilerplate vocabularies are far smaller), so AQE broadcasts the
+    * equi-join back. No corpus-wide window, no all-pairs.
+    */
+  def boilerplateStrip(
+      docs: DataFrame, width: Int = 2, minDocs: Long = 20): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nSeg = greatest(
+      ceil(size(col("w")).cast("double") / width).cast("int"), lit(1))
+    val segments = transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(col("w"), i * width + 1, lit(width)), " "))
+    val seg = docs
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        posexplode(segments).as(Seq("seg_idx", "segment")))
+      .withColumn("h", md5(col("segment")))
+    val boiler = seg
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(true).as("is_boiler"))
+    seg.join(boiler, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull,
+                struct(col("seg_idx"), col("segment"))))),
+            s => s.getField("segment")),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content-defined chunking (CDC) statistics: Rabin-style chunk
+    * boundaries cut AFTER any token whose hash ≡ 0 (mod `modulus`), so
+    * a boundary depends only on local content — an insertion early in
+    * a document shifts chunk frames only until the next boundary,
+    * the property that makes CDC the storage-dedup standard (fixed
+    * frames lose alignment forever after one edit; contrast
+    * [[segmentDedup]]'s fixed width). Per source: total chunks,
+    * distinct chunk hashes, and the duplicated-chunk fraction — the
+    * chunk-store compression a CDC layer achieves on this corpus.
+    * Expected chunk length = `modulus` tokens.
+    *
+    * Scale: one shuffle to number tokens within each doc (window keyed
+    * by doc_id — never global), one keyed agg per (doc, chunk) where
+    * the chunk text is hashed and discarded, one tiny agg per source.
+    */
+  def cdcChunkStats(docs: DataFrame, modulus: Int = 8): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs.select(col("doc_id"), col("source"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+    val chunked = tok
+      .withColumn("b",
+        when(TextFns.hash60(col("tok")) % modulus === 0, 1L).otherwise(0L))
+      // chunk id = boundaries at or before me, minus my own flag —
+      // i.e. a boundary token CLOSES its chunk
+      .withColumn("chunk", sum(col("b")).over(wDoc) - col("b"))
+    chunked
+      .groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(md5(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")),
+        " ")).as("chunk_hash"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct"),
+        round(lit(1.0) -
+          countDistinct(col("chunk_hash")).cast("double") / count(lit(1)), 9)
+          .as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Hash-distribute a corpus scan across the session's shuffle
     * parallelism before a CPU-bound stage. Small-file corpora (and any
     * non-splittable input) can scan as a handful of partitions, which
@@ -677,6 +770,34 @@ object TextDedup {
     graft.operators.Checkpoints.release(edges)
     labels.select(col("id").as("doc_id"), col("lbl").as("component"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Canonical-document election per duplicate cluster — the emission
+    * step after near-dedup: every [[duplicateComponents]] cluster keeps
+    * exactly one representative (the member with the most characters;
+    * ties break to the smallest doc_id) and reports its membership.
+    * One row per component: `(component, n_members, rep_doc_id,
+    * rep_chars)`.
+    *
+    * Scale: the election is a row_number window PARTITIONED by
+    * component id — shuffle keyed on component, never a corpus-wide
+    * ordering; the corpus join that attaches the size signal is a
+    * plain equi-join on doc_id.
+    */
+  def clusterRepresentatives(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val labeled = duplicateComponents(pairs)
+      .join(docs.select(col("doc_id"), col("n_chars").cast("long")
+        .as("n_chars")), Seq("doc_id"))
+    val election = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labeled
+      .withColumn("rn", row_number().over(election))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
+        min(when(col("rn") === 1, col("n_chars"))).as("rep_chars"))
+      .orderBy(col("component"))
   }
 
   /** The full dedup PIPELINE a training-data build runs, composed from

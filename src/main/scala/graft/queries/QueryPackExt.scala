@@ -2267,12 +2267,128 @@ object QueryPackExt {
       WHERE dist <= 60
       ORDER BY da, db"""))
 
+  /** Boilerplate strip ([[TextDedup.boilerplateStrip]]): segments in
+    * ≥ `minDocs` distinct docs drop everywhere — the corpus-frequency
+    * complement of q84's keep-first segment dedup.
+    */
+  private val q105 = Q("q105_boilerplate_strip",
+    (s, dir) => TextDedup.boilerplateStrip(t(s, dir, "documents"),
+      width = 2, minDocs = 20),
+    Some(s"""
+      WITH $ToksCte,
+      seg AS (
+        SELECT doc_id, gs - 1 AS seg_idx,
+               array_to_string(
+                 list_slice(w, (gs - 1) * 2 + 1, gs * 2), ' ') AS segment
+        FROM toks, LATERAL (SELECT unnest(generate_series(1,
+               greatest(CAST(ceil(len(w) / 2.0) AS INTEGER), 1))) AS gs) g),
+      boiler AS (
+        SELECT md5(segment) AS h FROM seg
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 20)
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             coalesce(string_agg(CASE WHEN b.h IS NULL THEN s.segment END,
+                                 ' ' ORDER BY s.seg_idx), '') AS clean_text
+      FROM seg s LEFT JOIN boiler b ON md5(s.segment) = b.h
+      GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
+  /** Rank-blended quality ([[TextAnalysis.qualityBlend]]): three
+    * percent-ranks averaged; the oracle uses PERCENT_RANK windows
+    * directly, pinning the histogram-join formulation to SQL tie
+    * semantics.
+    */
+  private val q106 = Q("q106_quality_blend",
+    (s, dir) => TextAnalysis.qualityBlend(t(s, dir, "documents")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x <> '')) AS n_toks,
+               len(list_distinct(list_filter(string_split(lower(text), ' '),
+                   x -> x <> ''))) AS n_distinct,
+               n_chars
+        FROM documents),
+      pr AS (
+        SELECT doc_id,
+               percent_rank() OVER (ORDER BY n_toks) AS p1,
+               percent_rank() OVER (ORDER BY n_distinct) AS p2,
+               percent_rank() OVER (ORDER BY n_chars) AS p3
+        FROM base)
+      SELECT doc_id, round((p1 + p2 + p3) / 3, 9) AS blend,
+             CAST(least(floor(round((p1 + p2 + p3) / 3, 9) * 10), 9)
+               AS INTEGER) AS bucket
+      FROM pr ORDER BY doc_id"""))
+
+  /** Duplicate-cluster canonicalization
+    * ([[TextDedup.clusterRepresentatives]]): q61's components electing
+    * one representative per cluster (max n_chars, ties → min doc_id).
+    */
+  private val q107 = Q("q107_cluster_representative",
+    (s, dir) => TextDedup.clusterRepresentatives(
+      TextDedup.minhashLshPairs(t(s, dir, "documents"),
+        shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
+      t(s, dir, "documents")),
+    Some(s"""
+      WITH RECURSIVE $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
+      edges AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION
+        SELECT db AS a, da AS b FROM pairs),
+      reach(id, lbl) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+      comp AS (SELECT id AS doc_id, min(lbl) AS component
+               FROM reach GROUP BY id),
+      lab AS (
+        SELECT c.component, c.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM comp c JOIN documents d USING (doc_id)),
+      rnk AS (
+        SELECT *, row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) AS rn
+        FROM lab)
+      SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+             min(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+             min(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars
+      FROM rnk GROUP BY component ORDER BY component"""))
+
+  /** Content-defined chunking stats ([[TextDedup.cdcChunkStats]]):
+    * Rabin-style boundaries (token hash ≡ 0 mod 8), chunk-store dup
+    * fraction per source.
+    */
+  private val q108 = Q("q108_cdc_chunks",
+    (s, dir) => TextDedup.cdcChunkStats(t(s, dir, "documents"),
+      modulus = 8),
+    Some(s"""
+      WITH $ToksCte,
+      tok AS (
+        SELECT doc_id, source, gs AS pos, w[gs] AS tok
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      cid AS (
+        SELECT doc_id, source, pos, tok,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk
+        FROM (SELECT *, CASE WHEN ${h60("tok")} % 8 = 0 THEN 1 ELSE 0 END
+                AS b FROM tok) z),
+      chunks AS (
+        SELECT doc_id, source, chunk,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        FROM cid GROUP BY doc_id, source, chunk)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct,
+             round(1.0 - CAST(count(DISTINCT chunk_hash) AS DOUBLE)
+                   / count(*), 9) AS dup_frac
+      FROM chunks GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-    q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
+    q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
+    q105, q106, q107, q108)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -226,6 +226,80 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map((1L, 2L) -> 1L, (1L, 3L) -> 0L, (2L, 3L) -> 1L))
   }
 
+  test("boilerplateStrip: corpus-frequent segments drop everywhere, " +
+      "rare repeats survive") {
+    val out = TextDedup.boilerplateStrip(docs(
+      1L -> "a b x y", // "a b" appears in 2 distinct docs → boilerplate
+      2L -> "a b q r",
+      3L -> "u v",     // unique segment → kept
+      4L -> "",        // zero tokens → one empty segment, kept
+      5L -> "m n m n"  // within-doc repeat only: df = 1 → NOT boilerplate
+    ), width = 2, minDocs = 2).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((2L, 1L, "x y")))
+    assert(out(2L) === ((2L, 1L, "q r")))
+    assert(out(3L) === ((1L, 0L, "u v")))
+    assert(out(4L) === ((1L, 0L, "")))
+    assert(out(5L) === ((2L, 0L, "m n m n")))
+  }
+
+  test("clusterRepresentatives: longest member wins, ties to min doc_id") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val corpus = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "n_chars")
+    val out = TextDedup.clusterRepresentatives(pairs, corpus).collect()
+      .map(r => r.getAs[Long]("component") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("rep_doc_id"),
+          r.getAs[Long]("rep_chars"))).toMap
+    assert(out === Map(
+      1L -> ((3L, 2L, 9L)),   // chars 9 tie between 2 and 3 → min doc_id
+      10L -> ((2L, 10L, 4L)))) // chars 4 tie → doc 10
+  }
+
+  test("cdcChunkStats: identical docs fully dup; a prefix edit disturbs " +
+      "exactly one chunk (boundary realignment)") {
+    val s = spark
+    import s.implicits._
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val corpus = Seq(
+      (1L, t, "s1"),            // reference chunking, alone in s1
+      (2L, t, "s2"),            // same text twice in s2 …
+      (3L, t, "s2"),            // … → all chunks duplicated
+      (4L, t, "s3"),            // vs a prefix-edited twin in s3
+      (5L, "zzz " + t, "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup.cdcChunkStats(corpus, modulus = 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("dup_frac"))).toMap
+    val k = out("s1")._1 // chunks of the reference text
+    assert(out("s1")._2 === k) // all-distinct tokens → no within-doc dups
+    assert(out("s2") === ((2 * k, k, 0.5))) // exact twin: every chunk dup
+    // CDC property: the inserted prefix token changes ONLY the first
+    // chunk — every chunk after the first boundary realigns, so s3 has
+    // exactly one chunk s1 doesn't
+    assert(out("s3")._2 === k + 1)
+  }
+
+  test("qualityBlend: percent-rank average with ties, bucket from blend") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a", 1L), (2L, "a b", 3L), (3L, "a b c", 5L), (4L, "a b c", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = TextAnalysis.qualityBlend(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("blend"), r.getAs[Int]("bucket"))).toMap
+    assert(out(1L) === ((0.0, 0)))
+    assert(out(2L) === ((0.333333333, 3))) // 1/3 of rows below, rounded 9dp
+    assert(out(3L) === ((0.666666667, 6))) // tie with doc 4: same rank
+    assert(out(4L) === out(3L))
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._

@@ -171,4 +171,38 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p) // probes broadcast to cells
   }
+
+  test("q105: boilerplate join is hash-keyed; segments build per-row") {
+    val p = planExt("q105_boilerplate_strip")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // every Generate is the per-row segment-array posexplode — token
+    // explosion before chunking would double the generated row count
+    assert(p.linesIterator.count(_.contains("Generate")) <= 2, p)
+  }
+
+  test("q106: percent-ranks join back as broadcasts — no corpus-wide sort") {
+    val p = planExt("q106_quality_blend")
+    assert(p.contains("BroadcastHashJoin"), p) // the distinct-value rank tables
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the one-row N
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only single-partition exchanges feed the three HISTOGRAM
+    // windows (distinct-value-sized) and the one-row count — the
+    // corpus itself never converges to one partition
+    val single = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 4, s"corpus-sized single-partition exchange appeared:\n$p")
+  }
+
+  test("q107: cluster election is keyed by component — no cartesian") {
+    val p = planExt("q107_cluster_representative")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p) // the per-component row_number
+  }
+
+  test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
+    val p = planExt("q108_cdc_chunks")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p) // map-side partials on the stats agg
+  }
 }
