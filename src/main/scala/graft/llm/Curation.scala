@@ -128,6 +128,47 @@ object Curation {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("status"))
 
+  /** Split-leakage audit: near-duplicate pairs that CROSS the
+    * train/val boundary — the classic silent eval-inflation bug
+    * (random splits ignore duplicate structure, so a val doc with a
+    * near-dup twin in train is effectively memorized, and held-out
+    * loss lies). One row per leaking pair, canonicalized so `val_doc`
+    * is always the contaminated evaluation doc. An empty result is
+    * the release condition; fixing a non-empty one means splitting by
+    * DUP CLUSTER ([[TextDedup.duplicateComponents]] labels) instead
+    * of by doc.
+    *
+    * Scale: the pair list is dedup-output-sized, so the two split
+    * joins broadcast; membership reuses [[Sampling.trainValSplit]]'s
+    * seeded-hash bucket — deterministic, engine-portable, no
+    * materialized split table needed.
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      valFraction: Double = 0.1,
+      seed: String = "42",
+      shingleK: Int = 3,
+      nHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val split = Sampling.trainValSplit(docs, valFraction, seed)
+      .select(col("doc_id"), col("split"))
+    TextDedup
+      .minhashLshPairs(docs, shingleK, nHashes, bands, threshold)
+      .join(split.select(col("doc_id").as("da"), col("split").as("sa")),
+        Seq("da"))
+      .join(split.select(col("doc_id").as("db"), col("split").as("sb")),
+        Seq("db"))
+      .filter(col("sa") =!= col("sb"))
+      .select(
+        when(col("sa") === "val", col("da")).otherwise(col("db"))
+          .as("val_doc"),
+        when(col("sa") === "val", col("db")).otherwise(col("da"))
+          .as("train_doc"),
+        col("jaccard"))
+      .orderBy(col("val_doc"), col("train_doc"))
+  }
+
   /** The release gate: the one-row go/no-go report a corpus release
     * runs last — exact-dup fraction, PII-bearing-doc fraction, and
     * benchmark-contamination fraction, each thresholded into a pass

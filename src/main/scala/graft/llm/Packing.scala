@@ -78,4 +78,40 @@ object Packing {
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("block_id"))
   }
+
+  /** Padding-efficiency report — the OTHER batching strategy's cost
+    * model: where [[packBlocks]] concatenates (zero padding, docs
+    * split across blocks), length-bucketed batching keeps docs whole
+    * and pads each to its bucket ceiling (the next multiple of
+    * `bucketWidth`; an exact multiple pads zero). Per bucket:
+    * doc count, real tokens, padding tokens, and the padding fraction
+    * of the padded total — the wasted-FLOPs number that decides
+    * between the two strategies for a given corpus shape.
+    *
+    * Scale: bucket and padding are per-row integer arithmetic; the
+    * report is ONE keyed aggregation (map-side partial) over
+    * corpus-length/bucketWidth distinct keys. Zero-token docs land in
+    * bucket 0 with zero padding.
+    */
+  def paddingEfficiency(docs: DataFrame, bucketWidth: Int = 32): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val len = size(TextFns.tokens(col("text"))).cast("long")
+    val pad = pmod(lit(bucketWidth.toLong) - pmod(len, lit(bucketWidth.toLong)),
+      lit(bucketWidth.toLong))
+    docs
+      // keyed by the padded length itself: every doc in a bucket pads
+      // to exactly bucket_ceil (an exact multiple is its own ceiling)
+      .select((len + pad).as("bucket_ceil"), len.as("len"), pad.as("pad"))
+      .groupBy(col("bucket_ceil"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("n_tokens"),
+        sum(col("pad")).as("n_padding"),
+        // greatest(…, 1) guards the all-zero-token bucket (0/0): its
+        // padding fraction is legitimately 0, not NaN
+        round(sum(col("pad")).cast("double") /
+          greatest(sum(col("pad")) + sum(col("len")), lit(1L)), 9)
+          .as("pad_frac"))
+      .orderBy(col("bucket_ceil"))
+  }
 }

@@ -2382,13 +2382,59 @@ object QueryPackExt {
                    / count(*), 9) AS dup_frac
       FROM chunks GROUP BY source ORDER BY source"""))
 
+  /** Split-leakage audit ([[graft.llm.Curation.splitLeakage]]):
+    * near-dup pairs crossing the q62 train/val boundary — the silent
+    * eval-inflation bug. Oracle composes q30's pair CTEs with q62's
+    * split expression.
+    */
+  private val q109 = Q("q109_split_leakage",
+    (s, dir) => graft.llm.Curation.splitLeakage(t(s, dir, "documents"),
+      valFraction = 0.1, seed = "42"),
+    Some(s"""
+      WITH $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN ${h60("concat('42', '|', CAST(doc_id AS VARCHAR))")}
+                         % 1000000 < 100000
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents)
+      SELECT CASE WHEN a.split = 'val' THEN p.da ELSE p.db END AS val_doc,
+             CASE WHEN a.split = 'val' THEN p.db ELSE p.da END AS train_doc,
+             p.jaccard
+      FROM pairs p
+      JOIN sp a ON a.doc_id = p.da
+      JOIN sp b ON b.doc_id = p.db
+      WHERE a.split <> b.split
+      ORDER BY val_doc, train_doc"""))
+
+  /** Padding-efficiency report ([[graft.llm.Packing.paddingEfficiency]]):
+    * the length-bucketed-batching cost model (padding per bucket
+    * ceiling) that decides for or against q70's concat-then-chunk.
+    */
+  private val q110 = Q("q110_padding_efficiency",
+    (s, dir) => graft.llm.Packing.paddingEfficiency(
+      t(s, dir, "documents"), bucketWidth = 32),
+    Some(s"""
+      WITH $ToksCte,
+      m AS (
+        SELECT CAST(len(w) AS BIGINT) AS len,
+               CAST((32 - (len(w) % 32)) % 32 AS BIGINT) AS pad
+        FROM toks)
+      SELECT len + pad AS bucket_ceil,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len) AS BIGINT) AS n_tokens,
+             CAST(sum(pad) AS BIGINT) AS n_padding,
+             round(CAST(sum(pad) AS DOUBLE)
+                   / greatest(sum(pad) + sum(len), 1), 9) AS pad_frac
+      FROM m GROUP BY 1 ORDER BY bucket_ceil"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108)
+    q105, q106, q107, q108, q109, q110)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -300,6 +300,55 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) === out(3L))
   }
 
+  test("splitLeakage: only cross-split near-dup pairs, val doc first") {
+    val s = spark
+    import s.implicits._
+    // four exact-dup pairs; seeded split decides which cross the
+    // boundary — recompute the labels and check agreement + orientation
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "one two three four"), (4L, "one two three four"),
+      (5L, "red green blue cyan"), (6L, "red green blue cyan"),
+      (7L, "north south east west"), (8L, "north south east west"))
+      .toDF("doc_id", "text")
+    val splits = Sampling.trainValSplit(corpus, 0.5, seed = "lk")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .filter { case (a, b) => splits(a) != splits(b) }
+      .map { case (a, b) => if (splits(a) == "val") (a, b) else (b, a) }
+      .toSet
+    assert(expected.nonEmpty, s"degenerate seed: all pairs same split ($splits)")
+    val out = graft.llm.Curation
+      .splitLeakage(corpus, valFraction = 0.5, seed = "lk", threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("val_doc"),
+        r.getAs[Long]("train_doc"))).toSet
+    assert(out === expected)
+    // boundary fractions: nothing can cross an all-val or all-train split
+    assert(graft.llm.Curation
+      .splitLeakage(corpus, valFraction = 1.0, seed = "lk").isEmpty)
+    assert(graft.llm.Curation
+      .splitLeakage(corpus, valFraction = 0.0, seed = "lk").isEmpty)
+  }
+
+  test("paddingEfficiency: bucket ceilings, exact multiples pad zero") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, ""),                                  // 0 tokens → bucket 0
+      (2L, "w"),                                 // 1 token  → pad 31
+      (3L, Seq.fill(32)("w").mkString(" ")),     // exact multiple → pad 0
+      (4L, Seq.fill(33)("w").mkString(" ")))     // 33 → pad 31, ceil 64
+      .toDF("doc_id", "text")
+    val out = graft.llm.Packing.paddingEfficiency(corpus, bucketWidth = 32)
+      .collect().map(r => r.getAs[Long]("bucket_ceil") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_padding"), r.getAs[Double]("pad_frac"))).toMap
+    assert(out(0L) === ((1L, 0L, 0L, 0.0))) // 0/0 guarded to 0, not NaN
+    assert(out(32L) === ((2L, 33L, 31L, 31.0 / 64)))
+    assert(out(64L) === ((1L, 33L, 31L, 31.0 / 64)))
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._
