@@ -42,30 +42,45 @@ import graft.embl.{EnaPipeline, SegMetrics}
   */
 object EnaMain {
 
+  /** Range-bounded parallel-cursor spec for the JDBC side input: split
+    * the snapshot read into `numPartitions` cursors, each bounded on
+    * the numeric `column` — at real UniProt scale (~1e9 rows) a single
+    * cursor IS the scan bottleneck.
+    */
+  final case class JdbcRange(
+      numPartitions: Int, column: String, lower: Long, upper: Long)
+
+  private def envJdbcRange: Option[JdbcRange] =
+    (sys.env.get("ENA_JDBC_PARTITIONS"),
+        sys.env.get("ENA_JDBC_PARTITION_COLUMN")) match {
+      case (Some(n), Some(c)) => Some(JdbcRange(n.toInt, c,
+        sys.env.getOrElse("ENA_JDBC_LOWER", "0").toLong,
+        sys.env.getOrElse("ENA_JDBC_UPPER", "1000000000").toLong))
+      case _ => None
+    }
+
   /** S6/S7: idmapping side input from parquet snapshot or JDBC.
     * Explicit credentials (the `--db-config` path) win over the
-    * ENA_DB_USER / ENA_DB_PASSWORD env fallbacks.
+    * ENA_DB_USER / ENA_DB_PASSWORD env fallbacks; an explicit `range`
+    * wins over the ENA_JDBC_* env spec (main() passes neither and
+    * relies on env).
     */
   def readIdmapping(
       spark: SparkSession,
       source: String,
       user: Option[String] = None,
-      password: Option[String] = None): DataFrame =
+      password: Option[String] = None,
+      range: Option[JdbcRange] = None): DataFrame =
     if (source.startsWith("jdbc:")) {
       val base = spark.read.format("jdbc")
         .option("url", source)
         .option("dbtable", sys.env.getOrElse("ENA_IDMAPPING_TABLE", "idmapping"))
         .option("fetchsize", "1000") // S7: cursor batch size (mysql_database.py:50)
-      // at real UniProt scale (~1e9 rows) a single-cursor read is the
-      // bottleneck: ENA_JDBC_PARTITIONS=n splits the snapshot into n
-      // parallel range-bounded cursors on a numeric column
-      val reader = (sys.env.get("ENA_JDBC_PARTITIONS"),
-          sys.env.get("ENA_JDBC_PARTITION_COLUMN")) match {
-        case (Some(n), Some(c)) =>
-          base.option("numPartitions", n).option("partitionColumn", c)
-            .option("lowerBound", sys.env.getOrElse("ENA_JDBC_LOWER", "0"))
-            .option("upperBound", sys.env.getOrElse("ENA_JDBC_UPPER", "1000000000"))
-        case _ => base
+      val reader = range.orElse(envJdbcRange).fold(base) { r =>
+        base.option("numPartitions", r.numPartitions)
+          .option("partitionColumn", r.column)
+          .option("lowerBound", r.lower)
+          .option("upperBound", r.upper)
       }
       val withUser = user.orElse(sys.env.get("ENA_DB_USER"))
         .fold(reader)(u => reader.option("user", u))
