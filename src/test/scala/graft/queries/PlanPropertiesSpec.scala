@@ -199,6 +199,20 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Window"), p) // the per-component row_number
   }
 
+  test("q109: leakage pairs inherit the keyed LSH shape — no cartesian") {
+    val p = planExt("q109_split_leakage")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q110: padding report is ONE keyed agg — no joins, no explode") {
+    val p = planExt("q110_padding_efficiency")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p) // token count is per-row size()
+    assert(p.contains("partial_"), p)  // map-side partial aggregation
+    val nEx = "Exchange".r.findAllMatchIn(p).length
+    assert(nEx <= 2, s"q110 exchange count grew to $nEx:\n$p") // agg + sort
+  }
+
   test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
     val p = planExt("q108_cdc_chunks")
     assert(!p.contains("CartesianProduct") &&
