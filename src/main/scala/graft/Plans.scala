@@ -84,7 +84,9 @@ object Plans {
     "q106_quality_blend" ->
       "no corpus-wide sort anywhere: percent-ranks come from distinct-VALUE histograms (keyed partial agg, then a window over the value domain only) joined back as broadcasts; the only single-partition exchanges are domain-sized",
     "q108_cdc_chunks" ->
-      "token numbering and chunk ids ride windows KEYED by doc_id (never global); chunk text is hashed inside its keyed agg and discarded — stats aggregate partially map-side")
+      "token numbering and chunk ids ride windows KEYED by doc_id (never global); chunk text is hashed inside its keyed agg and discarded — stats aggregate partially map-side",
+    "q111_verbatim_spans" ->
+      "shared-gram table filtered to df>=2 BEFORE the join back; the xk coverage explode runs over shared occurrences only (duplication-bounded); every join equi-keyed on gram hash or (doc, pos) — no cartesian")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

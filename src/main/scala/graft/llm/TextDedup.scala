@@ -256,6 +256,63 @@ object TextDedup {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("gh")).as("sh"))
 
+  /** Verbatim-span removal — the suffix-array dedup analog ("dedup at
+    * the span level, not the document level"): any `k`-token window
+    * that appears VERBATIM in at least one OTHER document marks all k
+    * of its positions covered; covered tokens are stripped and the
+    * survivors reassembled in order. Catches the cross-doc quote /
+    * licence block / syndicated paragraph that document-level Jaccard
+    * dilutes below threshold, without building an actual suffix array.
+    * One row per doc with ≥1 token:
+    * `(doc_id, n_tokens, n_covered, cov_frac, clean_text)`.
+    * Within-doc repeats do NOT cover (sharing counts DISTINCT docs).
+    *
+    * Scale: gram hashes ride the per-doc window partitioning; the
+    * shared-gram table is one keyed agg FILTERED to df ≥ 2 before the
+    * join back; the ×k position explode runs only over shared-gram
+    * OCCURRENCES (duplication-bounded, not corpus-bounded); every
+    * join is equi-keyed on the gram hash or (doc, pos).
+    */
+  def verbatimSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // tok is consumed twice (gram front end + reassembly join) but NOT
+    // checkpointed: it is corpus-sized, and re-scanning beats pinning
+    // an exploded copy of the corpus in executor memory — the fence
+    // pattern is for SMALL frames guarding expensive expressions
+    val tok = spread(docs, "doc_id")
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val grams = tok
+      .withColumn("h", TextFns.hash31(col("tok")))
+      .withColumn("gh", gramExpr(k, TextFns.shingleCoef, w))
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gh"))
+    val shared = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gh"))
+    val covered = grams.join(shared, Seq("gh"))
+      .select(col("doc_id").as("cdoc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+    tok
+      .join(covered,
+        col("doc_id") === col("cdoc") && col("pos") === col("cpos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cpos").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        (sum(when(col("cpos").isNotNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("cov_frac"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cpos").isNull, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The MinHash-LSH front end in persisted-index form:
     * `(buckets, sets)` — `buckets` is the LSH posting list
     * `(doc_id, band, bucket)` (persist/bucket it by `(band, bucket)`

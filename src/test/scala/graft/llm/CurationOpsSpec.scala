@@ -349,6 +349,22 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(64L) === ((1L, 33L, 31L, 31.0 / 64)))
   }
 
+  test("verbatimSpans: cross-doc k-spans strip; within-doc repeats keep") {
+    val out = TextDedup.verbatimSpans(docs(
+      1L -> "a b c d e f",                 // shares "a b c d e" with doc 2
+      2L -> "x y a b c d e z",             // same span mid-document
+      3L -> "p q r",                       // < k tokens → no grams
+      4L -> "m n o p q m n o p q"          // repeats only WITHIN itself
+    ), k = 5).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((6L, 5L, "f")))
+    assert(out(2L) === ((8L, 5L, "x y z")))
+    assert(out(3L) === ((3L, 0L, "p q r")))
+    assert(out(4L) === ((10L, 0L, "m n o p q m n o p q")))
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._

@@ -213,6 +213,12 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(nEx <= 2, s"q110 exchange count grew to $nEx:\n$p") // agg + sort
   }
 
+  test("q111: span coverage joins stay equi-keyed — no cartesian") {
+    val p = planExt("q111_verbatim_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
     val p = planExt("q108_cdc_chunks")
     assert(!p.contains("CartesianProduct") &&
