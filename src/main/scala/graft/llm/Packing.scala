@@ -95,7 +95,9 @@ object Packing {
     */
   def paddingEfficiency(docs: DataFrame, bucketWidth: Int = 32): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val len = size(TextFns.tokens(col("text"))).cast("long")
+    // greatest(…, 0): size(NULL) is -1 under non-ANSI — a null text is
+    // a zero-token doc here, not a negative-length one
+    val len = greatest(size(TextFns.tokens(col("text"))).cast("long"), lit(0L))
     val pad = pmod(lit(bucketWidth.toLong) - pmod(len, lit(bucketWidth.toLong)),
       lit(bucketWidth.toLong))
     docs

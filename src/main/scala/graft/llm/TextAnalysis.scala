@@ -85,9 +85,13 @@ object TextAnalysis {
     */
   def qualityBlend(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
+    // greatest(…, 0): size(NULL) is -1 under non-ANSI — null text
+    // ranks as a zero-token doc (it still needs a non-null n_chars to
+    // survive the rank joins; a fully-null row drops)
     val base = docs.select(col("doc_id"),
-      size(toks).cast("long").as("n_toks"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      greatest(size(toks).cast("long"), lit(0L)).as("n_toks"),
+      greatest(size(array_distinct(toks)).cast("long"), lit(0L))
+        .as("n_distinct"),
       col("n_chars").cast("long").as("n_chars"))
     // rows strictly below each distinct value of `sig`, from the
     // value histogram (window runs over distinct VALUES, not rows)

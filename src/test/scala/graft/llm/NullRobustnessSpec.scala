@@ -39,6 +39,51 @@ class NullRobustnessSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L)._2 === 0L) // exact dup of doc 1: everything drops
   }
 
+  test("boilerplateStrip: null text behaves like an empty doc, survives") {
+    val out = TextDedup.boilerplateStrip(withNullText, width = 2, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(2L)._1 === 1L) // one null segment, never boilerplate-joined
+    assert(out(2L)._3 === "")
+    // docs 1 and 3 share every segment → all boilerplate at minDocs=2
+    assert(out(1L) === ((3L, 3L, "")))
+    assert(out(3L) === ((3L, 3L, "")))
+  }
+
+  test("verbatimSpans / cdcChunkStats / splitLeakage: null-text docs drop") {
+    val s = spark
+    import s.implicits._
+    assert(TextDedup.verbatimSpans(withNullText, k = 5).collect()
+      .map(_.getAs[Long]("doc_id")).toSet === Set(1L, 3L))
+    val sourced = Seq((1L, Option("alpha beta"), "s1"),
+      (2L, Option.empty[String], "s1"))
+      .toDF("doc_id", "text", "source")
+    val cdc = TextDedup.cdcChunkStats(sourced, modulus = 4).collect()
+    assert(cdc.length === 1) // s1 counts only doc 1's chunks
+    assert(TextDedup.clusterRepresentatives(
+      Seq((1L, 3L)).toDF("da", "db"),
+      withNullText.withColumn("n_chars", length(col("text")))).count() === 1)
+    assert(graft.llm.Curation.splitLeakage(withNullText, valFraction = 0.5,
+      seed = "x").collect() !== null) // no throw; null doc forms no pairs
+  }
+
+  test("qualityBlend / paddingEfficiency: null text ranks as zero tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, Option("alpha beta gamma"), 10L),
+      (2L, Option.empty[String], 0L)).toDF("doc_id", "text", "n_chars")
+    val blend = TextAnalysis.qualityBlend(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("blend")).toMap
+    assert(blend(2L) === 0.0) // bottom rank on every signal, no throw
+    assert(blend(1L) === 1.0)
+    val pads = graft.llm.Packing.paddingEfficiency(docs, bucketWidth = 32)
+      .collect().map(r => r.getAs[Long]("bucket_ceil") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(pads(0L) === ((1L, 0L))) // null text = zero tokens, not -1
+    assert(pads(32L) === ((1L, 3L)))
+  }
+
   test("quality scores / filter reasons: null-text doc drops with the score frame") {
     val s = spark
     import s.implicits._
