@@ -86,7 +86,9 @@ object Plans {
     "q108_cdc_chunks" ->
       "token numbering and chunk ids ride windows KEYED by doc_id (never global); chunk text is hashed inside its keyed agg and discarded — stats aggregate partially map-side",
     "q111_verbatim_spans" ->
-      "shared-gram table filtered to df>=2 BEFORE the join back; the xk coverage explode runs over shared occurrences only (duplication-bounded); every join equi-keyed on gram hash or (doc, pos) — no cartesian")
+      "shared-gram table filtered to df>=2 BEFORE the join back; the xk coverage explode runs over shared occurrences only (duplication-bounded); every join equi-keyed on gram hash or (doc, pos) — no cartesian",
+    "q112_strip_spans" ->
+      "same span-strip shape with the marked set = DISTINCT eval grams (MB-scale, broadcastable); the corpus pays its gram front end plus one map-side join — never rescanned, never cartesian")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

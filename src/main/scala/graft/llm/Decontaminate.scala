@@ -64,4 +64,27 @@ object Decontaminate {
       .filter(col("overlap") <= maxOverlap)
       .orderBy(col("doc_id"))
   }
+
+  /** Surgical decontamination — strip the leaked SPANS, keep the
+    * document: every `k`-token window of a training doc that appears
+    * verbatim in the eval set marks its positions covered; covered
+    * tokens strip and the survivors reassemble. The modern alternative
+    * to [[decontaminate]]'s drop-the-document rule when benchmarks
+    * quote common boilerplate — a 10k-token doc quoting one test
+    * sentence loses the sentence, not the doc. One row per doc with
+    * ≥1 token: `(doc_id, n_tokens, n_covered, cov_frac, clean_text)`.
+    *
+    * Scale: identical shape to [[TextDedup.verbatimSpans]] — the
+    * marked-gram set here is the DISTINCT eval gram hashes (MB-scale,
+    * benchmarks are small → broadcast), so the corpus pays its gram
+    * front end plus one map-side join; never a cartesian.
+    */
+  def stripSpans(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      k: Int = 5): DataFrame = {
+    val evalGrams = TextDedup.gramHashes(evalDocs, k)
+      .select(col("gh")).distinct()
+    TextDedup.stripCoveredSpans(docs, k, _ => evalGrams)
+  }
 }

@@ -273,7 +273,22 @@ object TextDedup {
     * OCCURRENCES (duplication-bounded, not corpus-bounded); every
     * join is equi-keyed on the gram hash or (doc, pos).
     */
-  def verbatimSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+  def verbatimSpans(docs: DataFrame, k: Int = 5): DataFrame =
+    stripCoveredSpans(docs, k, grams =>
+      grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("gh")))
+
+  /** Span-strip core shared by [[verbatimSpans]] (spans shared across
+    * the corpus) and [[Decontaminate.stripSpans]] (spans shared with an
+    * eval set): `markedOf(grams)` returns the 1-column `gh` frame of
+    * gram hashes whose occurrences cover; covered tokens strip and
+    * survivors reassemble.
+    */
+  private[llm] def stripCoveredSpans(
+      docs: DataFrame, k: Int,
+      markedOf: DataFrame => DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // tok is consumed twice (gram front end + reassembly join) but NOT
     // checkpointed: it is corpus-sized, and re-scanning beats pinning
@@ -287,11 +302,7 @@ object TextDedup {
       .withColumn("gh", gramExpr(k, TextFns.shingleCoef, w))
       .filter(col("gh").isNotNull)
       .select(col("doc_id"), col("pos"), col("gh"))
-    val shared = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
-      .select(col("gh"))
-    val covered = grams.join(shared, Seq("gh"))
+    val covered = grams.join(markedOf(grams), Seq("gh"))
       .select(col("doc_id").as("cdoc"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
       .distinct()

@@ -2469,13 +2469,70 @@ object QueryPackExt {
                                  ' ' ORDER BY pos), '') AS clean_text
       FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Surgical decontamination ([[graft.llm.Decontaminate.stripSpans]]):
+    * q60's drop-the-document rule replaced by span-level removal —
+    * eval-set 5-gram occurrences strip in place, the doc survives.
+    * Same train/eval convention as q60 (doc_id % 20 = 0 is the eval
+    * slice).
+    */
+  private val q112 = Q("q112_strip_spans",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.Decontaminate.stripSpans(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), k = 5)
+    },
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id, gs AS pos, w[gs] AS tok,
+               ${h60("w[gs]")} & 2147483647 AS h
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id % 20 <> 0) t,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      evtk AS (
+        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
+        FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM documents WHERE doc_id % 20 = 0) t,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      evg AS (
+        SELECT DISTINCT gh FROM (
+          SELECT ${gramSqlExpr(5, graft.llm.TextFns.shingleCoef)} AS gh
+          FROM evtk WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) z
+        WHERE gh IS NOT NULL),
+      gr AS (
+        SELECT doc_id, pos,
+               ${gramSqlExpr(5, graft.llm.TextFns.shingleCoef)} AS gh
+        FROM tk WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + o.o AS cpos
+        FROM gr g JOIN evg e ON g.gh = e.gh,
+             LATERAL (SELECT unnest(generate_series(0, 4)) AS o) o
+        WHERE g.gh IS NOT NULL),
+      j AS (
+        SELECT t.doc_id, t.pos, t.tok, c.cpos
+        FROM tk t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.cpos)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN cpos IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             CAST(sum(CASE WHEN cpos IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) AS cov_frac,
+             coalesce(string_agg(CASE WHEN cpos IS NULL THEN tok END,
+                                 ' ' ORDER BY pos), '') AS clean_text
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111)
+    q105, q106, q107, q108, q109, q110, q111, q112)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

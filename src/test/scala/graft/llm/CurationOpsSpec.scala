@@ -365,6 +365,22 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) === ((10L, 0L, "m n o p q m n o p q")))
   }
 
+  test("stripSpans: eval spans strip in place, the doc survives") {
+    val out = graft.llm.Decontaminate.stripSpans(
+      docs(
+        1L -> "intro a b c d e outro",  // quotes the eval sentence
+        2L -> "p q r s t u",            // clean
+        3L -> "a b c d"),               // < k tokens: can't leak a 5-gram
+      docs(10L -> "a b c d e"),
+      k = 5).collect().map(r =>
+        r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"),
+            r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((7L, 5L, "intro outro"))) // sentence gone, doc kept
+    assert(out(2L) === ((6L, 0L, "p q r s t u")))
+    assert(out(3L) === ((4L, 0L, "a b c d")))
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._

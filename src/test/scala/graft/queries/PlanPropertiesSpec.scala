@@ -213,10 +213,13 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(nEx <= 2, s"q110 exchange count grew to $nEx:\n$p") // agg + sort
   }
 
-  test("q111: span coverage joins stay equi-keyed — no cartesian") {
+  test("q111/q112: span coverage joins stay equi-keyed — no cartesian") {
     val p = planExt("q111_verbatim_spans")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+    val q = planExt("q112_strip_spans")
+    assert(!q.contains("CartesianProduct") &&
+      !q.contains("BroadcastNestedLoopJoin"), q)
   }
 
   test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
