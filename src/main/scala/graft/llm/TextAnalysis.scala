@@ -117,6 +117,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Source-calibrated quality rank: percent-rank of a doc's token
+    * count WITHIN ITS SOURCE — the grouped complement of
+    * [[qualityBlend]]'s corpus-global ranks. Per-source calibration is
+    * the standard fix for "one global threshold over-prunes the clean
+    * source and under-prunes the noisy one": a doc competes against
+    * its own source's distribution.
+    *
+    * Scale: NO grouped sort — `Window.partitionBy(source)` would put
+    * each (possibly corpus-sized) source group through one partition.
+    * Instead the q106 histogram technique with composite keys: counts
+    * per (source, value), a cumulative window over the per-source
+    * VALUE DOMAIN (small by construction), and an equi-join back on
+    * (source, value). Single-doc sources rank 0 (SQL PERCENT_RANK's
+    * N=1 convention, guarded here against 0/0).
+    */
+  def sourceQualityRank(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      greatest(size(TextFns.tokens(col("text"))).cast("long"), lit(0L))
+        .as("n_toks"))
+    val byValueInSource = Window.partitionBy(col("source"))
+      .orderBy(col("n_toks"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = base.groupBy(col("source"), col("n_toks"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("source"), col("n_toks"),
+        coalesce(sum(col("cnt")).over(byValueInSource), lit(0L)).as("less"))
+    val totals = base.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    base
+      .join(broadcast(hist), Seq("source", "n_toks"))
+      .join(broadcast(totals), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        round(col("less").cast("double") /
+          greatest(col("n_src") - 1, lit(1L)), 9).as("pr_source"))
+      .withColumn("bucket",
+        least(floor(col("pr_source") * 10), lit(9L)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Threshold-based quality filter — the second pillar of
     * training-data curation next to dedup: keep documents whose
     * [[qualityScores]] signals clear the given bounds. Returns the

@@ -2526,13 +2526,33 @@ object QueryPackExt {
                                  ' ' ORDER BY pos), '') AS clean_text
       FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Source-calibrated quality rank
+    * ([[TextAnalysis.sourceQualityRank]]): percent-rank within source
+    * via the q106 histogram-join technique with composite keys — the
+    * oracle pins it to SQL's PARTITIONED PERCENT_RANK.
+    */
+  private val q113 = Q("q113_source_quality_rank",
+    (s, dir) => TextAnalysis.sourceQualityRank(t(s, dir, "documents")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x <> '')) AS BIGINT) AS n_toks
+        FROM documents)
+      SELECT doc_id, source, n_toks,
+             round(percent_rank() OVER (PARTITION BY source
+                     ORDER BY n_toks), 9) AS pr_source,
+             CAST(least(floor(round(percent_rank() OVER (PARTITION BY source
+                     ORDER BY n_toks), 9) * 10), 9) AS INTEGER) AS bucket
+      FROM base ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -381,6 +381,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) === ((4L, 0L, "a b c d")))
   }
 
+  test("sourceQualityRank: ranks are per-source, singletons rank 0") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      // s1: lengths 1 < 2 < 3 — ranks 0, 0.5, 1
+      (1L, "a", "s1"), (2L, "a b", "s1"), (3L, "a b c", "s1"),
+      // s2: the SAME length as doc 3 ranks 0 here (its source is longer)
+      (4L, "a b c", "s2"), (5L, "a b c d e f", "s2"),
+      (6L, "solo", "s3")) // single-doc source: PERCENT_RANK's N=1 → 0
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceQualityRank(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("pr_source"), r.getAs[Int]("bucket"))).toMap
+    assert(out(1L) === ((0.0, 0)))
+    assert(out(2L) === ((0.5, 5)))
+    assert(out(3L) === ((1.0, 9)))
+    assert(out(4L) === ((0.0, 0))) // same 3 tokens, different distribution
+    assert(out(5L) === ((1.0, 9)))
+    assert(out(6L) === ((0.0, 0)))
+  }
+
   test("quantizeInt8: exact codes, checksum, and reconstruction error") {
     val s = spark
     import s.implicits._

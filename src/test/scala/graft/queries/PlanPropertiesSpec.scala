@@ -222,6 +222,15 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
       !q.contains("BroadcastNestedLoopJoin"), q)
   }
 
+  test("q113: grouped ranks ride source-keyed histograms, broadcast back") {
+    val p = planExt("q113_source_quality_rank")
+    assert(p.contains("BroadcastHashJoin"), p) // (source, value) rank tables
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the cumulative window partitions by source over the value
+    // histogram — never a single-partition corpus window
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
     val p = planExt("q108_cdc_chunks")
     assert(!p.contains("CartesianProduct") &&
