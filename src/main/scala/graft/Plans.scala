@@ -88,7 +88,9 @@ object Plans {
     "q111_verbatim_spans" ->
       "shared-gram table filtered to df>=2 BEFORE the join back; the xk coverage explode runs over shared occurrences only (duplication-bounded); every join equi-keyed on gram hash or (doc, pos) — no cartesian",
     "q112_strip_spans" ->
-      "same span-strip shape with the marked set = DISTINCT eval grams (MB-scale, broadcastable); the corpus pays its gram front end plus one map-side join — never rescanned, never cartesian")
+      "same span-strip shape with the marked set = DISTINCT eval grams (MB-scale, broadcastable); the corpus pays its gram front end plus one map-side join — never rescanned, never cartesian",
+    "q113_source_quality_rank" ->
+      "grouped percent-rank with NO grouped sort: per-(source, value) histograms cumulated over the per-source value domain, broadcast back — no single-partition exchange anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
