@@ -211,6 +211,41 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(results.toSet === batch)
   }
 
+  test("corpus digest runs incrementally: every prefix of micro-batches " +
+      "equals that prefix's batch digest (ST8)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // XOR is the rare digest whose aggregation STATE is the digest —
+    // Curation.corpusDigest plans unchanged under readStream in
+    // complete mode (agg -> sort), each micro-batch folding in with no
+    // rescan. This pins the incremental semantics the batch oracle
+    // (q98) cannot see.
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.llm.Curation
+      .corpusDigest(in.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("stream_digest")
+      .outputMode("complete").start()
+    def streamed() = spark.table("stream_digest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def batch(rows: Seq[(Long, String, String)]) = graft.llm.Curation
+      .corpusDigest(rows.toDF("doc_id", "text", "source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val b1 = Seq((1L, "alpha beta", "s1"), (2L, "gamma", "s1"),
+      (3L, "delta epsilon zeta", "s2"))
+    val b2 = Seq((4L, "eta theta", "s1"), (5L, "iota", "s3"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(streamed() === batch(b1)) // prefix 1
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(streamed() === batch(b1 ++ b2)) // prefix 2: s1 xor-merged
+    } finally q.stop()
+  }
+
   test("streaming EMBL ingest matches the batch segmentation") {
     val s = spark
     import s.implicits._
