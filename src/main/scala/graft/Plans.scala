@@ -57,10 +57,16 @@ object Plans {
       "two-phase prefix sum: per-quality offsets broadcast back; the row-level running sum rides a window PARTITIONED by quality — no global row-level sort",
     "q79_familiarity" ->
       "bigram counts join back on the 8-byte gram-hash key (equi-join, bounded exchange count); one md5 per token, never bigram strings",
+    "q49_approx_sketches" ->
+      "HLL++ and percentile sketches partial-aggregate map-side (partial_approx_count_distinct / partial_percentile_approx in an ObjectHashAggregate) — bounded mergeable state per partition, the 100 TB aggregation form the exact twins gate",
+    "q50_exact_percentiles" ->
+      "exact percentiles with NO group buffering (r7 — replaces the percentile() aggregate): per-(group, value) histogram counts partial-aggregate map-side, a running rank range over each group's VALUE DOMAIN, and (n-1)p linear interpolation via two conditional MINs — value-identical to quantile_cont; Percentiles.grouped auto-routes to percentile_approx sketches past a bounded row probe",
+    "q63_bpe_encode" ->
+      "the merge-table replace chain compiles into the scan's Project (whole-stage codegen, no UDF in the column path); zero exchanges before the output sort — encoding is embarrassingly parallel and stays that way",
     "q80_semantic_dedup" ->
       "sign-LSH bucketed pair generation (no CartesianProduct) + bounded min-label propagation; the keep/drop label is a left join back over the vectors",
     "q81_top_fraction" ->
-      "rank and group count ride ONE group-keyed exchange; exact rank <= ceil(f*n), no percentile interpolation",
+      "histogram-rank selection (r7 — replaces the grouped row_number corpus window): per-(group, value) counts cumulated over each group's VALUE DOMAIN, broadcast back on the composite key; only the one boundary value per group pays a tie-break window, composite-keyed and over the boundary frame only",
     "q82_dup_source_attribution" ->
       "near-dup pair list (dedup-output-sized) joins source lookups; candidate generation inherits q30's equi-keyed shape — no CartesianProduct",
     "q83_dataset_card" ->
@@ -83,6 +89,8 @@ object Plans {
       "segments build per-row; document frequency is one keyed agg FILTERED to frequent keys before the join back (boilerplate-sized side) — no corpus-wide window, no cartesian",
     "q106_quality_blend" ->
       "no corpus-wide sort anywhere: percent-ranks come from distinct-VALUE histograms (keyed partial agg, then a window over the value domain only) joined back as broadcasts; the only single-partition exchanges are domain-sized",
+    "q107_cluster_representative" ->
+      "representative election is a row_number window KEYED by component (never a global or corpus-frame sort); the CC label table inherits q61's equi-keyed round shape; quality signals join the pair list (dedup-output-sized), not the corpus",
     "q108_cdc_chunks" ->
       "token numbering and chunk ids ride windows KEYED by doc_id (never global); chunk text is hashed inside its keyed agg and discarded — stats aggregate partially map-side",
     "q111_verbatim_spans" ->

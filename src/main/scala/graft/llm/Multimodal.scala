@@ -164,14 +164,229 @@ object Multimodal {
       } finally in.close()
     }.toOption.flatten
 
-  /** Decode dispatch: REAL decoders for the modalities the JDK ships
-    * codecs for (images via ImageIO, audio via javax.sound), the
-    * clearly-marked stub for everything else (video stays stubbed —
-    * no container/codec support in the JDK).
+  /** Container-level video metadata — everything a 100 TB curation
+    * pipeline filters on (dims, duration, frame count, codec) WITHOUT
+    * decoding a single frame. FRAME decode stays honestly out of scope
+    * (the JDK ships no video codec); header parsing is pure JVM.
+    */
+  final case class VideoMeta(
+      width: Int,
+      height: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      codec: String)
+
+  /** Real video CONTAINER parse (r7; replaces fake stub dims for the
+    * video mimes): RIFF-AVI (`avih` main header + the `vids` stream's
+    * `strh`) and ISO-BMFF MP4 (`mvhd` timescale/duration, `tkhd`
+    * 16.16-fixed dims, `stsd` sample-entry fourcc, `stts` frame
+    * count). Proper chunk/box walks with bounds checks — not a byte
+    * scan — so nested sizes are honored and truncated payloads return
+    * None (callers fall back to [[decodeStub]]).
+    */
+  def videoMeta(bytes: Array[Byte]): Option[VideoMeta] =
+    scala.util.Try {
+      if (bytes.length >= 12 &&
+          tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI ") parseAvi(bytes)
+      else if (bytes.length >= 8 && tag(bytes, 4) == "ftyp") parseMp4(bytes)
+      else None
+    }.toOption.flatten
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    (b(off + 3) & 0xffL) | ((b(off + 2) & 0xffL) << 8) |
+      ((b(off + 1) & 0xffL) << 16) | ((b(off) & 0xffL) << 24)
+
+  private def parseAvi(b: Array[Byte]): Option[VideoMeta] = {
+    var avih: Option[Int] = None    // offset of avih payload
+    var vidsStrh: Option[Int] = None // offset of the video stream header
+    // RIFF chunk walk: [fourcc][size LE][payload, word-aligned]; LIST
+    // chunks carry a subtype then child chunks
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val cc = tag(b, off)
+        val size = le32(b, off + 4).toInt
+        val payload = off + 8
+        if (size < 0 || payload + size > to) return // truncated/corrupt
+        if (cc == "LIST" && size >= 4) walk(payload + 4, payload + size)
+        else if (cc == "avih") avih = avih.orElse(Some(payload))
+        else if (cc == "strh" && size >= 8 && tag(b, payload) == "vids")
+          vidsStrh = vidsStrh.orElse(Some(payload))
+        off = payload + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, b.length)
+    avih.map { a =>
+      val usPerFrame = le32(b, a)          // dwMicroSecPerFrame
+      val frames = le32(b, a + 16)         // dwTotalFrames
+      val w = le32(b, a + 32).toInt        // dwWidth
+      val h = le32(b, a + 36).toInt        // dwHeight
+      val codec = vidsStrh.map(s => tag(b, s + 4).trim).getOrElse("")
+      VideoMeta(w, h, frames, usPerFrame * frames / 1000, codec)
+    }
+  }
+
+  private def parseMp4(b: Array[Byte]): Option[VideoMeta] = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var timescale = 0L; var duration = 0L
+    var w = 0; var h = 0; var frames = 0L; var codec = ""
+    // ISO-BMFF box walk: [size BE][type][payload]; size 0/1 (to-end /
+    // 64-bit) don't occur in the headers this parses — treated corrupt
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val size = be32(b, off).toInt
+        val bt = tag(b, off + 4)
+        val payload = off + 8
+        if (size < 8 || off + size > to) return
+        if (containers(bt)) walk(payload, off + size)
+        else if (bt == "mvhd" && size >= 8 + 20) {
+          val v = b(payload) & 0xff
+          if (v == 0) { // 32-bit times: ver/flags, ctime, mtime, scale, dur
+            timescale = be32(b, payload + 12)
+            duration = be32(b, payload + 16)
+          } else {      // v1: 64-bit ctime/mtime/duration
+            timescale = be32(b, payload + 20)
+            duration = (be32(b, payload + 24) << 32) | be32(b, payload + 28)
+          }
+        } else if (bt == "tkhd" && size >= 8 + 84 && (b(payload) & 0xff) == 0) {
+          // v0 layout: dims are the last 8 bytes, 16.16 fixed point
+          val base = payload + 76
+          val tw = (be32(b, base) >> 16).toInt
+          val th = (be32(b, base + 4) >> 16).toInt
+          if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+        } else if (bt == "stsd" && size >= 8 + 16) {
+          if (codec.isEmpty && be32(b, payload + 4) >= 1)
+            codec = tag(b, payload + 12) // first sample entry's fourcc
+        } else if (bt == "stts" && size >= 8 + 8) {
+          val n = be32(b, payload + 4).toInt // entry count
+          var i = 0
+          var f = 0L
+          while (i < n && payload + 8 + i * 8 + 8 <= off + size) {
+            f += be32(b, payload + 8 + i * 8) // sample_count per run
+            i += 1
+          }
+          if (frames == 0L) frames = f
+        }
+        off += size
+      }
+    }
+    walk(0, b.length)
+    if (timescale <= 0) None
+    else Some(VideoMeta(w, h, frames, duration * 1000 / timescale, codec))
+  }
+
+  /** Deterministic MJPEG-AVI container bytes (header-complete, empty
+    * movi payload) — the generator half of the [[videoMeta]] round
+    * trip, used by LlmLayerSpec and the q114 oracle fixture. Writes the
+    * real RIFF/hdrl/avih/strl/strh/strf/movi layout any AVI tool
+    * recognizes.
+    */
+  def syntheticAvi(
+      width: Int, height: Int, fps: Int, frames: Int,
+      codec: String = "MJPG"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    // strf = BITMAPINFOHEADER(40); strh(56); avih(56)
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    cc("RIFF"); w32(riffSize); cc("AVI ")
+    cc("LIST"); w32(hdrlSize); cc("hdrl")
+    cc("avih"); w32(56)
+    w32(1000000L / fps); w32(0); w32(0); w32(0x10) // usPerFrame..flags
+    w32(frames); w32(0); w32(1); w32(0)            // totalFrames..bufSize
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0) // dims + reserved
+    cc("LIST"); w32(strlSize); cc("strl")
+    cc("strh"); w32(56)
+    cc("vids"); cc(codec); w32(0)
+    out.write(0); out.write(0); out.write(0); out.write(0) // priority+language
+    w32(0); w32(1); w32(fps); w32(0); w32(frames)  // initial, scale, rate...
+    w32(0); w32(-1); w32(0); w32(0); w32(0)        // bufSize, quality, sample, rcFrame
+    cc("strf"); w32(40)
+    w32(40); w32(width); w32(height)
+    out.write(1); out.write(0); out.write(24); out.write(0) // planes, bpp
+    cc(codec); w32(width.toLong * height * 3); w32(0); w32(0); w32(0); w32(0)
+    cc("LIST"); w32(moviSize); cc("movi")
+    out.toByteArray
+  }
+
+  /** Deterministic minimal MP4 (ftyp + moov{mvhd, trak{tkhd,
+    * mdia{minf{stbl{stsd, stts}}}}}) — generator half of the MP4 round
+    * trip. `durationTicks` is in `timescale` units.
+    */
+  def syntheticMp4(
+      width: Int, height: Int, timescale: Int, durationTicks: Long,
+      frames: Int, codec: String = "avc1"): Array[Byte] = {
+    def be(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(bt: String, payload: Array[Byte]): Array[Byte] =
+      be(payload.length + 8) ++ bt.getBytes("US-ASCII") ++ payload
+    val unityMatrix =
+      be(0x00010000L) ++ be(0) ++ be(0) ++
+        be(0) ++ be(0x00010000L) ++ be(0) ++
+        be(0) ++ be(0) ++ be(0x40000000L)
+    val mvhd = box("mvhd",
+      be(0) ++ be(0) ++ be(0) ++ be(timescale) ++ be(durationTicks) ++
+        be(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++ be(0) ++ be(0) ++
+        unityMatrix ++ Array.fill(24)(0.toByte) ++ be(2))
+    val tkhd = box("tkhd",
+      be(7) ++ be(0) ++ be(0) ++ be(1) ++ be(0) ++ be(durationTicks) ++
+        be(0) ++ be(0) ++ Array.fill(8)(0.toByte) ++ unityMatrix ++
+        be(width.toLong << 16) ++ be(height.toLong << 16))
+    val stsdEntry = be(16) ++ codec.getBytes("US-ASCII") ++
+      Array.fill(6)(0.toByte) ++ Array[Byte](0, 1)
+    val stsd = box("stsd", be(0) ++ be(1) ++ stsdEntry)
+    val stts = box("stts", be(0) ++ be(1) ++ be(frames) ++
+      be(if (frames > 0) durationTicks / frames else 0))
+    val stbl = box("stbl", stsd ++ stts)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be(0) ++ "isom".getBytes("US-ASCII") ++
+        "mp41".getBytes("US-ASCII"))
+    ftyp ++ moov
+  }
+
+  /** Video branch of [[decode]]: real container metadata when the
+    * payload parses (dims from the header; feature = [frames,
+    * duration s, fps, codec-hash, 0…]), stub otherwise.
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    videoMeta(bytes).map { m =>
+      val durS = m.duration_ms.toFloat / 1000f
+      val feat = new Array[Float](FeatureDim)
+      feat(0) = m.n_frames.toFloat
+      feat(1) = durS
+      feat(2) = if (durS > 0) m.n_frames / durS else 0f
+      feat(3) = (m.codec.hashCode & 0xffff).toFloat / 65536f
+      (m.width, m.height, feat)
+    }
+
+  /** Decode dispatch: REAL decoders for the modalities the JDK can
+    * parse (images via ImageIO, audio via javax.sound, video CONTAINER
+    * headers via [[videoMeta]] — frame decode stays out of scope, no
+    * JDK codec), the clearly-marked stub for everything else.
     */
   def decode(mime: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
     (if (mime.startsWith("image/")) decodeImage(bytes)
      else if (mime.startsWith("audio/")) decodeAudio(bytes)
+     else if (mime.startsWith("video/")) decodeVideo(bytes)
      else None).getOrElse(decodeStub(bytes))
 
   /** Batched decode/feature-extract: one streaming pass per partition

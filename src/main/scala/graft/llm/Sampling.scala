@@ -168,8 +168,26 @@ object Sampling {
     * rank ≤ ceil(fraction × group size) under the total order
     * `(orderCol DESC, keyCol ASC)` — which both engines compute
     * identically (no percentile-function interpolation to mismatch).
-    * One exchange: rank and group count ride the same group-keyed
-    * window partition.
+    *
+    * Scale: NO grouped sort of the corpus. The r6 form
+    * (`row_number` over `Window.partitionBy(group)`) sent each group
+    * through ONE partition — with an 80%-English corpus that is a
+    * single-task sort of most of the corpus. This form is the
+    * [[graft.llm.TextAnalysis.sourceQualityRank]] histogram technique
+    * applied to selection: per-(group, value) counts, a cumulative
+    * "strictly better" prefix over each group's VALUE DOMAIN (small by
+    * construction), broadcast back on the composite key. A row's rank
+    * is then `better + (its position among ties)`; only the one
+    * BOUNDARY value per group (where `better < k < better + ties`)
+    * needs a tie-break at all, so the row_number window runs over the
+    * boundary-only frame, partitioned by the composite (group, value)
+    * key — never by the raw group over the full corpus.
+    *
+    * `orderCol` must be coarse (an integer score, a bucketed double):
+    * the histogram has one row per distinct (group, value) — the same
+    * contract as [[budgetSelect]]'s qualityCol. If every row of a
+    * group ties at one value the boundary frame degenerates to that
+    * group (bucketize a finer score before calling).
     */
   def topFractionPerGroup(
       docs: DataFrame,
@@ -178,14 +196,36 @@ object Sampling {
       fraction: Double,
       keyCol: String = "doc_id"): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
-    val wr = Window.partitionBy(col(groupCol))
-      .orderBy(col(orderCol).desc, col(keyCol))
-    val wn = Window.partitionBy(col(groupCol))
-    docs
-      .withColumn("__rn", row_number().over(wr))
-      .withColumn("__n", count(lit(1)).over(wn))
-      .filter(col("__rn") <= ceil(col("__n") * lit(fraction)))
-      .drop("__rn", "__n")
+    // per-(group, value) histogram + rows strictly better (DESC order),
+    // cumulated over the value domain — the only group-partitioned
+    // window runs over this aggregated frame
+    val byValueDesc = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = docs.groupBy(col(groupCol), col(orderCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col(groupCol), col(orderCol), col("__cnt"),
+        coalesce(sum(col("__cnt")).over(byValueDesc), lit(0L)).as("__better"))
+    val limits = docs.groupBy(col(groupCol))
+      .agg(ceil(count(lit(1)) * lit(fraction)).cast("long").as("__k"))
+    val joined = docs
+      .join(broadcast(hist), Seq(groupCol, orderCol))
+      .join(broadcast(limits), Seq(groupCol))
+    // whole-value keeps: every tie at this value fits under k
+    val keepAll = joined.filter(col("__better") + col("__cnt") <= col("__k"))
+    // boundary value (at most one per group): keep the (k - better)
+    // smallest keys among its ties — the tie-break window is composite-
+    // keyed AND runs over only these rows
+    val wTie = Window.partitionBy(col(groupCol), col(orderCol))
+      .orderBy(col(keyCol))
+    val keepBoundary = joined
+      .filter(col("__better") < col("__k") &&
+        col("__better") + col("__cnt") > col("__k"))
+      .withColumn("__tie", row_number().over(wTie))
+      .filter(col("__tie") <= col("__k") - col("__better"))
+      .drop("__tie")
+    keepAll.unionByName(keepBoundary)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Stratified sample: an independent seeded fraction per value of
@@ -219,6 +259,14 @@ object Sampling {
     * shard membership. Emits per-shard balance stats (the skew audit:
     * md5 buckets spread uniformly, so shard sizes concentrate tightly
     * around n/nShards).
+    *
+    * Shard assignment is `bucket % nShards` over the 1,000,000-value
+    * seeded-bucket space: when nShards does not divide 1e6, the low
+    * (1e6 mod nShards) shards each see one extra bucket — a relative
+    * size bias of ~nShards/1e6 (≈1e-5 at nShards=8), far below the
+    * natural binomial spread of real shard sizes. Callers needing
+    * exactly-uniform assignment for very large nShards should shard on
+    * a wider hash, not this audit helper.
     */
   def shardStats(
       docs: DataFrame,

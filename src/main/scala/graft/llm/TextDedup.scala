@@ -170,6 +170,7 @@ object TextDedup {
     * the chunk text is hashed and discarded, one tiny agg per source.
     */
   def cdcChunkStats(docs: DataFrame, modulus: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tok = docs.select(col("doc_id"), col("source"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -289,6 +290,10 @@ object TextDedup {
   private[llm] def stripCoveredSpans(
       docs: DataFrame, k: Int,
       markedOf: DataFrame => DataFrame): DataFrame = {
+    // self-sufficient entry point: the hash31/hash60 columns below are
+    // session-registered functions (callers must not depend on a prior
+    // gramHashes call having registered them as a side effect)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // tok is consumed twice (gram front end + reassembly join) but NOT
     // checkpointed: it is corpus-sized, and re-scanning beats pinning

@@ -26,9 +26,17 @@ object Compaction {
   def compactTo(df: DataFrame, targetBytes: Long = 512L << 20): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = ((bytes + targetBytes - 1) / targetBytes).max(1)
-    // clamp: a corrupt/unknown size estimate must not demand millions
-    // of partitions
-    df.repartition(parts.min(1 << 20).toInt)
+    // UNKNOWN stats surface as spark.sql.defaultSizeInBytes
+    // (Long.MaxValue unless tuned) — the old 2^20 clamp still turned
+    // that into a million-task repartition, defeating the small-files
+    // goal. With no usable estimate, keep the current partitioning
+    // (compaction without information is a no-op, not a fan-out).
+    val defaultSize = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (bytes >= defaultSize) df
+    else {
+      val parts = ((bytes + targetBytes - 1) / targetBytes).max(1)
+      // clamp: a corrupt size estimate must not demand millions of tasks
+      df.repartition(parts.min(1 << 20).toInt)
+    }
   }
 }

@@ -31,7 +31,7 @@ object QueryPack {
       oracle: Option[String])
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.parquet(s, s"$dir/$name.parquet")
 
   /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
     * to read natively (PARQUET_TYPE_ILLEGAL). Read `ts` as a nanosecond
@@ -42,7 +42,7 @@ object QueryPack {
     */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    Tables.parquet(s, s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

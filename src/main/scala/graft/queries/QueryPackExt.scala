@@ -64,7 +64,7 @@ object QueryPackExt {
       sh AS (SELECT DISTINCT doc_id, gh FROM grams WHERE gh IS NOT NULL)"""
 
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.parquet(s, s"$dir/$name.parquet")
 
   // ------------------------------------------------------------ dedup: exact
 
@@ -628,9 +628,13 @@ object QueryPackExt {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+            .as("approx_median"))
+      // exact median via histogram interpolation (no group buffering)
+      val exactMedian = graft.operators.Percentiles
+        .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .select(col("l_returnflag"), col("p50").as("exact_median"))
       sketches // 3-row frames: the joins broadcast
+        .join(exactMedian, "l_returnflag")
         .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
         .join(exactDistinct("l_suppkey", "exact_supps"), "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
@@ -650,12 +654,15 @@ object QueryPackExt {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   private val q50 = Q("q50_exact_percentiles",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        count(lit(1)).as("n"))
+    // exact percentiles WITHOUT buffering groups: histogram
+    // interpolation (Percentiles.groupedExact) — value-identical to
+    // percentile()/quantile_cont, state bounded by distinct values
+    (s, dir) => graft.operators.Percentiles
+      .groupedExact(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.5, 0.9))
+      .select(col("l_returnflag"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"), col("n"))
       .orderBy(col("l_returnflag")),
     // both engines interpolate at rank (n-1)*p; rounding absorbs the
     // differing FP forms of the interpolation expression
@@ -840,7 +847,7 @@ object QueryPackExt {
       val b = o.select(col("o_orderkey").as("b_key"),
         day(col("o_orderdate")).as("b_s"), (day(col("o_orderdate")) + 7).as("b_e"))
       graft.operators.IntervalJoin
-        .overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", bucketWidth = 8)
+        .overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e") // bucketWidth derived
         .filter(col("a_key") =!= col("b_key"))
         .groupBy(col("a_key"))
         .agg(count(lit(1)).as("n_overlapping"))
@@ -1015,7 +1022,7 @@ object QueryPackExt {
             col("l_linenumber").cast("long") * 3).as("t_e"))
       graft.operators.IntervalJoin
         .countOverlaps(w, tr, "w_s", "w_e", "t_s", "t_e",
-          bucketWidth = 8, leftKey = "w_key")
+          leftKey = "w_key") // bucketWidth derived
         .orderBy(col("w_key"))
     },
     Some("""
@@ -2546,13 +2553,55 @@ object QueryPackExt {
                      ORDER BY n_toks), 9) * 10), 9) AS INTEGER) AS bucket
       FROM base ORDER BY doc_id"""))
 
+  /** L27 completion (r7): the video CONTAINER round trip as an oracle
+    * row — real MJPEG-AVI / MP4 bytes built from literal parameters
+    * ([[Multimodal.syntheticAvi]]/[[Multimodal.syntheticMp4]]), parsed
+    * back EXECUTOR-SIDE by [[Multimodal.videoMeta]] (the q29 VALUES-
+    * fixture pattern: the oracle pins the parameters; only a correct
+    * header parse of real container bytes reproduces them). Frame
+    * decode stays honestly out of scope — no JDK codec.
+    */
+  private val q114 = Q("q114_video_meta",
+    (s, dir) => {
+      import s.implicits._
+      import graft.llm.Multimodal
+      val media = Seq(
+        Multimodal.MediaRow(1L, "video/avi",
+          Multimodal.syntheticAvi(640, 360, fps = 25, frames = 250)),
+        Multimodal.MediaRow(2L, "video/avi",
+          Multimodal.syntheticAvi(1920, 1080, fps = 30, frames = 900,
+            codec = "H264")),
+        Multimodal.MediaRow(3L, "video/mp4",
+          Multimodal.syntheticMp4(1280, 720, timescale = 90000,
+            durationTicks = 900000L, frames = 300)))
+      s.createDataset(media)
+        .map { r =>
+          val m = Multimodal.videoMeta(r.content).getOrElse(
+            sys.error(s"container parse failed for media ${r.media_id}"))
+          (r.media_id, m.width, m.height, m.n_frames, m.duration_ms, m.codec)
+        }
+        .toDF("media_id", "width", "height", "n_frames", "duration_ms",
+          "codec")
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 640, 360, CAST(250 AS BIGINT),
+         CAST(10000 AS BIGINT), 'MJPG'),
+        (CAST(2 AS BIGINT), 1920, 1080, CAST(900 AS BIGINT),
+         CAST(29999 AS BIGINT), 'H264'),
+        (CAST(3 AS BIGINT), 1280, 720, CAST(300 AS BIGINT),
+         CAST(10000 AS BIGINT), 'avc1'))
+        AS t(media_id, width, height, n_frames, duration_ms, codec)
+      ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

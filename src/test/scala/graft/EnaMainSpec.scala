@@ -23,14 +23,32 @@ class EnaMainSpec extends AnyFunSuite with SparkSpec {
     val s = spark
     import s.implicits._
     val reads = s.sparkContext.longAccumulator("probe_reads")
-    val big = s.range(1000000).map { i => reads.add(1); i }.toDF("foreign_id")
+    val big = s.range(1000000)
+      .map { i => reads.add(1); (s"F$i", s"P$i") }
+      .toDF("foreign_id", "uniprot_id")
     assert(!EnaMain.chooseBroadcastRegime(big, maxRows = 100))
     // LocalLimit stops each partition's iterator after limit rows: the
     // probe must touch ~(partitions x 101) rows, nowhere near the 1M a
     // full count() would read
     assert(reads.value < 10000, s"probe read ${reads.value} of 1000000 rows")
-    val small = s.range(50).map(identity).toDF("foreign_id")
+    val small = s.range(50).map(i => (s"F$i", s"P$i"))
+      .toDF("foreign_id", "uniprot_id")
     assert(EnaMain.chooseBroadcastRegime(small, maxRows = 100))
+  }
+
+  test("chooseBroadcastRegime: wide ids under the row cap still force the shuffle regime") {
+    val s = spark
+    import s.implicits._
+    // 50 rows (well under maxRows) but each uniprot_id is ~1 MiB: the
+    // r6 row-only cap would have collected ~50 MiB+ to the driver; the
+    // byte cap must refuse
+    val wide = s.range(50).map(i => (s"F$i", "U" * (1 << 20)))
+      .toDF("foreign_id", "uniprot_id")
+    assert(!EnaMain.chooseBroadcastRegime(wide, maxRows = 100,
+      maxBytes = 16L << 20))
+    // same shape, byte budget comfortably above the estimate -> broadcast
+    assert(EnaMain.chooseBroadcastRegime(wide, maxRows = 100,
+      maxBytes = 1L << 30))
   }
 
   test("readIdmapping: jdbc URLs dispatch to the JDBC reader") {

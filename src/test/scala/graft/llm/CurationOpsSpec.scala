@@ -215,6 +215,52 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("familiarityBucketsAuto: exact twin under the cap, approx past it") {
+    val corpus = docs(
+      1L -> "the cat sat", 2L -> "the cat ran", 3L -> "the dog sat",
+      4L -> "a bird flew", 5L -> "the cat sat", 6L -> "odd words only")
+    // under the cap: identical to the exact ntile form, row for row
+    val auto = TextAnalysis.familiarityBucketsAuto(corpus, n = 3,
+      maxExactRows = 100).collect().map(_.toSeq)
+    val exact = TextAnalysis.familiarityBuckets(corpus, n = 3)
+      .collect().map(_.toSeq)
+    assert(auto.toSeq === exact.toSeq)
+    // past the cap: the plan must be the sketch path (percentile_approx
+    // appears; the exact ntile's single-partition window does not)
+    val big = TextAnalysis.familiarityBucketsAuto(corpus, n = 3,
+      maxExactRows = 2)
+    val plan = big.queryExecution.analyzed.toString
+    assert(plan.contains("percentile_approx"), plan)
+    // "ntile(" — the window function call; a bare "ntile" substring
+    // also matches perce-NTILE-_approx
+    assert(!plan.contains("ntile("), plan)
+    // and it still buckets every doc
+    assert(big.collect().map(_.getAs[Long]("n_docs")).sum === 6L)
+  }
+
+  test("Percentiles.grouped: exact under the cap (oracle form), sketch past it") {
+    val s = spark
+    import s.implicits._
+    val d = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("g", "v")
+    val exact = graft.operators.Percentiles.grouped(d, "g", "v",
+      probs = Seq(0.5), maxExactRows = 1000)
+    // exact semantics: interpolated rank (n-1)p over 50 evens / 50 odds
+    val m = exact.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") === 51.0 && m("b") === 50.0)
+    // the exact form is the HISTOGRAM interpolation — no percentile
+    // aggregate of either kind in the plan, nothing buffers a group
+    val ep = exact.queryExecution.analyzed.toString
+    assert(!ep.contains("percentile"), ep)
+    val approx = graft.operators.Percentiles.grouped(d, "g", "v",
+      probs = Seq(0.5), maxExactRows = 10)
+    val ap = approx.queryExecution.analyzed.toString
+    assert(ap.contains("percentile_approx"), ap)
+    // sketch at this size is exact-rank: midpoint of the sorted runs
+    val ma = approx.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ma("a") - 50.0) <= 2.0 && math.abs(ma("b") - 49.0) <= 2.0)
+  }
+
   test("editDistancePairs: blocked candidates only, exact distances") {
     val out = TextDedup.editDistancePairs(docs(
       1L -> "alpha beta gamma delta epsilon",

@@ -170,6 +170,26 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assertHolds(p, 4)
   }
 
+  test("property: CC round budget is exactly diameter + 1 (boundary, both sides)") {
+    // min-label propagation advances one hop per round, and convergence
+    // costs one extra no-change probe round: a path graph of diameter d
+    // must converge with maxIter = d + 1 and throw the documented error
+    // with maxIter = d — at the EXACT boundary, not merely "far past"
+    val s = spark
+    import s.implicits._
+    val p = Prop.forAll(Gen.chooseNum(2, 5)) { d =>
+      val path = (0 until d).map(i => (i.toLong, (i + 1).toLong))
+        .toDF("da", "db")
+      val ok = TextDedup.duplicateComponents(path, maxIter = d + 1).collect()
+      val converged = ok.length == d + 1 && ok.forall(_.getLong(1) == 0L)
+      val under = scala.util.Try(
+        TextDedup.duplicateComponents(path, maxIter = d))
+      converged && under.isFailure &&
+        under.failed.get.getMessage.contains("did not converge")
+    }
+    assertHolds(p, 3)
+  }
+
   /** `clean` equals some in-order subsequence of `segs` joined by a
     * space (empty string = empty subsequence or a kept empty segment).
     */

@@ -231,6 +231,41 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q49: sketch aggregates partial-aggregate map-side (mergeable state)") {
+    val p = planExt("q49_approx_sketches")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p) // sketches merge, never re-scan
+  }
+
+  test("q50: exact percentiles histogram-interpolate — nothing buffers a group") {
+    val p = planExt("q50_exact_percentiles")
+    // no percentile() aggregate anywhere: exactness comes from the
+    // (group, value) histogram + rank interpolation
+    assert(!p.contains("percentile("), p)
+    assert(p.contains("partial_"), p) // histogram counts partial-agg map-side
+    assert(p.contains("BroadcastHashJoin"), p) // totals join back broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q63: BPE encode fuses into the scan — no exchange before the sort") {
+    val p = planExt("q63_bpe_encode")
+    assert(!p.contains("Join"), p)
+    // the merge-rank replace chain is ONE Project straight over the
+    // scan: the only exchange is the output sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.linesIterator.count(_.contains("Project")) === 1, p)
+  }
+
+  test("q81: top-fraction rides group-value histograms — no raw-group corpus window") {
+    val p = planExt("q81_top_fraction")
+    assert(p.contains("BroadcastHashJoin"), p) // histogram + limits join back
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // machine form of the skew claim (every window composite-keyed or
+    // over an aggregate) is in LlmLayerSpec's topFractionPerGroup test;
+    // here: the corpus never converges to one partition
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
     val p = planExt("q108_cdc_chunks")
     assert(!p.contains("CartesianProduct") &&
