@@ -439,10 +439,14 @@ object Similarity {
     */
   def semanticDedup(
       emb: DataFrame, bits: Int = DeriveBits, threshold: Double = 0.4,
-      maxBucketWidth: Option[Int] = None): DataFrame = {
+      maxBucketWidth: Option[Int] = None, maxIter: Int = 20): DataFrame = {
     val pairs = nearDupPairs(emb, bits, threshold, maxBucketWidth)
       .select(col("va").as("da"), col("vb").as("db"))
-    val comp = TextDedup.duplicateComponents(pairs)
+    // maxIter is the CC loud-failure rail (propagation rounds =
+    // component diameter + 1): a corpus whose near-dup graph chains
+    // deeply — e.g. dense perturbation clusters at a low threshold —
+    // needs it raised explicitly; silent unmerged labels are never ok
+    val comp = TextDedup.duplicateComponents(pairs, maxIter)
       .select(col("doc_id").as("vec_id"), col("component"))
     emb.select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left")
