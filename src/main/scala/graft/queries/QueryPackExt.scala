@@ -2595,13 +2595,28 @@ object QueryPackExt {
         AS t(media_id, width, height, n_frames, duration_ms, codec)
       ORDER BY media_id"""))
 
+  /** L95 (r7): sharded HNSW — the high-recall graph serving index next
+    * to IVF (L66). No SQL oracle (a graph build isn't SQL-expressible):
+    * the driver records the rows-only check; correctness weight lives
+    * in HnswSpec (recall floor vs brute force, build determinism,
+    * byte round trip).
+    */
+  private val q115 = Q("q115_ann_hnsw",
+    (s, dir) => graft.llm.Hnsw.hnswProbe(
+      graft.llm.Hnsw.hnswIndex(
+        t(s, dir, "embeddings").repartition(4), m = 8, efConstruction = 64),
+      t(s, dir, "embeddings").orderBy(col("vec_id")).limit(5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      k = 10, ef = 96),
+    None)
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

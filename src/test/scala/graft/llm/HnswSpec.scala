@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Gate for the sharded HNSW index (not SQL-expressible, so the spec
+  * carries the correctness weight): recall floor vs exact brute force,
+  * build determinism, serialization round trip, multi-shard merge.
+  */
+class HnswSpec extends AnyFunSuite with SparkSpec {
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("shard graph round-trips through bytes and searches identically") {
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val g = Hnsw.buildShard(rows, m = 8, efC = 64)
+    val g2 = Hnsw.fromBytes(Hnsw.toBytes(g))
+    val q = rows.head._2
+    assert(Hnsw.searchShard(g, q, 10, 64) === Hnsw.searchShard(g2, q, 10, 64))
+    assert(g2.ids.toSeq === g.ids.toSeq && g2.entry === g.entry)
+  }
+
+  test("build is deterministic under input row order") {
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val a = Hnsw.toBytes(Hnsw.buildShard(rows, 8, 64))
+    val b = Hnsw.toBytes(Hnsw.buildShard(scala.util.Random.shuffle(rows), 8, 64))
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("recall@10 vs brute force >= 0.9 on the test corpus (multi-shard)") {
+    val s = spark
+    import s.implicits._
+    val queries = emb.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val index = Hnsw.hnswIndex(emb.repartition(4), m = 8, efConstruction = 64)
+    assert(index.count() === 4) // one graph row per shard
+    val approx = Hnsw.hnswProbe(index, queries, k = 10, ef = 96)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(found => (found & truth).size.toDouble / truth.size)
+        .getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 = $mean")
+    // every query answered with exactly k ranked hits
+    assert(approx.values.forall(_.size === 10))
+  }
+
+  test("null embeddings drop at index time; empty shards vanish") {
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(
+      (1L, Option(Seq(1f, 0f))), (2L, Option(Seq(0f, 1f))),
+      (3L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val idx = Hnsw.hnswIndex(withNull.repartition(8), m = 4, efConstruction = 16)
+    assert(idx.agg(sum(col("n_vectors"))).head().getLong(0) === 2L)
+    val q = Seq((9L, Seq(1f, 0f))).toDF("query_id", "qv")
+    val hits = Hnsw.hnswProbe(idx, q, k = 1, ef = 8).collect()
+    assert(hits.length === 1 && hits.head.getLong(2) === 1L)
+  }
+}

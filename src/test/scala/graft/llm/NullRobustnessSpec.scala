@@ -120,4 +120,43 @@ class NullRobustnessSpec extends AnyFunSuite with SparkSpec {
     val dig = graft.llm.Curation.corpusDigest(docs).collect()
     assert(dig.map(_.getAs[Long]("n_docs")).sum === 2L)
   }
+
+  test("Percentiles.groupedExact: null values leave rank space; all-null group absent") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      ("a", Option(1.0)), ("a", Option(2.0)), ("a", Option.empty[Double]),
+      ("b", Option.empty[Double])).toDF("g", "v")
+    val out = graft.operators.Percentiles.groupedExact(d, "g", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // group a: median over the two non-null values, n counts non-null;
+    // group b (all null): absent, not a null row, not a throw
+    assert(out === Map("a" -> ((1.5, 2L))))
+  }
+
+  test("topFractionPerGroup: null order values drop (documented join-back contract)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "en", Option(40L)), (2L, "en", Option(30L)),
+      (3L, "en", Option.empty[Long]), (4L, "en", Option(10L)))
+      .toDF("doc_id", "lang", "n_chars")
+    // k = ceil(4 * 0.5) = 2 over the group's full count; the null-
+    // quality doc never joins back (null keys don't equi-match), so
+    // the two best rankable docs keep and nothing throws
+    val kept = Sampling.topFractionPerGroup(d, "lang", "n_chars", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("videoMeta: garbage, truncated, and empty payloads refuse quietly") {
+    assert(Multimodal.videoMeta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.videoMeta("RIFFxxxxAVI ".getBytes).isEmpty)
+    val avi = Multimodal.syntheticAvi(64, 48, 10, 5)
+    (1 until avi.length by 37).foreach { cut =>
+      Multimodal.videoMeta(avi.take(cut)) // any prefix: None or Some, no throw
+    }
+    assert(Multimodal.videoMeta(avi).nonEmpty)
+  }
 }
