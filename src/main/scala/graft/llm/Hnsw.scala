@@ -289,6 +289,17 @@ object Hnsw {
     }(enc)
   }
 
+  /** Persist / reload the sharded index as a plain parquet table (the
+    * binary column needs no special handling) — the build-once,
+    * probe-per-batch lifecycle of the L52/L66 persisted indexes. Probe
+    * equality through the round trip is spec-asserted.
+    */
+  def writeHnswIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def readHnswIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Probe: search every shard for every query (queries broadcast-small
     * by contract, like [[Similarity.bruteForceTopK]]'s explicit query
     * frame), merge per-query with the bounded top-k aggregate. Emits

@@ -260,4 +260,23 @@ object StreamOps {
         sink(graft.llm.Similarity.ivfProbe(cent, cells, batch, nProbe, k), id)
       }
       .start()
+
+  /** ST7's high-recall twin (r7): each micro-batch of query vectors
+    * probed against a STATIC sharded HNSW index
+    * ([[graft.llm.Hnsw.readHnswIndex]]-loaded) — same foreachBatch
+    * serving bridge, same stream≡batch guarantee (asserted), with the
+    * graph index's recall instead of the IVF cell partitioner's.
+    */
+  def streamingHnswProbe(
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int = 10,
+      ef: Int = 64)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.llm.Hnsw.hnswProbe(index, batch, k, ef), id)
+      }
+      .start()
 }

@@ -54,6 +54,20 @@ class HnswSpec extends AnyFunSuite with SparkSpec {
     assert(approx.values.forall(_.size === 10))
   }
 
+  test("persisted index probes identically after the parquet round trip") {
+    val queries = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val index = Hnsw.hnswIndex(emb.repartition(3), m = 8, efConstruction = 64)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_idx").toString
+    Hnsw.writeHnswIndex(index, dir)
+    val live = Hnsw.hnswProbe(index, queries, k = 5, ef = 64)
+      .collect().map(_.toSeq)
+    val reloaded = Hnsw.hnswProbe(
+      Hnsw.readHnswIndex(spark, dir), queries, k = 5, ef = 64)
+      .collect().map(_.toSeq)
+    assert(live.toSeq === reloaded.toSeq)
+  }
+
   test("null embeddings drop at index time; empty shards vanish") {
     val s = spark
     import s.implicits._

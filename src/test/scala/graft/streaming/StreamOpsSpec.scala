@@ -211,6 +211,48 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(results.toSet === batch)
   }
 
+  test("streaming HNSW probe equals the batch probe on the same queries") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // static sharded index, persisted + reloaded — the serving lifecycle
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_serve").toString
+    graft.llm.Hnsw.writeHnswIndex(
+      graft.llm.Hnsw.hnswIndex(emb.repartition(3), m = 8, efConstruction = 64),
+      dir)
+    val index = graft.llm.Hnsw.readHnswIndex(s, dir).localCheckpoint()
+    val queryRows = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .as[(Long, Seq[Float])].collect()
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.streamingHnswProbe(
+      in.toDF().toDF("query_id", "qv"), index, k = 5, ef = 64) {
+      (batchResult, _) =>
+        results ++= batchResult.collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+            r.getAs[Long]("vec_id")))
+    }
+    try {
+      in.addData(queryRows.take(2).toSeq) // two micro-batches
+      q.processAllAvailable()
+      in.addData(queryRows.drop(2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = graft.llm.Hnsw.hnswProbe(index,
+      emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      k = 5, ef = 64)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id"))).toSet
+    assert(results.toSet === batch)
+    graft.operators.Checkpoints.release(index)
+  }
+
   test("corpus digest runs incrementally: every prefix of micro-batches " +
       "equals that prefix's batch digest (ST8)") {
     val s = spark
