@@ -98,7 +98,9 @@ object Plans {
     "q112_strip_spans" ->
       "same span-strip shape with the marked set = DISTINCT eval grams (MB-scale, broadcastable); the corpus pays its gram front end plus one map-side join — never rescanned, never cartesian",
     "q113_source_quality_rank" ->
-      "grouped percent-rank with NO grouped sort: per-(source, value) histograms cumulated over the per-source value domain, broadcast back — no single-partition exchange anywhere")
+      "grouped percent-rank with NO grouped sort: per-(source, value) histograms cumulated over the per-source value domain, broadcast back — no single-partition exchange anywhere",
+    "q115_ann_hnsw" ->
+      "sharded HNSW probe: graph build is mapPartitions over the repartitioned corpus (one serialized graph row per shard), every shard searched independently, k-per-(query, shard) merged by the bounded ObjectHashAggregate top-k — no cartesian, no scored-corpus window sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -266,6 +266,13 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q115: HNSW shard merge is the bounded top-k aggregate — no window sort") {
+    val p = planExt("q115_ann_hnsw")
+    assert(p.contains("ObjectHashAggregate"), p) // graft_topk merge
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // never a scored-candidate window sort
+  }
+
   test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
     val p = planExt("q108_cdc_chunks")
     assert(!p.contains("CartesianProduct") &&
