@@ -2610,13 +2610,50 @@ object QueryPackExt {
       k = 10, ef = 96),
     None)
 
+  /** L96 (r7): DSIR-style importance-weighted selection
+    * ([[graft.llm.Dsir.importanceSelect]]) — raw docs scored by hashed
+    * token-bucket likelihood vs the English slice as the target
+    * distribution; keep = top quarter by exact quantile threshold.
+    */
+  private val q116 = Q("q116_importance_select",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Dsir.importanceSelect(
+        docs, docs.filter(col("lang") === "en"),
+        buckets = 4096, keepFraction = 0.25)
+    },
+    Some(s"""
+      WITH $ToksCte,
+      tb AS (
+        SELECT doc_id, lang,
+               ${h60("t.tok")} % 4096 AS b
+        FROM toks, LATERAL unnest(w) AS t(tok)),
+      tc AS (SELECT b, count(*) AS c FROM tb WHERE lang = 'en' GROUP BY b),
+      rc AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+      sc AS (
+        SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               sum(coalesce(tc.c, 0)) AS st, sum(rc.c) AS sr
+        FROM tb
+        JOIN rc USING (b)
+        LEFT JOIN tc USING (b)
+        GROUP BY tb.doc_id),
+      scored AS (
+        SELECT doc_id, n_toks,
+               round(CAST(st + n_toks AS DOUBLE)
+                     / CAST(sr + n_toks AS DOUBLE), 9) AS score
+        FROM sc),
+      thr AS (SELECT quantile_cont(score, 0.75) AS threshold FROM scored)
+      SELECT doc_id, n_toks, score, score >= threshold AS keep
+      FROM scored, thr ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
     q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78,
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
+    q116)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

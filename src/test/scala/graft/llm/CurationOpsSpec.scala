@@ -261,6 +261,35 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ma("a") - 50.0) <= 2.0 && math.abs(ma("b") - 49.0) <= 2.0)
   }
 
+  test("Dsir.importanceSelect: target-like docs outrank, keepFraction=1 keeps all") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),      // target-like
+      (2L, "the dog sat on the log"),      // target-like
+      (3L, "xyzzy qwerty plugh foobar"),   // nothing in common
+      (4L, "the cat ran to the log"))      // target-like
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "the cat sat"), (11L, "the dog ran on the mat"))
+      .toDF("doc_id", "text")
+    val out = Dsir.importanceSelect(raw, target, buckets = 1024,
+      keepFraction = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // the alien doc scores strictly below every target-like doc and
+    // falls outside the kept half
+    assert(Seq(1L, 2L, 4L).forall(id => out(id)._1 > out(3L)._1))
+    assert(!out(3L)._2)
+    // the kept set is the upper half of the score order (ties at the
+    // interpolated threshold may keep one extra, never the alien doc)
+    val kept = out.values.count(_._2)
+    assert(kept >= 2 && kept <= 3, out.toString)
+    // keepFraction = 1: threshold is the minimum score, everything keeps
+    val all = Dsir.importanceSelect(raw, target, buckets = 1024,
+      keepFraction = 1.0).collect()
+    assert(all.forall(_.getBoolean(3)))
+  }
+
   test("editDistancePairs: blocked candidates only, exact distances") {
     val out = TextDedup.editDistancePairs(docs(
       1L -> "alpha beta gamma delta epsilon",
