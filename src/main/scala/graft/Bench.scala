@@ -13,7 +13,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
+      // parallelism-first coalescing (the default) MEASURED BETTER here
+      // than size-first (68.5 s vs 78.8 s): size-first collapses the
+      // histogram/value-domain aggregation stages to one task, which
+      // costs the heavy queries more than the light queries save
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_PF", "true"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // the default 100-entry generated-class cache cycles completely
@@ -66,11 +73,12 @@ object Bench {
       else {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_bench_sf").toString
+        val parts = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_PARTS", cpus).toInt
         Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
           .filter(_.getName.endsWith(".parquet"))
           .foreach { f =>
             spark.read.parquet(f.getAbsolutePath)
-              .repartition(cpus.toInt)
+              .repartition(parts)
               .write.mode("overwrite").parquet(s"$tmp/${f.getName}")
           }
         tmp
