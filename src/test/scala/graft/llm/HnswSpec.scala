@@ -68,6 +68,17 @@ class HnswSpec extends AnyFunSuite with SparkSpec {
     assert(live.toSeq === reloaded.toSeq)
   }
 
+  test("levelOf: geometric level distribution, cap respected") {
+    val levels = (0L until 4096L).map(Hnsw.levelOf(_))
+    // p = 1/2 geometric: about half the ids sit at level 0; the tower
+    // height stays bounded by the cap
+    val l0 = levels.count(_ == 0).toDouble / levels.size
+    assert(l0 > 0.4 && l0 < 0.6, s"level-0 fraction $l0")
+    assert(levels.max <= 16)
+    // deterministic: same id, same level, every call
+    assert((0L until 64L).forall(i => Hnsw.levelOf(i) === Hnsw.levelOf(i)))
+  }
+
   test("null embeddings drop at index time; empty shards vanish") {
     val s = spark
     import s.implicits._

@@ -143,6 +143,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(ngot.toSet === Set((2L, 20L)))
   }
 
+  test("interval overlap join: derived width is value-identical to any explicit width") {
+    val s = spark
+    import s.implicits._
+    // bucketWidth is PURE tuning: results must not depend on it, so the
+    // DeriveWidth default must emit exactly the explicit-width pair set
+    val left = (0L until 40L).map(i => (i, i * 3, i * 3 + 7))
+      .toDF("lk", "ls", "le")
+    val right = (0L until 60L).map(i => (100L + i, i * 2, i * 2 + 4))
+      .toDF("rk", "rs", "re")
+    def pairs(w: Long) = IntervalJoin
+      .overlapJoin(left, right, "ls", "le", "rs", "re", w)
+      .select("lk", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val derived = IntervalJoin
+      .overlapJoin(left, right, "ls", "le", "rs", "re") // DeriveWidth
+      .select("lk", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(derived === pairs(3) && derived === pairs(17))
+    // the sizing agg itself: uniform 8-long vs 5-long sides -> the
+    // geometric mean, and an empty side falls back to the other's median
+    val w = IntervalJoin.derivedWidth(left, right, "ls", "le", "rs", "re")
+    assert(w === math.round(math.sqrt(8.0 * 5.0)))
+    val empty = Seq.empty[(Long, Long, Long)].toDF("lk", "ls", "le")
+    assert(IntervalJoin.derivedWidth(empty, right, "ls", "le", "rs", "re") > 0)
+  }
+
   test("salt spreads a hot key of BYTE-IDENTICAL rows across buckets") {
     val s = spark
     import s.implicits._
