@@ -45,14 +45,18 @@ object Hnsw {
   // ---------------------------------------------------------- shard graph
 
   /** One shard's materialized graph: parallel arrays + per-layer
-    * adjacency (layer → node → neighbor node ordinals).
+    * adjacency (layer → node → neighbor node ordinals). Vector norms
+    * are computed once at build time and serialized with the graph —
+    * the probe path must never rescan all vectors per query (that
+    * would be brute-force cost and defeat the ef·log n search).
     */
   final class ShardGraph(
       val ids: Array[Long],
       val vecs: Array[Array[Float]],
       val levels: Array[Int],
       val links: Array[Array[Array[Int]]], // links(layer)(node) = neighbors
-      val entry: Int)
+      val entry: Int,
+      val norms: Array[Double])
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
@@ -181,14 +185,14 @@ object Hnsw {
       i += 1
     }
     new ShardGraph(ids, vecs, levels,
-      links.map(_.map(_.toArray.distinct)), math.max(entry, 0))
+      links.map(_.map(_.toArray.distinct)), math.max(entry, 0), norms)
   }
 
   /** Search one shard graph: top-k (id, sim) for the query, beam `ef`. */
   def searchShard(g: ShardGraph, q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
     if (g.ids.isEmpty) return Nil
     val nq = norm(q)
-    val norms = g.vecs.map(norm)
+    val norms = g.norms
     var ep = g.entry
     var l = g.levels(g.entry)
     while (l > 0) {
@@ -240,6 +244,7 @@ object Hnsw {
     g.ids.foreach(o.writeLong)
     g.levels.foreach(o.writeInt)
     g.vecs.foreach(v => v.foreach(o.writeFloat))
+    g.norms.foreach(o.writeDouble)
     o.writeInt(g.links.length)
     g.links.foreach { layer =>
       layer.foreach { nbs => o.writeInt(nbs.length); nbs.foreach(o.writeInt) }
@@ -254,11 +259,12 @@ object Hnsw {
     val ids = Array.fill(n)(in.readLong())
     val levels = Array.fill(n)(in.readInt())
     val vecs = Array.fill(n)(Array.fill(dim)(in.readFloat()))
+    val norms = Array.fill(n)(in.readDouble())
     val nLayers = in.readInt()
     val links = Array.fill(nLayers)(Array.fill(n) {
       val k = in.readInt(); Array.fill(k)(in.readInt())
     })
-    new ShardGraph(ids, vecs, levels, links, entry)
+    new ShardGraph(ids, vecs, levels, links, entry, norms)
   }
 
   // -------------------------------------------------------- Spark surface
@@ -309,10 +315,15 @@ object Hnsw {
       index: DataFrame, queries: DataFrame, k: Int = 10, ef: Int = 64): DataFrame = {
     val spark = index.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // The query set is broadcast-small by contract. Shipping it inside
+    // the task closure (rather than an explicit sc.broadcast) still
+    // reaches executors exactly once per stage — Spark broadcasts the
+    // serialized task binary — and is reclaimed with the stage, so the
+    // per-micro-batch probe path (ST9) cannot accumulate broadcast
+    // blocks across batches.
     val qs = queries.select(col("query_id").cast("long"), col("qv"))
       .filter(col("qv").isNotNull)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bq = spark.sparkContext.broadcast(qs)
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("vec_id", LongType, nullable = false),
@@ -321,7 +332,7 @@ object Hnsw {
     val perShard = index.select(col("index_bytes")).mapPartitions { it: Iterator[Row] =>
       it.flatMap { r =>
         val g = fromBytes(r.getAs[Array[Byte]](0))
-        bq.value.iterator.flatMap { case (qid, qv) =>
+        qs.iterator.flatMap { case (qid, qv) =>
           searchShard(g, qv, k, ef).map { case (id, s) => Row(qid, id, s) }
         }
       }

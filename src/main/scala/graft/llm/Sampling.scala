@@ -208,9 +208,18 @@ object Sampling {
         coalesce(sum(col("__cnt")).over(byValueDesc), lit(0L)).as("__better"))
     val limits = docs.groupBy(col(groupCol))
       .agg(ceil(count(lit(1)) * lit(fraction)).cast("long").as("__k"))
+    // Null-safe joins: the histogram HAS a row for a NULL orderCol
+    // (groupBy keeps null keys, and the DESC window ranks it last,
+    // matching the r6 row_number form's NULLS LAST) — an equi-join
+    // would silently drop those rows while still counting them in __k.
+    val histR = hist
+      .withColumnRenamed(groupCol, "__h_g").withColumnRenamed(orderCol, "__h_v")
+    val limitsR = limits.withColumnRenamed(groupCol, "__l_g")
     val joined = docs
-      .join(broadcast(hist), Seq(groupCol, orderCol))
-      .join(broadcast(limits), Seq(groupCol))
+      .join(broadcast(histR),
+        col(groupCol) <=> col("__h_g") && col(orderCol) <=> col("__h_v"))
+      .join(broadcast(limitsR), col(groupCol) <=> col("__l_g"))
+      .drop("__h_g", "__h_v", "__l_g")
     // whole-value keeps: every tie at this value fits under k
     val keepAll = joined.filter(col("__better") + col("__cnt") <= col("__k"))
     // boundary value (at most one per group): keep the (k - better)

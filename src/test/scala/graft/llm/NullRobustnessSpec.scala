@@ -135,19 +135,25 @@ class NullRobustnessSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map("a" -> ((1.5, 2L))))
   }
 
-  test("topFractionPerGroup: null order values drop (documented join-back contract)") {
+  test("topFractionPerGroup: null order values rank last, not dropped") {
     val s = spark
     import s.implicits._
     val d = Seq(
       (1L, "en", Option(40L)), (2L, "en", Option(30L)),
       (3L, "en", Option.empty[Long]), (4L, "en", Option(10L)))
       .toDF("doc_id", "lang", "n_chars")
-    // k = ceil(4 * 0.5) = 2 over the group's full count; the null-
-    // quality doc never joins back (null keys don't equi-match), so
-    // the two best rankable docs keep and nothing throws
+    // DESC ranks NULLS LAST (the r6 row_number semantics): k = 2 keeps
+    // the two best rankable docs; the null-quality doc ranks 4th
     val kept = Sampling.topFractionPerGroup(d, "lang", "n_chars", 0.5)
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 2L))
+    // null rows are genuinely ranked, not silently dropped: at k = 3
+    // the null doc is still out (10L ranks 3rd), at fraction = 1.0 it
+    // is IN — the null-safe join-back keeps every counted row
+    assert(Sampling.topFractionPerGroup(d, "lang", "n_chars", 0.75)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    assert(Sampling.topFractionPerGroup(d, "lang", "n_chars", 1.0)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
   }
 
   test("videoMeta: garbage, truncated, and empty payloads refuse quietly") {
