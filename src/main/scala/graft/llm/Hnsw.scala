@@ -87,6 +87,24 @@ object Hnsw {
     lvl
   }
 
+  /** Deterministic synthetic vector for the q115 generator-twin oracle
+    * fixture (the q114 VALUES-fixture technique applied to ANN): each
+    * component is md5-derived from (id, dimension index) and quantized
+    * to 1/1000 steps in [-1, 1] — exactly-representable values, so any
+    * JVM reproduces bit-identical vectors. Combined with the
+    * deterministic build (levels from id md5, insertion by sorted id)
+    * and a key-hash repartition, index build and probe are fully
+    * reproducible and the oracle can pin the probe's exact top-k.
+    */
+  def fixtureVector(id: Long, dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val h = java.nio.ByteBuffer.wrap(
+        md.digest(s"hnsw-fixture:$id:$d".getBytes("UTF-8"))).getLong
+      (((h % 2001L) + 2001L) % 2001L - 1000L) / 1000.0f
+    }
+  }
+
   /** Build a shard graph over (id, vector) pairs. `m` = max neighbors
     * per node per layer (2m at layer 0, HNSW convention), `efC` =
     * construction beam width.

@@ -2595,20 +2595,36 @@ object QueryPackExt {
         AS t(media_id, width, height, n_frames, duration_ms, codec)
       ORDER BY media_id"""))
 
-  /** L95 (r7): sharded HNSW — the high-recall graph serving index next
-    * to IVF (L66). No SQL oracle (a graph build isn't SQL-expressible):
-    * the driver records the rows-only check; correctness weight lives
-    * in HnswSpec (recall floor vs brute force, build determinism,
-    * byte round trip).
+  /** L95 (r7, oracled r8): sharded HNSW — the high-recall graph
+    * serving index next to IVF (L66). A graph build isn't
+    * SQL-expressible, so the oracle is the q114 generator-twin: a
+    * deterministic md5-derived vector fixture
+    * ([[graft.llm.Hnsw.fixtureVector]]) + the deterministic build
+    * (insertion by sorted id, md5 levels, id tie-breaks) + a key-hash
+    * repartition make the probe's top-k exactly reproducible, pinned
+    * as a VALUES relation (regenerate with `runMain graft.PinQ115`).
+    * Ranks only — float sims stay out of the hashed surface; sim
+    * correctness lives in HnswSpec's recall/round-trip gates.
+    * Recall floor vs brute force, byte-identical builds, and persisted
+    * round trip remain spec-gated (HnswSpec).
     */
   private val q115 = Q("q115_ann_hnsw",
-    (s, dir) => graft.llm.Hnsw.hnswProbe(
-      graft.llm.Hnsw.hnswIndex(
-        t(s, dir, "embeddings").repartition(4), m = 8, efConstruction = 64),
-      t(s, dir, "embeddings").orderBy(col("vec_id")).limit(5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      k = 10, ef = 96),
-    None)
+    (s, dir) => {
+      import s.implicits._
+      val dim = 16
+      val emb = s.range(0, 2000, 1, 8)
+        .map(id => (id, graft.llm.Hnsw.fixtureVector(id, dim)))
+        .toDF("vec_id", "embedding")
+        .repartition(4, pmod(col("vec_id"), lit(4)))
+      val queries = s.range(0, 5)
+        .map(q => (q, graft.llm.Hnsw.fixtureVector(100000L + q, dim)))
+        .toDF("query_id", "qv")
+      graft.llm.Hnsw.hnswProbe(
+        graft.llm.Hnsw.hnswIndex(emb, m = 8, efConstruction = 64),
+        queries, k = 10, ef = 96)
+        .select(col("query_id"), col("rnk"), col("vec_id"))
+    },
+    Some(Q115Oracle.sql))
 
   /** L96 (r7): DSIR-style importance-weighted selection
     * ([[graft.llm.Dsir.importanceSelect]]) — raw docs scored by hashed

@@ -79,6 +79,40 @@ class HnswSpec extends AnyFunSuite with SparkSpec {
     assert((0L until 64L).forall(i => Hnsw.levelOf(i) === Hnsw.levelOf(i)))
   }
 
+  test("q115 oracle fixture: deterministic vectors, pinned rows are a real top-k") {
+    // the pinned VALUES oracle (Q115Oracle) is only meaningful if the
+    // fixture is (a) bit-stable and (b) the probe finds the true
+    // neighbors — gate both here, driver-side on the exact fixture
+    val dim = 16
+    assert(Hnsw.fixtureVector(7L, dim).toSeq ===
+      Hnsw.fixtureVector(7L, dim).toSeq)
+    // components are 1/1000-quantized in [-1, 1] (exactly representable)
+    assert(Hnsw.fixtureVector(7L, dim).forall(v =>
+      v >= -1f && v <= 1f && (v * 1000f) === math.round(v * 1000f).toFloat))
+    val corpus = (0L until 2000L).map(i => i -> Hnsw.fixtureVector(i, dim))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    // parse the pinned VALUES rows back into (query_id -> vec_id set)
+    val rowRe =
+      """\(CAST\((\d+) AS BIGINT\), CAST\((\d+) AS BIGINT\), CAST\((\d+) AS BIGINT\)\)""".r
+    val pinned = rowRe.findAllMatchIn(graft.queries.Q115Oracle.sql)
+      .map(m => (m.group(1).toLong, m.group(3).toLong)).toSeq
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(pinned.keySet === (0L until 5L).toSet &&
+      pinned.values.forall(_.size === 10))
+    val recalls = (0L until 5L).map { qid =>
+      val qv = Hnsw.fixtureVector(100000L + qid, dim)
+      val truth = corpus.map { case (i, v) => (cos(qv, v), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(10).map(_._2).toSet
+      (truth & pinned(qid)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"fixture recall@10 vs pinned oracle = $mean")
+  }
+
   test("null embeddings drop at index time; empty shards vanish") {
     val s = spark
     import s.implicits._
