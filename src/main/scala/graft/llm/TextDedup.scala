@@ -803,26 +803,38 @@ object TextDedup {
     * is the safety rail for adversarially deep chains; hitting it
     * raises rather than silently returning unmerged labels. At
     * corpus scale every round is shuffle-keyed on doc id — no
-    * all-pairs anywhere; a graph with genuinely deep chains would
-    * call for the large-star/small-star variant, which this
-    * deliberately omits (dedup graphs don't have them).
+    * all-pairs anywhere.
+    *
+    * ESCALATION (r8): `maxIter` is the TOTAL round budget. Propagation
+    * runs at most `min(maxIter, escalateAfter)` rounds; if it has not
+    * converged and budget remains, the graph has genuinely deep chains
+    * (proven to exist: the 10× q80 run needed maxIter 20→80) and the
+    * remaining budget goes to [[starComponents]], the
+    * large-star/small-star alternation that contracts ANY graph to a
+    * star forest in O(log n) rounds regardless of diameter. Both
+    * algorithms compute the identical output relation (min reachable
+    * id per member), so escalating never changes results — only the
+    * round count. With the defaults (20 > 8) deep graphs now converge
+    * where r7 hit the rail; a caller that sets `maxIter ≤
+    * escalateAfter` keeps the strict propagation-only rail.
     */
-  def duplicateComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      escalateAfter: Int = 8): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
+    require(escalateAfter > 0, "escalateAfter must be positive")
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct()
       .localCheckpoint()
+    val propBudget = math.min(maxIter, escalateAfter)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
-    while (!converged) {
-      if (iter >= maxIter)
-        throw new IllegalStateException(
-          s"duplicateComponents did not converge in $maxIter rounds — " +
-            "component diameter exceeds maxIter; raise it for this graph")
+    while (!converged && iter < propBudget) {
       val next = edges.join(labels, col("a") === col("id"))
         .select(col("b").as("id"), col("lbl"))
         .union(labels.select(col("id"), col("lbl")))
@@ -838,10 +850,100 @@ object TextDedup {
       labels = next
       iter += 1
     }
-    // edges fed every round but the RETURNED plan reads only the final
-    // labels checkpoint — release the edge blocks too
-    graft.operators.Checkpoints.release(edges)
-    labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+    if (converged) {
+      // edges fed every round but the RETURNED plan reads only the final
+      // labels checkpoint — release the edge blocks too
+      graft.operators.Checkpoints.release(edges)
+      labels.select(col("id").as("doc_id"), col("lbl").as("component"))
+        .orderBy(col("doc_id"))
+    } else if (maxIter > propBudget) {
+      // deep graph: diameter exceeds the propagation budget — spend the
+      // remaining rounds on the star alternation (same output, O(log n))
+      graft.operators.Checkpoints.release(labels)
+      val out = starComponents(edges, maxIter - propBudget)
+      graft.operators.Checkpoints.release(edges)
+      out
+    } else {
+      graft.operators.Checkpoints.release(labels)
+      graft.operators.Checkpoints.release(edges)
+      throw new IllegalStateException(
+        s"duplicateComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it for this graph")
+    }
+  }
+
+  /** Large-star/small-star connected components (the Kiveris et al.
+    * "Connected Components in MapReduce and Beyond" alternation): each
+    * round every node hangs part of its neighborhood off the minimum
+    * of the neighborhood, which HALVES long chains instead of walking
+    * them one hop per round — any graph contracts to a star forest
+    * (every member directly linked to its component min) in O(log n)
+    * rounds, vs O(diameter) for plain min-label propagation. This is
+    * the documented escalation path of [[duplicateComponents]] for
+    * deeply-chained dup graphs; output contract is identical.
+    *
+    *  - large-star at u: every neighbor v > u re-hangs onto
+    *    min(Γ(u) ∪ u)
+    *  - small-star at u: every neighbor v < u, and u itself, re-hang
+    *    onto that min
+    *
+    * Each step is an equi-keyed groupBy + join on node id (no
+    * all-pairs, no driver-side graph), the edge set only shrinks or
+    * flattens, and rounds localCheckpoint with superseded-block
+    * release exactly like the propagation loop. Input `edges(a, b)`
+    * must be the symmetric closure already deduplicated (what
+    * [[duplicateComponents]] builds); `pairs(da, db)` callers should
+    * go through [[duplicateComponents]].
+    */
+  private[llm] def starComponents(edges0: DataFrame, maxIter: Int): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+        .filter(col("v") < col("u"))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
+      nbrs.join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+    }
+    // canonical undirected form (a > b) so set-equality probes compare
+    // like with like; edges0 is symmetric, keep one direction
+    var cur = edges0.filter(col("a") > col("b")).distinct().localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"starComponents did not converge in $maxIter rounds — " +
+            "raise maxIter for this graph")
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // both sides are canonical distinct sets: equal iff no element
+      // of either difference exists (two bounded probes)
+      converged =
+        next.exceptAll(cur).limit(1).count() == 0 &&
+          cur.exceptAll(next).limit(1).count() == 0
+      graft.operators.Checkpoints.release(cur)
+      cur = next
+      iter += 1
+    }
+    // star forest: every edge is (member, component-min); the mins
+    // label themselves
+    cur.select(col("a").as("doc_id"), col("b").as("component"))
+      .union(cur.select(col("b"), col("b")).distinct())
+      .distinct()
       .orderBy(col("doc_id"))
   }
 

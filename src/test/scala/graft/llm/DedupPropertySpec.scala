@@ -190,6 +190,45 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assertHolds(p, 3)
   }
 
+  test("escalation: a path deeper than the propagation bound converges in O(log n) star rounds") {
+    val s = spark
+    import s.implicits._
+    // diameter 100 — propagation alone needs ~101 rounds and r7's rail
+    // threw here; the default budget (prop 8 + star 12) now converges
+    // because large-star/small-star halves chains: log2(101) ≈ 7 rounds
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("da", "db")
+    val comp = TextDedup.duplicateComponents(chain).collect()
+    assert(comp.length === 101 && comp.forall(_.getLong(1) == 0L))
+    // the strict propagation-only rail is still available: budget
+    // capped at escalateAfter leaves no star rounds and throws
+    val ex = intercept[IllegalStateException] {
+      TextDedup.duplicateComponents(chain, maxIter = 8, escalateAfter = 8)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("property: starComponents equals min-label propagation on random graphs") {
+    val s = spark
+    import s.implicits._
+    val edgeGen = Gen.listOfN(16,
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    val p = Prop.forAll(edgeGen) { es =>
+      val pairs = es.toDF("da", "db")
+      // propagation only (escalateAfter = maxIter forbids the switch)
+      val viaProp = TextDedup.duplicateComponents(pairs, 64, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sym = pairs.select(col("da").as("a"), col("db").as("b"))
+        .union(pairs.select(col("db").as("a"), col("da").as("b")))
+        .distinct()
+      val viaStar = TextDedup.starComponents(sym, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      viaProp == viaStar
+    }
+    assertHolds(p, 4)
+  }
+
   /** `clean` equals some in-order subsequence of `segs` joined by a
     * space (empty string = empty subsequence or a kept empty segment).
     */
