@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * parameter on the pair generators applies [[capBucketWidth]] — drop
   * buckets with > N members before the self-join — and is itself
   * oracle-checked (q52 mirrors the cap in SQL via a window QUALIFY).
+  *
+  * API contract (r8): operators return UNSORTED relations — a trailing
+  * total-order sort is a full range shuffle a production caller never
+  * asked for at 100 TB. The deterministic ordering the oracle harness
+  * needs lives in the query wrappers (QueryPack/QueryPackExt), which
+  * sort explicitly; PlanPropertiesSpec machine-asserts no Sort node in
+  * the operator-API plans.
   */
 object TextDedup {
 
@@ -39,10 +46,9 @@ object TextDedup {
     docs
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("content_hash"))
 
   /** Near-exact dedup on a normalized prefix key (first k tokens):
-    * groups with >1 member, members listed sorted. The cheap
+    * groups with >1 member, members listed sorted within the row. The cheap
     * "same-leading-content" pass that precedes full MinHash in a real
     * pipeline.
     */
@@ -57,7 +63,6 @@ object TextDedup {
           transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
           ",").as("members"))
       .filter(col("n_docs") > 1)
-      .orderBy(col("prefix_key"))
   }
 
   /** Segment-level exact dedup (the C4 "line dedup" pass, over
@@ -100,7 +105,6 @@ object TextDedup {
                 struct(col("seg_idx"), col("segment"))))),
             s => s.getField("segment")),
           " ").as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
@@ -151,7 +155,6 @@ object TextDedup {
                 struct(col("seg_idx"), col("segment"))))),
             s => s.getField("segment")),
           " ").as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** Content-defined chunking (CDC) statistics: Rabin-style chunk
@@ -194,7 +197,6 @@ object TextDedup {
         round(lit(1.0) -
           countDistinct(col("chunk_hash")).cast("double") / count(lit(1)), 9)
           .as("dup_frac"))
-      .orderBy(col("source"))
   }
 
   /** Hash-distribute a corpus scan across the session's shuffle
@@ -326,7 +328,6 @@ object TextDedup {
               when(col("cpos").isNull, struct(col("pos"), col("tok"))))),
             s => s.getField("tok")),
           " ").as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** The MinHash-LSH front end in persisted-index form:
@@ -443,7 +444,6 @@ object TextDedup {
           (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col(leftKey), col(rightKey), col("jaccard"))
-      .orderBy(col(leftKey), col(rightKey))
 
   /** Incremental near-dedup: probe a NEW batch of docs against an
     * existing corpus index ([[minhashIndex]]) — the daily-crawl
@@ -534,7 +534,6 @@ object TextDedup {
         greatest(col("sa"), col("sb")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_dup_pairs"))
-      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** Exact n-gram Jaccard over an inverted shingle index (the verify
@@ -566,7 +565,6 @@ object TextDedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
 
   /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) over distinct
@@ -598,7 +596,6 @@ object TextDedup {
         col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
       .select(col("da"), col("db"), col("containment"))
-      .orderBy(col("da"), col("db"))
   }
 
   /** Edit-distance near-dup pairs with prefix blocking: candidates
@@ -639,7 +636,6 @@ object TextDedup {
         // thresholded builtin = banded O(len·maxDist) DP, -1 above it
         levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .orderBy(col("da"), col("db"))
   }
 
   private val SimhashHalfBits = 32
@@ -690,7 +686,6 @@ object TextDedup {
       .reduce(_ + _)
     agg.select(col("doc_id"),
         half("hi").as("simhash_hi"), half("lo").as("simhash_lo"))
-      .orderBy(col("doc_id"))
   }
 
   /** The 4×16-bit band decomposition of a signature table from
@@ -741,7 +736,6 @@ object TextDedup {
         (expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("da"), col("db"), col("hamming"))
-      .orderBy(col("da"), col("db"))
   }
 
   /** Drop LSH buckets wider than `cap` members before a candidate
@@ -855,7 +849,6 @@ object TextDedup {
       // labels checkpoint — release the edge blocks too
       graft.operators.Checkpoints.release(edges)
       labels.select(col("id").as("doc_id"), col("lbl").as("component"))
-        .orderBy(col("doc_id"))
     } else if (maxIter > propBudget) {
       // deep graph: diameter exceeds the propagation budget — spend the
       // remaining rounds on the star alternation (same output, O(log n))
@@ -944,7 +937,6 @@ object TextDedup {
     cur.select(col("a").as("doc_id"), col("b").as("component"))
       .union(cur.select(col("b"), col("b")).distinct())
       .distinct()
-      .orderBy(col("doc_id"))
   }
 
   /** Canonical-document election per duplicate cluster — the emission
@@ -972,7 +964,6 @@ object TextDedup {
         count(lit(1)).as("n_members"),
         min(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
         min(when(col("rn") === 1, col("n_chars"))).as("rep_chars"))
-      .orderBy(col("component"))
   }
 
   /** The full dedup PIPELINE a training-data build runs, composed from
@@ -980,7 +971,7 @@ object TextDedup {
     * (first-k-token key, keep min id) → MinHash-LSH near-dup, with the
     * pair-to-drop step chosen by `grouping` (see [[Grouping]] for the
     * greedy-vs-components semantics; they differ on transitive
-    * chains). Returns the surviving doc_ids, sorted.
+    * chains). Returns the surviving doc_ids.
     *
     * Scale shape: stages strictly shrink the corpus before the next
     * (the cheap hash stages run first), every stage is an equi-keyed
@@ -1024,7 +1015,6 @@ object TextDedup {
     }
     d2.select(col("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
 
   /** Rolling-hash document fingerprint: the minimum polynomial hash
@@ -1059,6 +1049,5 @@ object TextDedup {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.fp").as("fingerprint"))
-      .orderBy(col("da"), col("db"))
   }
 }

@@ -69,14 +69,16 @@ object QueryPackExt {
   // ------------------------------------------------------------ dedup: exact
 
   private val q27 = Q("q27_exact_dedup",
-    (s, dir) => TextDedup.exactDupGroups(t(s, dir, "documents")),
+    (s, dir) => TextDedup.exactDupGroups(t(s, dir, "documents"))
+      .orderBy(col("content_hash")),
     Some("""
       SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
              count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY content_hash"""))
 
   private val q28 = Q("q28_prefix_dup_groups",
-    (s, dir) => TextDedup.prefixDupGroups(t(s, dir, "documents"), k = 5),
+    (s, dir) => TextDedup.prefixDupGroups(t(s, dir, "documents"), k = 5)
+      .orderBy(col("prefix_key")),
     Some(s"""
       WITH $ToksCte
       SELECT prefix_key, count(*) AS n_docs,
@@ -172,7 +174,8 @@ object QueryPackExt {
 
   private val q30 = Q("q30_minhash_lsh_pairs",
     (s, dir) => TextDedup.minhashLshPairs(t(s, dir, "documents"),
-      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5)
+      .orderBy(col("da"), col("db")),
     Some(minhashLshSql(threshold = 0.5, cap = None)))
 
   /** q30 with the production bucket-width cap engaged (VERDICT r3
@@ -184,12 +187,14 @@ object QueryPackExt {
   private val q52 = Q("q52_lsh_capped",
     (s, dir) => TextDedup.minhashLshPairs(t(s, dir, "documents"),
       shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5,
-      maxBucketWidth = Some(2)),
+      maxBucketWidth = Some(2))
+      .orderBy(col("da"), col("db")),
     Some(minhashLshSql(threshold = 0.5, cap = Some(2))))
 
   private val q31 = Q("q31_ngram_jaccard_pairs",
     (s, dir) => TextDedup.ngramJaccardPairs(t(s, dir, "documents"),
-      maxDocId = Some(250), shingleK = 3, threshold = 0.2),
+      maxDocId = Some(250), shingleK = 3, threshold = 0.2)
+      .orderBy(col("da"), col("db")),
     Some(s"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
@@ -230,13 +235,15 @@ object QueryPackExt {
               FROM v)"""
 
   private val q32 = Q("q32_simhash_sig",
-    (s, dir) => TextDedup.simhashSignatures(t(s, dir, "documents")),
+    (s, dir) => TextDedup.simhashSignatures(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $simhashCtes
       SELECT doc_id, simhash_hi, simhash_lo FROM sig ORDER BY doc_id"""))
 
   private val q33 = Q("q33_simhash_pairs",
-    (s, dir) => TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3),
+    (s, dir) => TextDedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+      .orderBy(col("da"), col("db")),
     Some(s"""
       WITH $simhashCtes,
       banded AS (
@@ -265,7 +272,8 @@ object QueryPackExt {
   // 62-bit packed fingerprint: two independent coefficient families,
   // a·2³¹ + b — mirror of the widened TextDedup.fingerprintPairs
   private val q34 = Q("q34_doc_fingerprint_pairs",
-    (s, dir) => TextDedup.fingerprintPairs(t(s, dir, "documents"), shingleK = 5),
+    (s, dir) => TextDedup.fingerprintPairs(t(s, dir, "documents"), shingleK = 5)
+      .orderBy(col("da"), col("db")),
     Some(s"""
       WITH $ToksCte, $TokhCte,
       grams AS (
@@ -747,7 +755,8 @@ object QueryPackExt {
     */
   private val q54 = Q("q54_dedup_pipeline",
     (s, dir) => TextDedup.dedupPipeline(t(s, dir, "documents"),
-      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5, prefixK = 5),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5, prefixK = 5)
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH s1 AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -942,7 +951,8 @@ object QueryPackExt {
   private val q61 = Q("q61_dup_components",
     (s, dir) => TextDedup.duplicateComponents(
       TextDedup.minhashLshPairs(t(s, dir, "documents"),
-        shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5)),
+        shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH RECURSIVE $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
       edges AS (
@@ -1508,6 +1518,7 @@ object QueryPackExt {
         TextDedup.minhashIndex(d.filter(col("doc_id") % 10 =!= 0))
       TextDedup.probeMinhashIndex(
         d.filter(col("doc_id") % 10 === 0), buckets, sets)
+        .orderBy(col("new_id"), col("corpus_id"))
     },
     Some(s"""
       WITH $ToksCte, ${gramCtes(3)},
@@ -1625,7 +1636,8 @@ object QueryPackExt {
     */
   private val q82 = Q("q82_dup_source_attribution",
     (s, dir) => TextDedup.dupSourceAttribution(t(s, dir, "documents"),
-      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
+      shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5)
+      .orderBy(col("source_a"), col("source_b")),
     Some(s"""
       WITH $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)}
       SELECT least(a.source, b.source) AS source_a,
@@ -1662,7 +1674,8 @@ object QueryPackExt {
     * occurrence keeps, docs reassembled from surviving segments.
     */
   private val q84 = Q("q84_segment_dedup",
-    (s, dir) => TextDedup.segmentDedup(t(s, dir, "documents"), width = 8),
+    (s, dir) => TextDedup.segmentDedup(t(s, dir, "documents"), width = 8)
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte,
       seg AS (
@@ -1783,7 +1796,8 @@ object QueryPackExt {
     */
   private val q88 = Q("q88_containment_pairs",
     (s, dir) => TextDedup.containmentPairs(t(s, dir, "documents"),
-      maxDocId = Some(250), shingleK = 3, threshold = 0.6),
+      maxDocId = Some(250), shingleK = 3, threshold = 0.6)
+      .orderBy(col("da"), col("db")),
     Some(s"""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
@@ -2257,7 +2271,8 @@ object QueryPackExt {
     */
   private val q104 = Q("q104_edit_distance_pairs",
     (s, dir) => TextDedup.editDistancePairs(t(s, dir, "documents"),
-      prefixK = 3, maxDist = 60),
+      prefixK = 3, maxDist = 60)
+      .orderBy(col("da"), col("db")),
     Some(s"""
       WITH keyed AS (
         SELECT doc_id, text,
@@ -2280,7 +2295,8 @@ object QueryPackExt {
     */
   private val q105 = Q("q105_boilerplate_strip",
     (s, dir) => TextDedup.boilerplateStrip(t(s, dir, "documents"),
-      width = 2, minDocs = 20),
+      width = 2, minDocs = 20)
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte,
       seg AS (
@@ -2336,7 +2352,8 @@ object QueryPackExt {
     (s, dir) => TextDedup.clusterRepresentatives(
       TextDedup.minhashLshPairs(t(s, dir, "documents"),
         shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
-      t(s, dir, "documents")),
+      t(s, dir, "documents"))
+      .orderBy(col("component")),
     Some(s"""
       WITH RECURSIVE $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
       edges AS (
@@ -2367,7 +2384,8 @@ object QueryPackExt {
     */
   private val q108 = Q("q108_cdc_chunks",
     (s, dir) => TextDedup.cdcChunkStats(t(s, dir, "documents"),
-      modulus = 8),
+      modulus = 8)
+      .orderBy(col("source")),
     Some(s"""
       WITH $ToksCte,
       tok AS (
@@ -2443,7 +2461,8 @@ object QueryPackExt {
     * positions) and mirrors the ×k coverage explode.
     */
   private val q111 = Q("q111_verbatim_spans",
-    (s, dir) => TextDedup.verbatimSpans(t(s, dir, "documents"), k = 5),
+    (s, dir) => TextDedup.verbatimSpans(t(s, dir, "documents"), k = 5)
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte,
       tk AS (
@@ -2488,6 +2507,7 @@ object QueryPackExt {
       graft.llm.Decontaminate.stripSpans(
         d.filter(col("doc_id") % 20 =!= 0),
         d.filter(col("doc_id") % 20 === 0), k = 5)
+        .orderBy(col("doc_id"))
     },
     Some(s"""
       WITH tk AS (
