@@ -103,7 +103,6 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
         expr("bit_xor(h)").as("digest"))
-      .orderBy(col(by))
   }
 
   /** Snapshot diff keyed on doc_id: counts (and id ranges, for
@@ -126,7 +125,6 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
-      .orderBy(col("status"))
 
   /** Split-leakage audit: near-duplicate pairs that CROSS the
     * train/val boundary — the classic silent eval-inflation bug
@@ -166,7 +164,6 @@ object Curation {
         when(col("sa") === "val", col("db")).otherwise(col("da"))
           .as("train_doc"),
         col("jaccard"))
-      .orderBy(col("val_doc"), col("train_doc"))
   }
 
   /** The release gate: the one-row go/no-go report a corpus release

@@ -62,7 +62,6 @@ object Decontaminate {
             col("n_grams"))
           .as("overlap"))
       .filter(col("overlap") <= maxOverlap)
-      .orderBy(col("doc_id"))
   }
 
   /** Surgical decontamination — strip the leaked SPANS, keep the

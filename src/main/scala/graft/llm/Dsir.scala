@@ -81,6 +81,5 @@ object Dsir {
     scored.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("n_toks"), col("score"),
         (col("score") >= col("threshold")).as("keep"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -363,6 +363,5 @@ object Hnsw {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("vec_id"), col("col.score").as("sim"))
-      .orderBy(col("query_id"), col("rnk"))
   }
 }

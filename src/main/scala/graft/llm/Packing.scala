@@ -76,7 +76,6 @@ object Packing {
           .as("n_block_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-      .orderBy(col("block_id"))
   }
 
   /** Padding-efficiency report — the OTHER batching strategy's cost
@@ -114,6 +113,5 @@ object Packing {
         round(sum(col("pad")).cast("double") /
           greatest(sum(col("pad")) + sum(col("len")), lit(1L)), 9)
           .as("pad_frac"))
-      .orderBy(col("bucket_ceil"))
   }
 }

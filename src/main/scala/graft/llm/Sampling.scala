@@ -291,6 +291,5 @@ object Sampling {
         sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
-      .orderBy(col("shard"))
   }
 }

@@ -115,7 +115,6 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("vec_id"), col("col.score").as("sim"))
-      .orderBy(col("query_id"), col("rnk"))
 
   /** `excludeSelf` exists because self-exclusion is only meaningful
     * when the query ids live in the CORPUS id space (the convenience
@@ -180,7 +179,6 @@ object Similarity {
         col("neighbor_label").as("predicted_label"),
         col("n_votes"), col("true_label"),
         (col("neighbor_label") === col("true_label")).as("correct"))
-      .orderBy(col("query_id"))
   }
 
   /** Bucketed (sign-LSH) cosine top-k — the scale path: queries only
@@ -335,7 +333,6 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"),
         cells("cell").as("cell"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** One full Lloyd (k-means) iteration beyond [[ivfTrain]]'s seed:
@@ -368,7 +365,6 @@ object Similarity {
       .groupBy(col("ccell").as("cell"))
       .agg(count(lit(1)).as("n_members"),
         first(aggregate(col("cv"), lit(0.0), _ + _)).as("centroid_mass"))
-      .orderBy(col("cell"))
   }
 
   /** Persist a trained IVF index: centroids as a plain (tiny) table,
@@ -424,7 +420,6 @@ object Similarity {
         dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("sim"))
-      .orderBy(col("va"), col("vb"))
   }
 
   /** SemDeDup-lite: full semantic deduplication over an embedding
@@ -452,7 +447,6 @@ object Similarity {
       .join(comp, Seq("vec_id"), "left")
       .withColumn("keep",
         col("component").isNull || col("component") === col("vec_id"))
-      .orderBy(col("vec_id"))
   }
 
   /** Per-vector int8 scalar quantization — the 4× memory compression
@@ -488,6 +482,5 @@ object Similarity {
       .select(col("vec_id"), mn, mx,
         aggregate(col("codes"), lit(0L), _ + _).as("code_sum"),
         aggregate(sqErrs, lit(0.0), _ + _).as("recon_err"))
-      .orderBy(col("vec_id"))
   }
 }

@@ -25,7 +25,6 @@ object TextAnalysis {
         sum(col("n_chars")).as("total_chars"),
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         sum(col("n_toks")).as("total_tokens"))
-      .orderBy(col("lang"))
 
   private val Stopwords = Seq("the", "a", "of", "and", "to")
 
@@ -62,7 +61,6 @@ object TextAnalysis {
         (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
         (col("sum_len").cast("double") / col("n_tokens")).as("mean_tok_len"),
         (col("stop_hits").cast("double") / col("n_tokens")).as("stopword_ratio"))
-      .orderBy(col("doc_id"))
 
   /** Rank-blended quality score: each signal (token count, distinct
     * tokens, characters) is converted to its empirical percent-rank
@@ -114,7 +112,6 @@ object TextAnalysis {
           .as("blend"))
       .withColumn("bucket",
         least(floor(col("blend") * 10), lit(9L)).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   /** Source-calibrated quality rank: percent-rank of a doc's token
@@ -152,7 +149,6 @@ object TextAnalysis {
           greatest(col("n_src") - 1, lit(1L)), 9).as("pr_source"))
       .withColumn("bucket",
         least(floor(col("pr_source") * 10), lit(9L)).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   /** Threshold-based quality filter — the second pillar of
@@ -176,7 +172,6 @@ object TextAnalysis {
         col("stopword_ratio") <= maxStopwordRatio &&
         col("mean_tok_len") >= minMeanTokLen &&
         col("mean_tok_len") <= maxMeanTokLen)
-      .orderBy(col("doc_id"))
 
   /** Explainable rejection — the audit layer over [[qualityFilter]]'s
     * boolean: every doc gets the LIST of quality rules it fails (empty
@@ -207,7 +202,6 @@ object TextAnalysis {
         array_join(reasons, ",").as("reasons"),
         size(reasons).cast("long").as("n_reasons"))
       .withColumn("keep", col("n_reasons") === 0)
-      .orderBy(col("doc_id"))
   }
 
   /** Per-document repetition signals — the Gopher/FineWeb-style
@@ -242,7 +236,6 @@ object TextAnalysis {
         (col("max_uni").cast("double") / col("n_tokens")).as("top_token_frac"),
         (col("max_bi").cast("double") / (col("n_tokens") - 1))
           .as("top_bigram_frac"))
-      .orderBy(col("doc_id"))
   }
 
   /** Token frequency: the corpus's top-`k` tokens by occurrence count
@@ -302,7 +295,6 @@ object TextAnalysis {
         sum(col("c") * coalesce(col("__is_stop"), lit(0))).as("n_stop"))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   /** Corpus-LM familiarity score — the integer-exact stand-in for the
@@ -338,7 +330,6 @@ object TextAnalysis {
         sum(col("c") * col("corpus_c")).as("c_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("c_sum").cast("double") / col("n_bigrams")).as("familiarity"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-document top-k TF-IDF terms — the sparse feature extraction
@@ -368,7 +359,6 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("score"))
-      .orderBy(col("doc_id"), col("rnk"))
   }
 
   /** CCNet-style familiarity bucketing: split the corpus into `n`
@@ -397,7 +387,6 @@ object TextAnalysis {
         min(col("familiarity")).as("min_familiarity"),
         max(col("familiarity")).as("max_familiarity"),
         sum(col("n_bigrams")).as("sum_bigrams"))
-      .orderBy(col("bucket"))
 
   /** The 100 TB twin of [[familiarityBuckets]]: bucket boundaries come
     * from `approx_percentile` over the scores instead of a
@@ -424,7 +413,6 @@ object TextAnalysis {
         min(col("familiarity")).as("min_familiarity"),
         max(col("familiarity")).as("max_familiarity"),
         sum(col("n_bigrams")).as("sum_bigrams"))
-      .orderBy(col("bucket"))
   }
 
   /** Production entry point for familiarity bucketing: routes to the
@@ -519,7 +507,6 @@ object TextAnalysis {
         sum(col("n")).as("n_tokens"),
         min(col("n")).as("min_len"),
         max(col("n")).as("max_len"))
-      .orderBy(col("bucket"))
   }
 
   /** The dataset card: the one-row corpus summary every dataset
@@ -578,6 +565,5 @@ object TextAnalysis {
           .otherwise("es"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("lang"), col("predicted"))
   }
 }

@@ -290,7 +290,8 @@ object QueryPackExt {
   // ----------------------------------------------------------- text analysis
 
   private val q35 = Q("q35_lang_stats",
-    (s, dir) => TextAnalysis.langStats(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.langStats(t(s, dir, "documents"))
+      .orderBy(col("lang")),
     Some(s"""
       WITH $ToksCte
       SELECT lang, count(*) AS n_docs,
@@ -300,7 +301,8 @@ object QueryPackExt {
       FROM toks GROUP BY lang ORDER BY lang"""))
 
   private val q36 = Q("q36_text_quality",
-    (s, dir) => TextAnalysis.qualityScores(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.qualityScores(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte
       SELECT doc_id, lang,
@@ -323,7 +325,8 @@ object QueryPackExt {
       GROUP BY token ORDER BY n DESC, token LIMIT 50"""))
 
   private val q38 = Q("q38_lang_id_confusion",
-    (s, dir) => TextAnalysis.langIdConfusion(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.langIdConfusion(t(s, dir, "documents"))
+      .orderBy(col("lang"), col("predicted")),
     Some(s"""
       WITH $ToksCte
       SELECT lang, predicted, count(*) AS n FROM (
@@ -360,7 +363,8 @@ object QueryPackExt {
 
   private val q39 = Q("q39_ann_topk",
     (s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"),
-      nQueries = 5, k = 10),
+      nQueries = 5, k = 10)
+      .orderBy(col("query_id"), col("rnk")),
     Some(s"""
       WITH ${normCte()},
       q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
@@ -378,7 +382,8 @@ object QueryPackExt {
 
   private val q40 = Q("q40_ann_lsh_topk",
     (s, dir) => Similarity.signLshTopK(t(s, dir, "embeddings"),
-      bits = 4, nQueries = 5, k = 5),
+      bits = 4, nQueries = 5, k = 5)
+      .orderBy(col("query_id"), col("rnk")),
     Some(s"""
       WITH ${normCte(s", ${signBucketSql(4)} AS bucket")},
       q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket,
@@ -397,7 +402,8 @@ object QueryPackExt {
 
   private val q41 = Q("q41_embed_neardup",
     (s, dir) => Similarity.nearDupPairs(t(s, dir, "embeddings"),
-      bits = 2, threshold = 0.4),
+      bits = 2, threshold = 0.4)
+      .orderBy(col("va"), col("vb")),
     Some(s"""
       WITH ${normCte(s", ${signBucketSql(2)} AS bucket")}
       SELECT va, vb, sim FROM (
@@ -417,7 +423,8 @@ object QueryPackExt {
 
   private val q43 = Q("q43_ann_ivf",
     (s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"),
-      dims = 64, nProbe = 2, nQueries = 5, k = 3),
+      dims = 64, nProbe = 2, nQueries = 5, k = 3)
+      .orderBy(col("query_id"), col("rnk")),
     Some(s"""
       WITH cent AS (
         SELECT label, $centroidList AS cv FROM embeddings GROUP BY label),
@@ -880,7 +887,8 @@ object QueryPackExt {
   private val q59 = Q("q59_quality_filter",
     (s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"),
       minTokens = 5, minTtr = 0.3, maxStopwordRatio = 0.5,
-      minMeanTokLen = 2.0, maxMeanTokLen = 12.0),
+      minMeanTokLen = 2.0, maxMeanTokLen = 12.0)
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte
       SELECT * FROM (
@@ -912,6 +920,7 @@ object QueryPackExt {
         d.filter(col("doc_id") % 20 =!= 0),
         d.filter(col("doc_id") % 20 === 0),
         shingleK = 3, maxOverlap = 0.2)
+        .orderBy(col("doc_id"))
     },
     Some(s"""
       WITH toks AS (
@@ -1126,7 +1135,8 @@ object QueryPackExt {
     * both engines.
     */
   private val q68 = Q("q68_repetition_signals",
-    (s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte,
       u AS (SELECT doc_id, unnest(w) AS tok FROM toks),
@@ -1199,7 +1209,8 @@ object QueryPackExt {
     */
   private val q70 = Q("q70_sequence_packing",
     (s, dir) => graft.llm.Packing
-      .packBlocks(t(s, dir, "documents"), blockSize = 512, groupWidth = 64),
+      .packBlocks(t(s, dir, "documents"), blockSize = 512, groupWidth = 64)
+      .orderBy(col("block_id")),
     Some(s"""
       WITH $ToksCte,
       n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt FROM toks),
@@ -1259,6 +1270,7 @@ object QueryPackExt {
         d.filter(col("doc_id") % 20 === 0),
         sampleFraction = 0.9, sampleSeed = "curate",
         blockSize = 512, groupWidth = 64)
+        .orderBy(col("block_id"))
     },
     Some(s"""
       WITH samp AS (
@@ -1485,7 +1497,8 @@ object QueryPackExt {
     */
   private val q76 = Q("q76_corpus_stopwords",
     (s, dir) => TextAnalysis
-      .corpusStopwordStats(t(s, dir, "documents"), dfThreshold = 0.4),
+      .corpusStopwordStats(t(s, dir, "documents"), dfThreshold = 0.4)
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte,
       tk AS (SELECT doc_id, unnest(w) AS tok FROM toks),
@@ -1567,7 +1580,8 @@ object QueryPackExt {
     * `grams` CTE, not the distinct `sh`).
     */
   private val q79 = Q("q79_familiarity",
-    (s, dir) => TextAnalysis.familiarityScores(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.familiarityScores(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte, ${gramCtes(2)},
       bg AS (SELECT doc_id, gh FROM grams WHERE gh IS NOT NULL),
@@ -1586,7 +1600,8 @@ object QueryPackExt {
     */
   private val q80 = Q("q80_semantic_dedup",
     (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
-      bits = 2, threshold = 0.4),
+      bits = 2, threshold = 0.4)
+      .orderBy(col("vec_id")),
     Some(s"""
       WITH RECURSIVE ${normCte(s", ${signBucketSql(2)} AS bucket")},
       p AS (
@@ -1743,7 +1758,8 @@ object QueryPackExt {
     * q79's familiarity signal, order-free per-bucket aggregates.
     */
   private val q86 = Q("q86_familiarity_buckets",
-    (s, dir) => TextAnalysis.familiarityBuckets(t(s, dir, "documents"), n = 3),
+    (s, dir) => TextAnalysis.familiarityBuckets(t(s, dir, "documents"), n = 3)
+      .orderBy(col("bucket")),
     Some(s"""
       WITH $ToksCte, ${gramCtes(2)},
       bg AS (SELECT doc_id, gh FROM grams WHERE gh IS NOT NULL),
@@ -1767,7 +1783,8 @@ object QueryPackExt {
     * affine codes + exact L2² reconstruction error, no shuffle.
     */
   private val q87 = Q("q87_embed_quantize",
-    (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings")),
+    (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id")),
     Some("""
       WITH q AS (
         SELECT vec_id, embedding,
@@ -1837,7 +1854,8 @@ object QueryPackExt {
     * trail attached.
     */
   private val q90 = Q("q90_filter_reasons",
-    (s, dir) => TextAnalysis.filterReasons(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.filterReasons(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
     Some(s"""
       WITH $ToksCte,
       s AS (
@@ -1878,6 +1896,7 @@ object QueryPackExt {
         emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
         nProbe = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
     },
     Some(s"""
       WITH cent AS (
@@ -1918,7 +1937,8 @@ object QueryPackExt {
     */
   private val q92 = Q("q92_shard_stats",
     (s, dir) => graft.llm.Sampling.shardStats(t(s, dir, "documents"),
-      nShards = 8, seed = "shard0"),
+      nShards = 8, seed = "shard0")
+      .orderBy(col("shard")),
     Some(s"""
       WITH $ToksCte,
       b AS (
@@ -1937,7 +1957,8 @@ object QueryPackExt {
     */
   private val q93 = Q("q93_knn_label_vote",
     (s, dir) => Similarity.knnLabelVote(t(s, dir, "embeddings"),
-      nQueries = 5, k = 10),
+      nQueries = 5, k = 10)
+      .orderBy(col("query_id")),
     Some(s"""
       WITH ${normCte()},
       q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
@@ -1969,7 +1990,8 @@ object QueryPackExt {
     * rational idf (N+1)/(df+1), per-doc window top-5.
     */
   private val q94 = Q("q94_tfidf_top_terms",
-    (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5),
+    (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
+      .orderBy(col("doc_id"), col("rnk")),
     Some(s"""
       WITH $ToksCte,
       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -2044,7 +2066,8 @@ object QueryPackExt {
     * q83's mean.
     */
   private val q97 = Q("q97_length_histogram",
-    (s, dir) => TextAnalysis.lengthHistogram(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.lengthHistogram(t(s, dir, "documents"))
+      .orderBy(col("bucket")),
     Some(s"""
       WITH $ToksCte,
       b AS (SELECT ${log2BucketSql("len(w)")} AS bucket,
@@ -2061,7 +2084,8 @@ object QueryPackExt {
     * engine-independent replication check.
     */
   private val q98 = Q("q98_corpus_digest",
-    (s, dir) => graft.llm.Curation.corpusDigest(t(s, dir, "documents")),
+    (s, dir) => graft.llm.Curation.corpusDigest(t(s, dir, "documents"))
+      .orderBy(col("source")),
     Some(s"""
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(list_filter(string_split(lower(text), ' '),
@@ -2084,6 +2108,7 @@ object QueryPackExt {
           .withColumn("text",
             when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text"))))
+        .orderBy(col("status"))
     },
     Some("""
       WITH o AS (SELECT doc_id, md5(text) AS old_hash
@@ -2177,7 +2202,8 @@ object QueryPackExt {
     * partial-sum order), every vector re-assigned, cell census out.
     */
   private val q101 = Q("q101_kmeans_step",
-    (s, dir) => Similarity.kmeansStep(t(s, dir, "embeddings"), dims = 64),
+    (s, dir) => Similarity.kmeansStep(t(s, dir, "embeddings"), dims = 64)
+      .orderBy(col("cell")),
     Some(s"""
       WITH cent AS (
         SELECT label, $centroidList AS cv FROM embeddings GROUP BY label),
@@ -2323,7 +2349,8 @@ object QueryPackExt {
     * semantics.
     */
   private val q106 = Q("q106_quality_blend",
-    (s, dir) => TextAnalysis.qualityBlend(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.qualityBlend(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
     Some("""
       WITH base AS (
         SELECT doc_id,
@@ -2414,7 +2441,8 @@ object QueryPackExt {
     */
   private val q109 = Q("q109_split_leakage",
     (s, dir) => graft.llm.Curation.splitLeakage(t(s, dir, "documents"),
-      valFraction = 0.1, seed = "42"),
+      valFraction = 0.1, seed = "42")
+      .orderBy(col("val_doc"), col("train_doc")),
     Some(s"""
       WITH $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
       sp AS (
@@ -2438,7 +2466,8 @@ object QueryPackExt {
     */
   private val q110 = Q("q110_padding_efficiency",
     (s, dir) => graft.llm.Packing.paddingEfficiency(
-      t(s, dir, "documents"), bucketWidth = 32),
+      t(s, dir, "documents"), bucketWidth = 32)
+      .orderBy(col("bucket_ceil")),
     Some(s"""
       WITH $ToksCte,
       m AS (
@@ -2559,7 +2588,8 @@ object QueryPackExt {
     * oracle pins it to SQL's PARTITIONED PERCENT_RANK.
     */
   private val q113 = Q("q113_source_quality_rank",
-    (s, dir) => TextAnalysis.sourceQualityRank(t(s, dir, "documents")),
+    (s, dir) => TextAnalysis.sourceQualityRank(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
     Some("""
       WITH base AS (
         SELECT doc_id, source,
@@ -2643,6 +2673,7 @@ object QueryPackExt {
         graft.llm.Hnsw.hnswIndex(emb, m = 8, efConstruction = 64),
         queries, k = 10, ef = 96)
         .select(col("query_id"), col("rnk"), col("vec_id"))
+        .orderBy(col("query_id"), col("rnk"))
     },
     Some(Q115Oracle.sql))
 
@@ -2657,6 +2688,7 @@ object QueryPackExt {
       graft.llm.Dsir.importanceSelect(
         docs, docs.filter(col("lang") === "en"),
         buckets = 4096, keepFraction = 0.25)
+        .orderBy(col("doc_id"))
     },
     Some(s"""
       WITH $ToksCte,

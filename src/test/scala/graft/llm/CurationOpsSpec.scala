@@ -206,7 +206,8 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     val corpus = docs(
       1L -> "the cat sat", 2L -> "the cat ran", 3L -> "the dog sat",
       4L -> "a bird flew", 5L -> "the cat sat", 6L -> "odd words only")
-    val out = TextAnalysis.familiarityBucketsApprox(corpus, n = 3).collect()
+    val out = TextAnalysis.familiarityBucketsApprox(corpus, n = 3)
+      .orderBy(org.apache.spark.sql.functions.col("bucket")).collect()
     assert(out.map(_.getAs[Long]("n_docs")).sum === 6L)
     out.sliding(2).foreach { case Array(lo, hi) =>
       assert(lo.getAs[Int]("bucket") < hi.getAs[Int]("bucket"))

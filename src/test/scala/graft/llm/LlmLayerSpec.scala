@@ -713,7 +713,8 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     // token stream: d1[0,3) d2[3,7) d4[7,12) d5[12,13); blocks of 5
     val c = docs(1L -> "a b c", 2L -> "d e f g", 3L -> "",
       4L -> "h i j k l", 5L -> "m")
-    val out = Packing.packBlocks(c, blockSize = 5, groupWidth = 2).collect()
+    val out = Packing.packBlocks(c, blockSize = 5, groupWidth = 2)
+      .orderBy(org.apache.spark.sql.functions.col("block_id")).collect()
     assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
     assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L, 2L)) // n_docs
     assert(out.map(_.getLong(2)).toSeq === Seq(5L, 5L, 3L)) // block tokens

@@ -279,4 +279,48 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), p) // map-side partials on the stats agg
   }
+
+  test("operator APIs return unsorted relations — no trailing range shuffle (r8)") {
+    // The library entry points must not end in a total-order sort (the
+    // harness wrappers sort for oracle determinism; a production caller
+    // at 100 TB must not pay a full range exchange it never asked for).
+    // A window's internal per-partition sort is fine — the killer is
+    // the global Sort + rangepartitioning exchange at the plan ROOT.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "exactDupGroups" -> graft.llm.TextDedup.exactDupGroups(docs),
+      "dedupPipeline" -> graft.llm.TextDedup.dedupPipeline(docs),
+      "simhashPairs" -> graft.llm.TextDedup.simhashPairs(docs),
+      "clusterRepresentatives" -> graft.llm.TextDedup.clusterRepresentatives(
+        graft.llm.TextDedup.minhashLshPairs(docs), docs),
+      "qualityScores" -> graft.llm.TextAnalysis.qualityScores(docs),
+      "sourceQualityRank" -> graft.llm.TextAnalysis.sourceQualityRank(docs),
+      "bruteForceTopK" -> graft.llm.Similarity.bruteForceTopK(emb, 3, 5),
+      "semanticDedup" -> graft.llm.Similarity.semanticDedup(emb),
+      "quantizeInt8" -> graft.llm.Similarity.quantizeInt8(emb),
+      "packBlocks" -> graft.llm.Packing.packBlocks(docs, 512),
+      "shardStats" -> graft.llm.Sampling.shardStats(docs, 4, "s"),
+      "corpusDigest" -> graft.llm.Curation.corpusDigest(docs),
+      "importanceSelect" -> graft.llm.Dsir.importanceSelect(
+        docs, docs.filter(col("lang") === "en")))
+    ops.foreach { case (name, df) =>
+      // walk from the root down to the first non-trivial operator: a
+      // root-position SortExec (possibly under exchanges/AQE wrappers)
+      // is exactly the trailing total-order sort the contract forbids
+      def rootSort(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case s: SortExec if s.global => true
+        case a: AdaptiveSparkPlanExec => rootSort(a.inputPlan)
+        case e: ShuffleExchangeExec => rootSort(e.child)
+        case proj: org.apache.spark.sql.execution.ProjectExec => rootSort(proj.child)
+        case _ => false
+      }
+      assert(!rootSort(df.queryExecution.executedPlan),
+        s"$name ends in a global Sort:\n${df.queryExecution.executedPlan}")
+    }
+  }
 }
