@@ -21,8 +21,16 @@ object Bench {
       // costs the heavy queries more than the light queries save
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_COALESCE_PF", "true"))
+      // AQE off by default in the HARNESS (r8): at sf0.1 adaptive
+      // re-planning costs a per-stage driver round trip and extra jobs
+      // on every one of 116 queries — measured 115.3 s (on) vs 85.6 s
+      // (off) same box, same code; the iterative CC queries (per-round
+      // actions) gain the most. This is a bench-box knob, NOT the
+      // library stance: at production scale AQE's skew splitting and
+      // partition coalescing matter and the operators' plans do not
+      // depend on either setting.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       // the default 100-entry generated-class cache cycles completely
       // over a 114-query suite (~4 codegen units each), so the
       // best-of-2 second run re-Janino-compiles every stage; size it to
@@ -155,7 +163,7 @@ object Bench {
         if (ok) secs else -secs
       }
       val good = times.filter(_ > 0)
-      name -> (if (good.nonEmpty) good.min else times.min)
+      (name, if (good.nonEmpty) good.min else times.min, times)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -164,13 +172,19 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    // all-N raw times per query (the r7 gate fix: BENCH_r07 recorded a
+    // co-load-inflated min with no way to see the noise; the full run
+    // vector lets the gate diff medians/outliers against prior rounds)
+    val runsJson = results.map { case (k, _, ts) =>
+      s"${jstr(k)}:${ts.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v > 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v > 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -183,22 +183,30 @@ object Curation {
       maxContamFrac: Double = 0.1,
       shingleK: Int = 3,
       maxOverlap: Double = 0.2): DataFrame = {
-    val base = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"))
-    val dups = docs.agg(
-      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
-    val pii = docs.agg(
-      sum(when(col("text").rlike(Pii.EmailRe) ||
-          col("text").rlike(Pii.Ipv4Re) ||
-          col("text").rlike(Pii.PhoneRe), 1L).otherwise(0L))
-        .as("n_pii_docs"))
+    // ONE corpus scan for counts, tokens, dups and PII (was three):
+    // a two-level aggregate keyed on the content hash — per distinct
+    // content: copies, token sum, pii hits; then one global fold.
+    // n_dups = total copies − distinct contents falls out of the same
+    // frame, with no countDistinct (whose mixed-aggregate form Expands
+    // the input) and map-side partials throughout.
+    val perContent = docs
+      .groupBy(md5(col("text")).as("__ch"))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("__toks"),
+        sum(when(col("text").rlike(Pii.EmailRe) ||
+            col("text").rlike(Pii.Ipv4Re) ||
+            col("text").rlike(Pii.PhoneRe), 1L).otherwise(0L))
+          .as("__pii"))
+    val stats = perContent.agg(
+      coalesce(sum(col("__cnt")), lit(0L)).as("n_docs"),
+      sum(col("__toks")).as("n_tokens"),
+      (coalesce(sum(col("__cnt")), lit(0L)) - count(lit(1))).as("n_dups"),
+      coalesce(sum(col("__pii")), lit(0L)).as("n_pii_docs"))
     val clean = Decontaminate
       .decontaminate(docs, evalDocs, shingleK, maxOverlap)
       .agg(count(lit(1)).as("n_clean"))
-    base.crossJoin(broadcast(dups))
-      .crossJoin(broadcast(pii))
-      .crossJoin(broadcast(clean))
+    stats.crossJoin(broadcast(clean))
       .select(col("n_docs"), col("n_tokens"),
         (col("n_dups").cast("double") / col("n_docs")).as("dup_frac"),
         (col("n_pii_docs").cast("double") / col("n_docs"))

@@ -276,25 +276,40 @@ object Similarity {
     */
   def ivfTrain(emb: DataFrame, dims: Int = 64): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val e = TextDedup.spread(emb, "vec_id")
 
+    // The centroid table is tiny by construction (one row per cell) but
+    // its derivation is a corpus-wide 64-avg aggregate — pin it so each
+    // downstream broadcast (cells here, probe ranking, kmeans re-est)
+    // reuses the one computed copy instead of re-running the pass.
     val cent = e.groupBy(col("label"))
       .agg(array((1 to dims).map(i =>
         round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
         .as("cv"))
       .select(col("label").as("ccell"), col("cv")) // avoid `label` clash
+      .localCheckpoint()
 
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("ccell"))
-    val cells = e
-      .crossJoin(broadcast(cent))
-      .withColumn("d2", dist2(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("ccell").as("cell"), col("embedding"),
+    (cent, assignCells(e, cent))
+  }
+
+  /** Nearest-centroid assignment without row explosion (r8): the old
+    * form crossJoined the corpus against the centroid table and ranked
+    * per `vec_id` with a window — ×nCells rows through an exchange and
+    * a per-vector sort. This form broadcasts ONE row holding the
+    * sorted centroid array and takes `array_min` over the per-cell
+    * `(d2, cell)` structs: lexicographic struct ordering IS the
+    * `(d2 ASC, ccell ASC)` tie-break, evaluated per row inside
+    * whole-stage codegen — no exchange, no window, no extra rows.
+    */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent.agg(
+      sort_array(collect_list(struct(col("ccell"), col("cv")))).as("__cents"))
+    e.crossJoin(broadcast(centArr))
+      .withColumn("__best", array_min(transform(col("__cents"),
+        c => struct(dist2(col("embedding"), c.getField("cv")).as("d2"),
+          c.getField("ccell").as("cell")))))
+      .select(col("vec_id"), col("__best.cell").as("cell"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-    (cent, cells)
   }
 
   /** Probe a (possibly persisted) IVF index with an explicit query set
@@ -348,23 +363,32 @@ object Similarity {
     * cost stays linear per pass and the loop is driver-side trivial.
     */
   def kmeansStep(emb: DataFrame, dims: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (_, cells1) = ivfTrain(emb, dims)
+    // re-estimated centroids: tiny (one row per cell) but derived by a
+    // corpus-wide pass — pin so the assignment array AND the mass
+    // report below read one computed copy
     val cent2 = cells1.groupBy(col("cell"))
       .agg(array((1 to dims).map(i =>
         round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
         .as("cv"))
       .select(col("cell").as("ccell"), col("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("ccell"))
-    cells1.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent2))
-      .withColumn("d2", dist2(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("ccell").as("cell"))
-      .agg(count(lit(1)).as("n_members"),
-        first(aggregate(col("cv"), lit(0.0), _ + _)).as("centroid_mass"))
+      .localCheckpoint()
+    // re-assignment rides the same no-explosion array_min as
+    // [[ivfTrain]]'s assignCells; the census then joins the (tiny,
+    // broadcast) per-centroid mass back on the cell key
+    val centArr2 = cent2.agg(
+      sort_array(collect_list(struct(col("ccell"), col("cv")))).as("__cents"))
+    val census = cells1.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr2))
+      .withColumn("__best", array_min(transform(col("__cents"),
+        c => struct(dist2(col("embedding"), c.getField("cv")).as("d2"),
+          c.getField("ccell").as("cell")))))
+      .groupBy(col("__best.cell").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val mass = cent2.select(col("ccell").as("cell"),
+      aggregate(col("cv"), lit(0.0), _ + _).as("centroid_mass"))
+    census.join(broadcast(mass), "cell")
+      .select(col("cell"), col("n_members"), col("centroid_mass"))
   }
 
   /** Persist a trained IVF index: centroids as a plain (tiny) table,

@@ -47,17 +47,21 @@ object Percentiles {
       .agg(count(lit(1)).as("__c"))
     // running rank range per distinct value: this value covers 0-based
     // ranks [__start, __cum) — the only window runs over the value
-    // domain (distinct values per group), never the row frame
+    // domain (distinct values per group), never the row frame. The
+    // group total rides a SECOND window over the SAME partitioning
+    // (unbounded sum of __c) instead of a separate totals scan +
+    // broadcast join back: one exchange serves both, and the input is
+    // scanned exactly once (r8 — halved q50's plan).
     val byValue = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wholeGroup = Window.partitionBy(col(groupCol))
     val cum = hist
       .withColumn("__cum", sum(col("__c")).over(byValue))
       .withColumn("__start", col("__cum") - col("__c"))
-    val totals = rows.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val j = cum.join(broadcast(totals), Seq(groupCol))
-    // per prob: fractional rank r = (n-1)p is constant within a group
-    // (plain column after the join), so "value at rank k" is a simple
-    // conditional MIN over the histogram rows
+      .withColumn("__n", sum(col("__c")).over(wholeGroup))
+    // per prob: fractional rank r = (n-1)p is constant within a group,
+    // so "value at rank k" is a simple conditional MIN over the
+    // histogram rows
     val aggs: Seq[Column] = probs.map { p =>
       val r = (col("__n") - 1).cast("double") * lit(p)
       def at(k: Column) = min(when(
@@ -68,9 +72,8 @@ object Percentiles {
       val vHi = at(ceil(r))
       (vLo + (min(r) - min(lo)) * (vHi - vLo)).as(name(p))
     } :+ min(col("__n")).as("n")
-    j.groupBy(col(groupCol))
+    cum.groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col(groupCol))
   }
 
   /** Sketch twin: `percentile_approx` per prob — bounded-memory
@@ -91,7 +94,6 @@ object Percentiles {
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col(groupCol))
   }
 
   /** Auto-routing entry point: exact histogram interpolation while the

@@ -634,24 +634,34 @@ object QueryPackExt {
       // exact distinct counts via two-level aggregation: mixing two
       // countDistinct columns with sort-based percentile aggregates in
       // one agg forces an Expand (input ×3) through every aggregate's
-      // update path — measured 29.6 s at sf0.1 vs ~3 s in this shape
-      def exactDistinct(c: String, alias: String) =
+      // update path — measured 29.6 s at sf0.1 vs ~3 s in this shape.
+      // Each pass ALSO evaluates its HLL sketch over the distinct-key
+      // frame (r8): HyperLogLog state is duplicate-insensitive by
+      // construction, so the estimate over distinct keys IS the
+      // estimate over the raw rows — the sketch-vs-exact twins then
+      // share one scan + one shuffle per key instead of paying a
+      // separate whole-table sketch pass.
+      def distinctPass(c: String, alias: String, approxAlias: String,
+          rsd: Double) =
         li.groupBy(col("l_returnflag"), col(c)).agg(count(lit(1)))
-          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(alias))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as(alias),
+            approx_count_distinct(col(c), rsd).as(approxAlias))
+      // the percentile sketch keeps its own whole-multiset pass (a
+      // rank sketch is NOT duplicate-insensitive)
       val sketches = li.groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("approx_median"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median"))
       // exact median via histogram interpolation (no group buffering)
       val exactMedian = graft.operators.Percentiles
         .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5))
         .select(col("l_returnflag"), col("p50").as("exact_median"))
       sketches // 3-row frames: the joins broadcast
         .join(exactMedian, "l_returnflag")
-        .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
-        .join(exactDistinct("l_suppkey", "exact_supps"), "l_returnflag")
+        .join(distinctPass("l_partkey", "exact_parts", "approx_parts",
+          rsd = 0.05), "l_returnflag")
+        .join(distinctPass("l_suppkey", "exact_supps", "approx_supps",
+          rsd = 0.01), "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.15).as("parts_ok"),
