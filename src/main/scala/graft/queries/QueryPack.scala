@@ -24,6 +24,20 @@ import org.apache.spark.sql.types.DecimalType
   *    unique key).
   */
 object QueryPack {
+  /** Harness determinism sort (r8): same total order as orderBy, but
+    * via one exchange to a single partition + in-partition sort — no
+    * range-bounds sampling job, which re-executes the child plan and
+    * cost ~0.2 s per query across the suite. Oracle results are
+    * comparison-sized, so the 1-partition sort is trivial; production
+    * callers use the unsorted operator APIs directly.
+    */
+  private implicit class HarnessOrdering(
+      private val df: org.apache.spark.sql.DataFrame) {
+    def harnessSorted(cols: org.apache.spark.sql.Column*)
+        : org.apache.spark.sql.DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+
 
   final case class Q(
       name: String,
@@ -70,7 +84,7 @@ object QueryPack {
           (sum(d12($"l_quantity")).cast("double") / count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("n_rows"))
-        .orderBy($"l_returnflag", $"l_linestatus")
+        .harnessSorted($"l_returnflag", $"l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
@@ -94,7 +108,7 @@ object QueryPack {
           $"l_shipdate" < lit("1995-04-01").cast("timestamp") &&
           $"l_discount" >= 0.05 && $"l_quantity" < 10)
         .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .harnessSorted($"l_orderkey", $"l_linenumber")
     },
     Some("""
       SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
@@ -118,7 +132,7 @@ object QueryPack {
         .agg(sum(d12($"l_extendedprice") * (one - d4($"l_discount")))
           .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy($"r_name", $"n_name")
+        .harnessSorted($"r_name", $"n_name")
     },
     Some("""
       SELECT r_name, n_name,
@@ -141,7 +155,7 @@ object QueryPack {
           $"c_custkey" === $"o_custkey", "left_semi")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_cust"))
-        .orderBy($"c_mktsegment")
+        .harnessSorted($"c_mktsegment")
     },
     Some("""
       SELECT c_mktsegment, count(*) AS n_cust
@@ -160,7 +174,7 @@ object QueryPack {
           $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_nationkey")
         .agg(count(lit(1)).as("n_cust"))
-        .orderBy($"c_nationkey")
+        .harnessSorted($"c_nationkey")
     },
     Some("""
       SELECT c_nationkey, count(*) AS n_cust
@@ -181,7 +195,7 @@ object QueryPack {
         .select($"o_orderkey",
           coalesce($"li_n", lit(0L)).as("n_items"),
           coalesce($"li_qty", lit(0.0)).as("qty"))
-        .orderBy($"o_orderkey")
+        .harnessSorted($"o_orderkey")
     },
     Some("""
       SELECT o_orderkey, coalesce(li_n, 0) AS n_items, coalesce(li_qty, 0.0) AS qty
@@ -203,7 +217,7 @@ object QueryPack {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
-        .orderBy($"o_custkey", $"rn")
+        .harnessSorted($"o_custkey", $"rn")
     },
     Some("""
       SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
@@ -224,7 +238,7 @@ object QueryPack {
         .withColumn("prev_qty", lag($"l_quantity", 1).over(w))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
           $"rnk", $"prev_qty")
-        .orderBy($"l_suppkey", $"rnk", $"l_orderkey", $"l_linenumber")
+        .harnessSorted($"l_suppkey", $"rnk", $"l_orderkey", $"l_linenumber")
     },
     Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
@@ -247,7 +261,7 @@ object QueryPack {
         .select($"o_custkey", $"o_orderkey",
           date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"),
           $"run_spend")
-        .orderBy($"o_custkey", $"o_orderkey")
+        .harnessSorted($"o_custkey", $"o_orderkey")
     },
     Some("""
       SELECT o_custkey, o_orderkey,
@@ -280,7 +294,7 @@ object QueryPack {
       import s.implicits._
       t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
         .intersect(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
-        .orderBy($"nationkey")
+        .harnessSorted($"nationkey")
     },
     Some("""
       SELECT c_nationkey AS nationkey FROM customer
@@ -297,7 +311,7 @@ object QueryPack {
       o.filter(year($"o_orderdate") === 1995).select($"o_custkey".as("custkey"))
         .except(o.filter(year($"o_orderdate") === 1996)
           .select($"o_custkey".as("custkey")))
-        .orderBy($"custkey")
+        .harnessSorted($"custkey")
     },
     Some("""
       SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
@@ -315,7 +329,7 @@ object QueryPack {
         .agg(count(lit(1)).as("n"),
           sum(d12($"l_quantity")).cast("double").as("qty"),
           grouping_id().cast("long").as("gid"))
-        .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+        .harnessSorted($"gid", $"l_returnflag", $"l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -331,7 +345,7 @@ object QueryPack {
         .cube($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("n"),
           grouping_id().cast("long").as("gid"))
-        .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+        .harnessSorted($"gid", $"o_orderstatus", $"o_orderpriority")
     },
     Some("""
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -352,7 +366,7 @@ object QueryPack {
           concat_ws("|", $"p_brand", $"p_type").as("cat"),
           substring($"p_name", 1, 8).as("name_pre"),
           regexp_replace($"p_name", " ", "_").as("name_snake"))
-        .orderBy($"p_partkey")
+        .harnessSorted($"p_partkey")
     },
     Some("""
       SELECT p_partkey, upper(p_brand) AS brand_u,
@@ -371,7 +385,7 @@ object QueryPack {
           month($"o_orderdate").cast("long").as("mo"))
         .agg(count(lit(1)).as("n"),
           sum(d12($"o_totalprice")).cast("double").as("total"))
-        .orderBy($"yr", $"mo")
+        .harnessSorted($"yr", $"mo")
     },
     Some("""
       SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
@@ -390,7 +404,7 @@ object QueryPack {
             .otherwise("high").as("bucket"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"))
-        .orderBy($"bucket")
+        .harnessSorted($"bucket")
     },
     Some("""
       SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
@@ -406,7 +420,7 @@ object QueryPack {
         .select(explode(split($"p_name", " ")).as("word"))
         .groupBy($"word")
         .agg(count(lit(1)).as("n"))
-        .orderBy($"word")
+        .harnessSorted($"word")
     },
     Some("""
       SELECT word, count(*) AS n
@@ -421,7 +435,7 @@ object QueryPack {
         .agg(
           array_join(array_sort(collect_set($"c_mktsegment")), ",").as("segments"),
           countDistinct($"c_mktsegment").as("n_seg"))
-        .orderBy($"c_nationkey")
+        .harnessSorted($"c_nationkey")
     },
     Some("""
       SELECT c_nationkey,
@@ -442,7 +456,7 @@ object QueryPack {
         .filter($"p_retailprice" > $"avg_price")
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n"))
-        .orderBy($"p_brand")
+        .harnessSorted($"p_brand")
     },
     Some("""
       SELECT p_brand, count(*) AS n FROM part
@@ -464,7 +478,7 @@ object QueryPack {
             $"c_acctbal" > $"s_acctbal" * 2, "left_anti")
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("n"))
-        .orderBy($"s_nationkey")
+        .harnessSorted($"s_nationkey")
     },
     Some("""
       SELECT s_nationkey, count(*) AS n
@@ -492,7 +506,7 @@ object QueryPack {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_purchases"),
           sum(d12($"value")).cast("double").as("spend"))
-        .orderBy($"user_id")
+        .harnessSorted($"user_id")
     },
     Some("""
       SELECT s.user_id, count(*) AS n_purchases,
@@ -517,7 +531,7 @@ object QueryPack {
           when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
         .groupBy($"user_id")
         .agg(sum($"is_new").as("n_sessions"), count(lit(1)).as("n_events"))
-        .orderBy($"user_id")
+        .harnessSorted($"user_id")
     },
     Some("""
       SELECT user_id,
@@ -542,7 +556,7 @@ object QueryPack {
           sum(d12($"value")).cast("double").as("v"))
         .select(unix_timestamp($"w.start").as("win_start"), $"event_type",
           $"n", $"v")
-        .orderBy($"win_start", $"event_type")
+        .harnessSorted($"win_start", $"event_type")
     },
     Some("""
       SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
@@ -559,7 +573,7 @@ object QueryPack {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
           min($"k").as("min_k"), max($"k").as("max_k"))
-        .orderBy($"event_type")
+        .harnessSorted($"event_type")
     },
     Some("""
       SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
@@ -577,7 +591,7 @@ object QueryPack {
         .agg(countDistinct($"l_partkey").as("n_parts"),
           countDistinct($"l_suppkey").as("n_supps"),
           count(lit(1)).as("n_rows"))
-        .orderBy($"l_returnflag")
+        .harnessSorted($"l_returnflag")
     },
     Some("""
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

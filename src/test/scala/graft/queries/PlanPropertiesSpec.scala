@@ -182,7 +182,11 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q106: percent-ranks join back as broadcasts — no corpus-wide sort") {
-    val p = planExt("q106_quality_blend")
+    // assert on the OPERATOR plan (the wrapper adds the result-sized
+    // harness sort exchange, which is not the corpus)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.llm.TextAnalysis.qualityBlend(docs)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p) // the distinct-value rank tables
     assert(p.contains("BroadcastNestedLoopJoin"), p) // the one-row N
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
@@ -223,7 +227,9 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q113: grouped ranks ride source-keyed histograms, broadcast back") {
-    val p = planExt("q113_source_quality_rank")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.llm.TextAnalysis.sourceQualityRank(docs)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p) // (source, value) rank tables
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     // the cumulative window partitions by source over the value
@@ -260,7 +266,10 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q81: top-fraction rides group-value histograms — no raw-group corpus window") {
-    val p = planExt("q81_top_fraction")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.llm.Sampling
+      .topFractionPerGroup(docs, "lang", "n_chars", 0.3)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p) // histogram + limits join back
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     // machine form of the skew claim (every window composite-keyed or
