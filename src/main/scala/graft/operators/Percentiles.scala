@@ -39,26 +39,70 @@ object Percentiles {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      probs: Seq[Double]): DataFrame = {
+      probs: Seq[Double],
+      twoPhaseThreshold: Long = 2000000L): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       "probs must be within [0, 1]")
     val rows = df.filter(col(valueCol).isNotNull)
     val hist = rows.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("__c"))
-    // running rank range per distinct value: this value covers 0-based
-    // ranks [__start, __cum) — the only window runs over the value
-    // domain (distinct values per group), never the row frame. The
-    // group total rides a SECOND window over the SAME partitioning
-    // (unbounded sum of __c) instead of a separate totals scan +
-    // broadcast join back: one exchange serves both, and the input is
-    // scanned exactly once (r8 — halved q50's plan).
-    val byValue = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wholeGroup = Window.partitionBy(col(groupCol))
-    val cum = hist
-      .withColumn("__cum", sum(col("__c")).over(byValue))
-      .withColumn("__start", col("__cum") - col("__c"))
-      .withColumn("__n", sum(col("__c")).over(wholeGroup))
+    // Running rank range per distinct value: this value covers 0-based
+    // ranks [__start, __cum). Two forms, bit-identical results (all
+    // count arithmetic is integer), chosen by a bounded row probe (the
+    // same never-a-full-scan switch as [[grouped]]):
+    //
+    //  - SINGLE-WINDOW (small inputs): one exchange, the group total
+    //    rides a second window over the same partitioning. With few
+    //    groups this serializes — one task per group — which is fine
+    //    under the probe bound and cheapest in fixed stages.
+    //  - TWO-PHASE (at scale): the Packing/budgetSelect prefix-sum
+    //    decomposition. Values are range-bucketed (order-preserving
+    //    floor over the group's [min, max] span), per-(group, bucket)
+    //    totals cascade in a window over the TINY bucket frame, and
+    //    the within-bucket running sum rides a window keyed by the
+    //    COMPOSITE (group, bucket) — every heavy stage is parallel in
+    //    the bucket count, so 3 groups no longer mean 3 tasks.
+    //    (Measured at 10x lineitem, 6M rows: 7.96 s single-window vs
+    //    4.14 s two-phase; at sf0.1 the extra stages cost ~0.7 s,
+    //    hence the switch.)
+    val cum =
+      if (rows.limit(twoPhaseThreshold.toInt + 1).count() <= twoPhaseThreshold) {
+        val byValue = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wholeGroup = Window.partitionBy(col(groupCol))
+        hist
+          .withColumn("__cum", sum(col("__c")).over(byValue))
+          .withColumn("__start", col("__cum") - col("__c"))
+          .withColumn("__n", sum(col("__c")).over(wholeGroup))
+      } else {
+        val nBuckets = 256
+        val stats = hist.groupBy(col(groupCol))
+          .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+        val span = col("__mx").cast("double") - col("__mn").cast("double")
+        val histB = hist.join(broadcast(stats), Seq(groupCol))
+          .withColumn("__b",
+            when(span === 0.0, lit(0)).otherwise(
+              least(floor((col(valueCol).cast("double") -
+                col("__mn").cast("double")) / (span / nBuckets)),
+                lit(nBuckets - 1.0)).cast("int")))
+          .drop("__mn", "__mx")
+        val bt = histB.groupBy(col(groupCol), col("__b"))
+          .agg(sum(col("__c")).as("__bt"))
+        val wBuckets = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wholeGroup = Window.partitionBy(col(groupCol))
+        val boff = bt
+          .withColumn("__boff",
+            coalesce(sum(col("__bt")).over(wBuckets), lit(0L)))
+          .withColumn("__n", sum(col("__bt")).over(wholeGroup))
+          .select(col(groupCol), col("__b"), col("__boff"), col("__n"))
+        val inBucket = Window.partitionBy(col(groupCol), col("__b"))
+          .orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        histB.join(broadcast(boff), Seq(groupCol, "__b"))
+          .withColumn("__cum", col("__boff") + sum(col("__c")).over(inBucket))
+          .withColumn("__start", col("__cum") - col("__c"))
+      }
     // per prob: fractional rank r = (n-1)p is constant within a group,
     // so "value at rank k" is a simple conditional MIN over the
     // histogram rows

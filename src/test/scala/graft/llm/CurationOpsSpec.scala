@@ -262,6 +262,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ma("a") - 50.0) <= 2.0 && math.abs(ma("b") - 49.0) <= 2.0)
   }
 
+  test("Percentiles.groupedExact: two-phase form bit-identical to single-window") {
+    val s = spark
+    import s.implicits._
+    // ties, negatives, a constant group (span=0 bucket edge), and a
+    // singleton group — the bucket-boundary cases the two-phase
+    // decomposition has to get right
+    val d = ((1 to 200).map(i => ("a", (i % 37).toDouble - 5.0)) ++
+      (1 to 50).map(_ => ("c", 7.0)) ++
+      Seq(("s", 42.0))).toDF("g", "v")
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val one = graft.operators.Percentiles
+      .groupedExact(d, "g", "v", probs)
+    val two = graft.operators.Percentiles
+      .groupedExact(d, "g", "v", probs, twoPhaseThreshold = 0L)
+    // the two-phase plan really took the bucketed path: composite
+    // (g, __b) window keys, never a group-only running sum over values
+    val tp = two.queryExecution.analyzed.toString
+    assert(tp.contains("__b"), tp)
+    val k = (r: org.apache.spark.sql.Row) => r.getString(0)
+    val o = one.collect().map(r => k(r) -> r.toSeq).toMap
+    val t = two.collect().map(r => k(r) -> r.toSeq).toMap
+    assert(o === t)
+    // and the values themselves are the interpolated ranks
+    assert(o("s")(1) === 42.0 && o("c")(3) === 7.0)
+  }
+
   test("Dsir.importanceSelect: target-like docs outrank, keepFraction=1 keeps all") {
     val s = spark
     import s.implicits._
