@@ -27,8 +27,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[queries] object Tables {
   private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val watched =
+    ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
 
-  def parquet(s: SparkSession, path: String): DataFrame =
+  /** Evict a context's entries when it ends, so long-lived multi-session
+    * JVMs (test suites) don't pin stopped sessions and their plans for
+    * the process lifetime. Listener registration is idempotent per
+    * context; a stopped-but-shared-context session (`newSession`) stays
+    * memoized until its context ends, which is the memo's point.
+    */
+  private def watch(sess: SparkSession): Unit = {
+    val sc = sess.sparkContext
+    if (watched.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evict(sc)
+      })
+    }
+  }
+
+  private[queries] def evict(sc: org.apache.spark.SparkContext): Unit = {
+    cache.keySet.removeIf(_._1.sparkContext eq sc)
+    watched.remove(sc)
+  }
+
+  private[queries] def cachedEntriesFor(s: SparkSession): Int = {
+    var n = 0
+    cache.keySet.forEach(k => if (k._1 eq s) n += 1)
+    n
+  }
+
+  def parquet(s: SparkSession, path: String): DataFrame = {
+    watch(s)
     cache.computeIfAbsent((s, path), { case (sess, p) =>
       val raw = sess.read.parquet(p)
       val fanOut = sess.conf
@@ -42,4 +73,5 @@ private[queries] object Tables {
       if (fanOut) raw.repartition(sess.sparkContext.defaultParallelism)
       else raw
     })
+  }
 }
