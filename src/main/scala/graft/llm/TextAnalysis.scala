@@ -238,6 +238,55 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Within-document duplicated n-gram coverage — the position-level
+    * Gopher repetition rule that [[repetitionSignals]]'s top-fraction
+    * only approximates: the fraction of a document's token POSITIONS
+    * lying inside some word `k`-gram that occurs MORE THAN ONCE in the
+    * same document, overlapping occurrences counted once. A doc that
+    * repeats one slogan five times and a doc whose every sentence
+    * half-repeats score the same under top-fraction; coverage
+    * separates them, which is why the production rule thresholds on
+    * coverage.
+    *
+    * Shape: the shared gram-hash front end ([[TextDedup.gramHashes]]'s
+    * window form, positions kept), a per-(doc, gh) count to find
+    * in-doc repeats, a doc-keyed self-join to explode each repeated
+    * occurrence into its covered positions, and one distinct + count.
+    * EVERY stage — gram window, repeat groupBy, coverage join,
+    * position distinct, final counts — is keyed by doc_id (or a
+    * doc_id-prefixed composite), so at 100 TB nothing shuffles across
+    * documents and all aggregates partial-combine map-side. Docs with
+    * fewer than `k` tokens have no grams and report coverage 0.
+    */
+  def dupGramCoverage(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tokh = TextDedup.spread(docs, "doc_id")
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
+    val grams = tokh
+      .withColumn("gh", TextDedup.gramExpr(k, TextFns.shingleCoef, w))
+      .filter(col("gh").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gh"))
+    val repeats = grams.groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("doc_id"), col("gh"))
+    val covered = grams.join(repeats, Seq("doc_id", "gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__cov"))
+    tokh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("__cov"), lit(0L)).as("n_covered"),
+        (coalesce(col("__cov"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_frac"))
+  }
+
   /** Token frequency: the corpus's top-`k` tokens by occurrence count
     * with document frequency (deterministic order: count desc, token).
     */

@@ -224,7 +224,7 @@ object TextDedup {
     * Incomplete trailing grams (and docs with < k tokens) null out
     * and drop.
     */
-  private def gramExpr(
+  private[llm] def gramExpr(
       k: Int, coef: Int => Long,
       w: org.apache.spark.sql.expressions.WindowSpec): org.apache.spark.sql.Column =
     (0 until k).map { j =>

@@ -2738,6 +2738,40 @@ object QueryPackExt {
       SELECT doc_id, n_toks, score, score >= threshold AS keep
       FROM scored, thr ORDER BY doc_id"""))
 
+  /** L97 (r8): within-doc duplicated n-gram coverage
+    * ([[TextAnalysis.dupGramCoverage]]) — the position-level Gopher
+    * repetition rule: fraction of token positions inside a 3-gram that
+    * repeats within the same document, overlaps counted once. The
+    * oracle mirrors the q111 coverage CTE with the repeat set scoped
+    * per document instead of across documents.
+    */
+  private val q117 = Q("q117_dup_gram_coverage",
+    (s, dir) => TextAnalysis.dupGramCoverage(t(s, dir, "documents"), k = 3)
+      .harnessSorted(col("doc_id")),
+    Some(s"""
+      WITH $ToksCte,
+      $TokhCte,
+      gr AS (
+        SELECT doc_id, pos,
+               ${gramSqlExpr(3, graft.llm.TextFns.shingleCoef)} AS gh
+        FROM tokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      gv AS (SELECT doc_id, pos, gh FROM gr WHERE gh IS NOT NULL),
+      rep AS (
+        SELECT doc_id, gh FROM gv
+        GROUP BY doc_id, gh HAVING count(*) >= 2),
+      cov AS (
+        SELECT DISTINCT g.doc_id, g.pos + o.o AS cpos
+        FROM gv g JOIN rep r ON g.doc_id = r.doc_id AND g.gh = r.gh,
+             LATERAL (SELECT unnest(generate_series(0, 2)) AS o) o),
+      cc AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id),
+      nt AS (SELECT doc_id, count(*) AS n_tokens FROM tokh GROUP BY doc_id)
+      SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(cc.n_covered, 0) AS BIGINT) AS n_covered,
+             CAST(coalesce(cc.n_covered, 0) AS DOUBLE) / nt.n_tokens
+               AS dup_frac
+      FROM nt LEFT JOIN cc ON nt.doc_id = cc.doc_id
+      ORDER BY nt.doc_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2745,7 +2779,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116)
+    q116, q117)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

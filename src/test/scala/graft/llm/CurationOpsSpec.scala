@@ -262,6 +262,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ma("a") - 50.0) <= 2.0 && math.abs(ma("b") - 49.0) <= 2.0)
   }
 
+  test("TextAnalysis.dupGramCoverage: overlaps counted once, short docs are 0") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      // "a b c" appears twice (pos 0-2, 4-6): covered {0,1,2,4,5,6} = 6/7
+      (1L, "a b c x a b c"),
+      // every 2 consecutive trigrams distinct, no repeats
+      (2L, "one two three four five"),
+      // overlapping repeats: "a a a" at pos 0,1,2 -> covers all 5
+      (3L, "a a a a a"),
+      // shorter than k: no grams, coverage 0
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupGramCoverage(d, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((7L, 6L, 6.0 / 7)))
+    assert(out(2L) === ((5L, 0L, 0.0)))
+    assert(out(3L) === ((5L, 5L, 1.0)))
+    assert(out(4L) === ((2L, 0L, 0.0)))
+  }
+
   test("Percentiles.groupedExact: two-phase form bit-identical to single-window") {
     val s = spark
     import s.implicits._
