@@ -507,4 +507,64 @@ object Similarity {
         aggregate(col("codes"), lit(0L), _ + _).as("code_sum"),
         aggregate(sqErrs, lit(0.0), _ + _).as("recon_err"))
   }
+
+  /** Per-group centroid cosine + outlier flag — the SemDeDup-class
+    * prune signal: vectors far from their group's mean embedding are
+    * mislabeled/garbled candidates a curation pipeline drops or
+    * reroutes. Emits `(vec_id, <groupCol>, sim, is_outlier)` where
+    * `sim` is the cosine to the group centroid and `is_outlier` marks
+    * sims below the group's exact `outlierFraction` quantile.
+    *
+    * Scale shape, stage by stage:
+    *  - centroids: `posexplode` + groupBy(group, pos) AVG. The explode
+    *    is a codegen pipeline (never materialized) and the aggregate
+    *    partial-combines map-side, so the shuffle carries at most
+    *    |groups|·dim rows PER INPUT PARTITION — metadata-sized however
+    *    big the corpus. Each mean is rounded to 3 decimals to absorb
+    *    summation-order ulps (the established avg-oracle contract), so
+    *    the centroid is a deterministic constant across engines.
+    *  - scoring: centroids broadcast (|groups|·dim doubles); one
+    *    corpus pass, cosine per row via the double-cast left-to-right
+    *    fold the oracle mirrors.
+    *  - threshold: [[graft.operators.Percentiles.groupedExact]] on the
+    *    rounded sims — the scale-aware exact-quantile operator (value-
+    *    histogram form, two-phase past its row probe), matched by SQL
+    *    `quantile_cont`. Thresholds broadcast back; the flag compares
+    *    at 6 decimals on both engines.
+    * Nothing in the plan shuffles the corpus except the gram-sized
+    * partial-agg outputs; NULL embeddings/groups are excluded.
+    */
+  def centroidOutliers(
+      emb: DataFrame,
+      groupCol: String = "label",
+      outlierFraction: Double = 0.05): DataFrame = {
+    require(outlierFraction > 0.0 && outlierFraction < 1.0,
+      "outlierFraction must be in (0, 1)")
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), _ + _)
+    val e = emb.filter(col("embedding").isNotNull && col(groupCol).isNotNull)
+    val cent = e
+      .select(col(groupCol), posexplode(col("embedding")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 3).as("cv"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("__centroid"))
+    val scored = e.join(broadcast(cent), Seq(groupCol))
+      .select(col("vec_id"), col(groupCol),
+        round(dotD(col("embedding"), col("__centroid")) /
+          (l2norm(col("embedding")) * sqrt(dotD(col("__centroid"),
+            col("__centroid")))), 9).as("sim"))
+    val thr = graft.operators.Percentiles
+      .groupedExact(scored, groupCol, "sim",
+        Seq(outlierFraction))
+      .select(col(groupCol),
+        round(col("p" + math.round(outlierFraction * 100)), 6).as("__thr"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .select(col("vec_id"), col(groupCol), col("sim"),
+        (round(col("sim"), 6) < col("__thr")).as("is_outlier"))
+  }
 }

@@ -2772,6 +2772,44 @@ object QueryPackExt {
       FROM nt LEFT JOIN cc ON nt.doc_id = cc.doc_id
       ORDER BY nt.doc_id"""))
 
+  /** L98 (r8): per-label centroid cosine + outlier flag
+    * ([[Similarity.centroidOutliers]]) — the SemDeDup-class embedding
+    * prune signal. Centroid means round to 3 decimals (the avg-oracle
+    * contract), sims to 9; the outlier threshold is the exact 5%
+    * quantile via [[graft.operators.Percentiles.groupedExact]],
+    * mirrored by `quantile_cont`, compared at 6 decimals.
+    */
+  private val q118 = Q("q118_centroid_outliers",
+    (s, dir) => Similarity.centroidOutliers(t(s, dir, "embeddings"),
+      groupCol = "label", outlierFraction = 0.05)
+      .harnessSorted(col("vec_id")),
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      cent AS (
+        SELECT label, gs AS pos,
+               round(avg(CAST(embedding[gs] AS DOUBLE)), 3) AS cv
+        FROM e,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS gs) g
+        GROUP BY label, gs),
+      cl AS (
+        SELECT label, list(cv ORDER BY pos) AS centroid
+        FROM cent GROUP BY label),
+      sc AS (
+        SELECT e.vec_id, e.label,
+               round(${dotSql("e.embedding", "cl.centroid")} /
+                     (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+                      sqrt(${dotSql("cl.centroid", "cl.centroid")})), 9)
+                 AS sim
+        FROM e JOIN cl USING (label)),
+      thr AS (
+        SELECT label, round(quantile_cont(sim, 0.05), 6) AS t
+        FROM sc GROUP BY label)
+      SELECT sc.vec_id, sc.label, sc.sim, round(sc.sim, 6) < thr.t AS is_outlier
+      FROM sc JOIN thr USING (label)
+      ORDER BY sc.vec_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2779,7 +2817,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117)
+    q116, q117, q118)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -283,6 +283,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) === ((2L, 0L, 0.0)))
   }
 
+  test("Similarity.centroidOutliers: planted outlier flagged, clean vectors kept") {
+    val s = spark
+    import s.implicits._
+    // label 0: 19 vectors near (1, 0, 0) + one planted at (-1, 0, 0);
+    // label 1: all identical (degenerate — sim 1.0 everywhere, and the
+    // p-quantile equals it, so nothing is strictly below the threshold)
+    val vecs = (0 until 19).map { i =>
+      (i.toLong, Array(1.0f, 0.01f * i, 0.0f), 0)
+    } :+ ((19L, Array(-1.0f, 0.0f, 0.0f), 0))
+    val same = (20 until 25).map(i => (i.toLong, Array(0.5f, 0.5f, 0.0f), 1))
+    val emb = (vecs ++ same).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(emb, "label", outlierFraction = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size === 25)
+    assert(out(19L)._2, "the anti-aligned vector must be the outlier")
+    assert(out(19L)._1 < 0.0)
+    assert((0 until 19).count(i => out(i.toLong)._2) <= 1,
+      "at most the quantile mass of clean vectors may be flagged")
+    assert((20 until 25).forall(i => !out(i.toLong)._2),
+      "a degenerate identical group has no strict-below-threshold rows")
+  }
+
   test("Percentiles.groupedExact: two-phase form bit-identical to single-window") {
     val s = spark
     import s.implicits._
