@@ -100,7 +100,11 @@ object Plans {
     "q113_source_quality_rank" ->
       "grouped percent-rank with NO grouped sort: per-(source, value) histograms cumulated over the per-source value domain, broadcast back — no single-partition exchange anywhere",
     "q115_ann_hnsw" ->
-      "sharded HNSW probe: graph build is mapPartitions over the repartitioned corpus (one serialized graph row per shard), every shard searched independently, k-per-(query, shard) merged by the bounded ObjectHashAggregate top-k — no cartesian, no scored-corpus window sort")
+      "sharded HNSW probe: graph build is mapPartitions over the repartitioned corpus (one serialized graph row per shard), every shard searched independently, k-per-(query, shard) merged by the bounded ObjectHashAggregate top-k — no cartesian, no scored-corpus window sort",
+    "q117_dup_gram_coverage" ->
+      "every stage doc_id-keyed: gram window, in-doc repeat groupBy, coverage join (doc_id, gh), position distinct, final counts — no cross-document shuffle, all aggregates partial (map-side), no cartesian",
+    "q118_centroid_outliers" ->
+      "centroid agg partial-combines map-side (shuffle carries |labels|*dim rows per partition); centroids AND quantile thresholds broadcast back (BroadcastHashJoin both) — the corpus is never shuffled, no window over vectors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -292,6 +292,26 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_"), p) // map-side partials on the stats agg
   }
 
+  test("q117: coverage stages stay doc_id-keyed — no cross-doc shuffle shapes") {
+    val p = planExt("q117_dup_gram_coverage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p) // repeat/coverage aggs combine map-side
+  }
+
+  test("q118: centroids and thresholds broadcast — the corpus is never shuffled") {
+    val p = planExt("q118_centroid_outliers")
+    // both the centroid join and the threshold join build broadcast
+    // sides; the corpus side is scanned, never exchanged on a key
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the quantile threshold rides the value HISTOGRAM (distinct sims
+    // per label — the q50 contract), never a ranking window over the
+    // raw vectors: any Window input hangs off a histogram aggregate
+    assert(!p.contains("row_number"), p)
+  }
+
   test("operator APIs return unsorted relations — no trailing range shuffle (r8)") {
     // The library entry points must not end in a total-order sort (the
     // harness wrappers sort for oracle determinism; a production caller
@@ -319,7 +339,9 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
       "shardStats" -> graft.llm.Sampling.shardStats(docs, 4, "s"),
       "corpusDigest" -> graft.llm.Curation.corpusDigest(docs),
       "importanceSelect" -> graft.llm.Dsir.importanceSelect(
-        docs, docs.filter(col("lang") === "en")))
+        docs, docs.filter(col("lang") === "en")),
+      "dupGramCoverage" -> graft.llm.TextAnalysis.dupGramCoverage(docs),
+      "centroidOutliers" -> graft.llm.Similarity.centroidOutliers(emb))
     ops.foreach { case (name, df) =>
       // walk from the root down to the first non-trivial operator: a
       // root-position SortExec (possibly under exchanges/AQE wrappers)
