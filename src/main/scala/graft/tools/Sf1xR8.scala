@@ -71,6 +71,17 @@ object Sf1xR8 {
       li10, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9)))
     graft.operators.Checkpoints.release(li10)
 
+    // --- r8 operators: dup-gram coverage and centroid outliers
+    for ((tag, dir) <- Seq("sf0.1" -> "/root/testdata/sf0.1", "10x" -> "/tmp/sf1x")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      best3(s"dupgram_$tag")(
+        graft.llm.TextAnalysis.dupGramCoverage(docs, k = 3))
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      best3(s"centroid_$tag")(
+        graft.llm.Similarity.centroidOutliers(emb, "label", 0.05))
+      graft.operators.Checkpoints.releaseLeaked(spark)
+    }
+
     // --- video container parse at 1k and 10k synthetic blobs
     import spark.implicits._
     def media(n: Int) = spark.range(n.toLong)
