@@ -530,7 +530,12 @@ object Similarity {
     *    rounded sims — the scale-aware exact-quantile operator (value-
     *    histogram form, two-phase past its row probe), matched by SQL
     *    `quantile_cont`. Thresholds broadcast back; the flag compares
-    *    at 6 decimals on both engines.
+    *    at 6 decimals on both engines. Rounded-to-9 sims keep the
+    *    histogram far below corpus size but its domain is not a priori
+    *    bounded; a corpus whose distinct-sim count rivals its row
+    *    count should route the threshold through
+    *    [[graft.operators.Percentiles.grouped]] (the L93 exact-vs-
+    *    sketch switch) and accept a rank-error band on the flag.
     * Nothing in the plan shuffles the corpus except the gram-sized
     * partial-agg outputs; NULL embeddings/groups are excluded.
     */

@@ -65,8 +65,11 @@ object Percentiles {
     //    (Measured at 10x lineitem, 6M rows: 7.96 s single-window vs
     //    4.14 s two-phase; at sf0.1 the extra stages cost ~0.7 s,
     //    hence the switch.)
+    // clamp before toInt: a Long threshold above Int.MaxValue must mean
+    // "always single-window", not wrap negative into limit()
+    val probeCap = math.min(twoPhaseThreshold, Int.MaxValue - 1L).toInt
     val cum =
-      if (rows.limit(twoPhaseThreshold.toInt + 1).count() <= twoPhaseThreshold) {
+      if (rows.limit(probeCap + 1).count() <= probeCap) {
         val byValue = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wholeGroup = Window.partitionBy(col(groupCol))
