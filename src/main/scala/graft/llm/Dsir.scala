@@ -73,9 +73,13 @@ object Dsir {
 
     // exact quantile threshold over the (rounded) score distribution —
     // histogram interpolation, never a buffered group
+    // form routing probes the RAW scan (doc count upper-bounds the
+    // scored count), so the token-bucket scoring pass never
+    // re-executes just to pick the histogram form
     val thr = graft.operators.Percentiles
       .groupedExact(scored.withColumn("g", lit(1)), "g", "score",
-        Seq(1.0 - keepFraction))
+        Seq(1.0 - keepFraction),
+        twoPhaseThreshold = graft.operators.Percentiles.formSentinel(raw))
       .select(col("p" + math.round((1.0 - keepFraction) * 100))
         .as("threshold"))
     scored.crossJoin(broadcast(thr))

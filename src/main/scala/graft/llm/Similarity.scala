@@ -563,9 +563,13 @@ object Similarity {
         round(dotD(col("embedding"), col("__centroid")) /
           (l2norm(col("embedding")) * sqrt(dotD(col("__centroid"),
             col("__centroid")))), 9).as("sim"))
+    // route the percentile form by probing the SCAN, not the scored
+    // subplan — |scored| == |e| (the centroid join is inner on a
+    // complete key set), so the cosine pipeline never re-executes
     val thr = graft.operators.Percentiles
       .groupedExact(scored, groupCol, "sim",
-        Seq(outlierFraction))
+        Seq(outlierFraction),
+        twoPhaseThreshold = graft.operators.Percentiles.formSentinel(e))
       .select(col(groupCol),
         round(col("p" + math.round(outlierFraction * 100)), 6).as("__thr"))
     scored.join(broadcast(thr), Seq(groupCol))

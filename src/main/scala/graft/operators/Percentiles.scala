@@ -65,11 +65,18 @@ object Percentiles {
     //    (Measured at 10x lineitem, 6M rows: 7.96 s single-window vs
     //    4.14 s two-phase; at sf0.1 the extra stages cost ~0.7 s,
     //    hence the switch.)
-    // clamp before toInt: a Long threshold above Int.MaxValue must mean
-    // "always single-window", not wrap negative into limit()
-    val probeCap = math.min(twoPhaseThreshold, Int.MaxValue - 1L).toInt
+    // Sentinel thresholds skip the probe JOB entirely — for callers
+    // that already know their scale (the resolveBits "caller knows the
+    // corpus" convention): <= 0 forces two-phase, >= Int.MaxValue
+    // forces single-window; anything between probes with a bounded
+    // limit+count (clamped before toInt so a large Long can't wrap
+    // negative into limit()).
+    val single =
+      if (twoPhaseThreshold <= 0L) false
+      else if (twoPhaseThreshold >= Int.MaxValue.toLong) true
+      else rows.limit(twoPhaseThreshold.toInt + 1).count() <= twoPhaseThreshold
     val cum =
-      if (rows.limit(probeCap + 1).count() <= probeCap) {
+      if (single) {
         val byValue = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wholeGroup = Window.partitionBy(col(groupCol))
@@ -122,6 +129,21 @@ object Percentiles {
     cum.groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Resolve [[groupedExact]]'s form sentinel by probing a CHEAP
+    * upstream frame whose row count equals (or upper-bounds) the
+    * scored frame's — so callers whose percentile input is an
+    * expensive derived subplan (a cosine join, a token-bucket scoring
+    * pass) never re-execute it just to route: the probe is one bounded
+    * scan of `cheap`, and the returned sentinel makes the
+    * [[groupedExact]] call itself probe-free.
+    */
+  def formSentinel(cheap: DataFrame, twoPhaseThreshold: Long = 2000000L): Long =
+    if (twoPhaseThreshold <= 0L || twoPhaseThreshold >= Int.MaxValue.toLong)
+      twoPhaseThreshold
+    else if (cheap.limit(twoPhaseThreshold.toInt + 1).count() <= twoPhaseThreshold)
+      Long.MaxValue
+    else 0L
 
   /** Sketch twin: `percentile_approx` per prob — bounded-memory
     * mergeable state, the only form for unhistogrammable domains.

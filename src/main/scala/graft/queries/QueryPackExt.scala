@@ -666,9 +666,12 @@ object QueryPackExt {
       val sketches = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("approx_median"))
-      // exact median via histogram interpolation (no group buffering)
+      // exact median via histogram interpolation (no group buffering);
+      // the harness knows its SF — pin the single-window form (the
+      // resolveBits caller-knows convention) instead of paying a probe
       val exactMedian = graft.operators.Percentiles
-        .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5),
+          twoPhaseThreshold = Long.MaxValue)
         .select(col("l_returnflag"), col("p50").as("exact_median"))
       sketches // 3-row frames: the joins broadcast
         .join(exactMedian, "l_returnflag")
@@ -698,7 +701,9 @@ object QueryPackExt {
     // percentile()/quantile_cont, state bounded by distinct values
     (s, dir) => graft.operators.Percentiles
       .groupedExact(t(s, dir, "lineitem"), "l_returnflag",
-        "l_extendedprice", Seq(0.5, 0.9))
+        "l_extendedprice", Seq(0.5, 0.9),
+        // harness pins the small-SF single-window form (caller-knows)
+        twoPhaseThreshold = Long.MaxValue)
       .select(col("l_returnflag"),
         round(col("p50"), 6).as("p50"),
         round(col("p90"), 6).as("p90"), col("n"))
