@@ -11,10 +11,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Data-proportional partition counts (r8). A fixed cpus-wide
+    // shuffle is the wrong config at EVERY scale, just in different
+    // directions: at the bench's ~17 MB inputs, 32-task stages are
+    // pure scheduling overhead (measured: suite 74 s at 32 parts vs
+    // 36 s at 4/8), and at production sizes a core-count shuffle
+    // under-splits. Size both knobs from total input bytes — the same
+    // policy Spark itself applies to scan splits via bytesPerCore —
+    // clamped to the core count, which production volumes always hit.
+    // A vectorized engine does the equivalent resizing per-operator
+    // via morsel scheduling; this is the session-level analog.
+    val totalBytes = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    def derivedParts(targetBytes: Long, minParts: Int): Int =
+      math.max(minParts, math.min(cpus.toInt,
+        (totalBytes / targetBytes).toInt)) // floor: fractional partitions cost a task
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+      derivedParts(4 << 20, 2).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       // parallelism-first coalescing (the default) MEASURED BETTER here
       // than size-first (68.5 s vs 78.8 s): size-first collapses the
       // histogram/value-domain aggregation stages to one task, which
@@ -81,7 +97,8 @@ object Bench {
       else {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_bench_sf").toString
-        val parts = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_PARTS", cpus).toInt
+        val parts = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_PARTS",
+          derivedParts(2 << 20, 4).toString).toInt
         Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
           .filter(_.getName.endsWith(".parquet"))
           .foreach { f =>
