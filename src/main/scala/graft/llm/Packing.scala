@@ -114,4 +114,50 @@ object Packing {
           greatest(sum(col("pad")) + sum(col("len")), lit(1L)), 9)
           .as("pad_frac"))
   }
+
+  /** Fixed-stride overlapping window chunking — the serving/indexing
+    * twin of [[packBlocks]]'s training batching: each document is cut
+    * into `size`-token chunks whose starts advance by
+    * `size - overlap`, so consecutive chunks share `overlap` tokens
+    * of context (retrieval passages, context-window splits, embedding
+    * inputs). Emits one row per chunk: `(doc_id, chunk_idx,
+    * start_tok, n_toks, chunk_text, chunk_hash)`; the final chunk may
+    * be short, a doc with ≤ `size` tokens is exactly one chunk, and a
+    * zero-token doc emits none. `chunk_hash` (60-bit md5) keys
+    * downstream chunk-level dedup without re-tokenizing.
+    *
+    * Scale: pure per-row arithmetic — tokenize, an integer chunk-count
+    * expression, one `posexplode` over the chunk index range, and
+    * `slice` per chunk, all inside whole-stage codegen; no shuffle at
+    * all, output is doc_id-clustered for free. Output volume is
+    * input × (1 + overlap/stride) — the overlap factor, not a blowup.
+    */
+  def strideChunks(
+      docs: DataFrame,
+      chunkSize: Int = 128,
+      overlap: Int = 32): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val stride = chunkSize - overlap
+    val n = size(col("__w"))
+    // chunks = 1 + ceil((n - size)/stride) for n > size, else 1 —
+    // integer form (a + b - 1) / b with positive operands only
+    val lastIdx = when(n <= chunkSize, lit(0))
+      .otherwise(((n - chunkSize + (stride - 1)) / lit(stride)).cast("int"))
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"), col("__w"), n.as("__n"),
+        posexplode(sequence(lit(0), lastIdx)))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        least(lit(chunkSize), col("__n") - col("pos") * stride)
+          .cast("long").as("n_toks"),
+        array_join(slice(col("__w"), col("pos") * stride + 1, lit(chunkSize)),
+          " ").as("chunk_text"))
+      .withColumn("chunk_hash", TextFns.hash60(col("chunk_text")))
+  }
 }

@@ -2815,6 +2815,36 @@ object QueryPackExt {
       FROM sc JOIN thr USING (label)
       ORDER BY sc.vec_id"""))
 
+  /** L99 (r8): fixed-stride overlapping window chunking
+    * ([[graft.llm.Packing.strideChunks]]) — retrieval-passage /
+    * context-window splits with shared-overlap context; pure per-row
+    * codegen, no shuffle. chunkSize=32/overlap=8 so the ~50-token
+    * test docs produce multi-chunk output.
+    */
+  private val q119 = Q("q119_stride_chunks",
+    (s, dir) => graft.llm.Packing.strideChunks(t(s, dir, "documents"),
+      chunkSize = 32, overlap = 8)
+      .harnessSorted(col("doc_id"), col("chunk_idx")),
+    Some(s"""
+      WITH $ToksCte,
+      ne AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+      idx AS (
+        SELECT doc_id, w, n, gs AS chunk_idx
+        FROM ne,
+             LATERAL (SELECT unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE (n - 32 + 23) // 24 END)) AS gs) g),
+      ch AS (
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+               CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_toks,
+               array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
+                 ' ') AS chunk_text
+        FROM idx)
+      SELECT doc_id, chunk_idx, start_tok, n_toks, chunk_text,
+             ${h60("chunk_text")} AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -2822,7 +2852,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118)
+    q116, q117, q118, q119)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -283,6 +283,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) === ((2L, 0L, 0.0)))
   }
 
+  test("Packing.strideChunks: boundaries, overlap continuity, edge docs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks
+      (2L, "a b c"),                                  // <= size: 1 chunk
+      (3L, (1 to 4).map(i => s"x$i").mkString(" ")),  // exactly size: 1 chunk
+      (4L, "")).toDF("doc_id", "text")                // empty: none
+    val out = graft.llm.Packing.strideChunks(d, chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // stride 3: starts 0,3,6 cover 10 toks (last chunk is the 7..10 tail)
+    assert(out((1L, 0L)) === ((0L, 4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) === ((3L, 4L, "t4 t5 t6 t7")))
+    assert(out((1L, 2L)) === ((6L, 4L, "t7 t8 t9 t10")))
+    // overlap continuity: chunk i's last token is chunk i+1's first
+    assert(out((1L, 1L))._3.startsWith("t4") && out((1L, 0L))._3.endsWith("t4"))
+    assert(out((2L, 0L)) === ((0L, 3L, "a b c")))
+    assert(out((3L, 0L)) === ((0L, 4L, "x1 x2 x3 x4")))
+    assert(!out.keySet.exists(_._1 == 4L))
+    assert(out.size === 5)
+  }
+
   test("Similarity.centroidOutliers: planted outlier flagged, clean vectors kept") {
     val s = spark
     import s.implicits._
