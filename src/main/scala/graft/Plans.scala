@@ -104,7 +104,9 @@ object Plans {
     "q117_dup_gram_coverage" ->
       "every stage doc_id-keyed: gram window, in-doc repeat groupBy, coverage join (doc_id, gh), position distinct, final counts — no cross-document shuffle, all aggregates partial (map-side), no cartesian",
     "q118_centroid_outliers" ->
-      "centroid agg partial-combines map-side (shuffle carries |labels|*dim rows per partition); centroids AND quantile thresholds broadcast back (BroadcastHashJoin both) — the corpus is never shuffled, no window over vectors")
+      "centroid agg partial-combines map-side (shuffle carries |labels|*dim rows per partition); centroids AND quantile thresholds broadcast back (BroadcastHashJoin both) — the corpus is never shuffled, no window over vectors",
+    "q119_stride_chunks" ->
+      "pure per-row chunking: tokenize + integer chunk count + posexplode + slice, ALL inside one WholeStageCodegen span over the scan — zero exchanges before the harness sort, output doc-clustered for free")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

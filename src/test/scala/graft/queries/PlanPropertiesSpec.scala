@@ -312,6 +312,13 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("q119: chunking is one codegen span over the scan — no exchange before the sort") {
+    val p = planExt("q119_stride_chunks")
+    // exactly the harness-sort exchange and nothing else
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
   test("operator APIs return unsorted relations — no trailing range shuffle (r8)") {
     // The library entry points must not end in a total-order sort (the
     // harness wrappers sort for oracle determinism; a production caller
@@ -341,7 +348,8 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
       "importanceSelect" -> graft.llm.Dsir.importanceSelect(
         docs, docs.filter(col("lang") === "en")),
       "dupGramCoverage" -> graft.llm.TextAnalysis.dupGramCoverage(docs),
-      "centroidOutliers" -> graft.llm.Similarity.centroidOutliers(emb))
+      "centroidOutliers" -> graft.llm.Similarity.centroidOutliers(emb),
+      "strideChunks" -> graft.llm.Packing.strideChunks(docs))
     ops.foreach { case (name, df) =>
       // walk from the root down to the first non-trivial operator: a
       // root-position SortExec (possibly under exchanges/AQE wrappers)
