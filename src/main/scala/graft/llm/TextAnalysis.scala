@@ -218,15 +218,25 @@ object TextAnalysis {
     * corpus-global.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val d = TextDedup.spread(docs, "doc_id")
-    val uni = d
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    // One tokenize+explode pass feeds BOTH signals (r8 — the two
+    // separate explode pipelines each re-scanned and re-tokenized the
+    // corpus): bigrams come from a window `lead` over the positioned
+    // token frame, whose doc_id exchange both branch aggregations then
+    // reuse (ReusedExchange — the doc_id-prefixed groupBys partial-
+    // aggregate on top of it without a second corpus shuffle).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = TextDedup.spread(docs, "doc_id")
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .withColumn("bg",
+        when(lead(col("tok"), 1).over(w).isNotNull,
+          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w))))
+    val uni = tok
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_uni"))
-    val bi = d
-      .select(col("doc_id"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("bg"))
+    val bi = tok
+      .filter(col("bg").isNotNull)
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("max_bi"))
     uni.join(bi, Seq("doc_id"), "left")
