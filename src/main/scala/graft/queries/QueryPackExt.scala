@@ -673,13 +673,29 @@ object QueryPackExt {
         .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5),
           twoPhaseThreshold = Long.MaxValue)
         .select(col("l_returnflag"), col("p50").as("exact_median"))
-      sketches // 3-row frames: the joins broadcast
-        .join(exactMedian, "l_returnflag")
-        .join(distinctPass("l_partkey", "exact_parts", "approx_parts",
-          rsd = 0.05), "l_returnflag")
-        .join(distinctPass("l_suppkey", "exact_supps", "approx_supps",
-          rsd = 0.01), "l_returnflag")
-        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+      // combine the four 3-row branch results by UNION + one final agg
+      // instead of a chain of three broadcast joins: every branch then
+      // executes as a parallel stage of ONE job (no broadcast-build
+      // dependency chain), and `max` over the sparse union picks each
+      // branch's value (r8 — 1.46 s -> measured below)
+      val wide = Seq("approx_median", "exact_median", "exact_parts",
+        "approx_parts", "exact_supps", "approx_supps")
+      def widen(df: DataFrame): DataFrame =
+        df.select(col("l_returnflag") +: wide.map(c =>
+          (if (df.columns.contains(c)) col(c) else lit(null))
+            .cast("double").as(c)): _*)
+      widen(sketches)
+        .unionByName(widen(exactMedian))
+        .unionByName(widen(distinctPass("l_partkey", "exact_parts",
+          "approx_parts", rsd = 0.05)))
+        .unionByName(widen(distinctPass("l_suppkey", "exact_supps",
+          "approx_supps", rsd = 0.01)))
+        .groupBy(col("l_returnflag"))
+        .agg(wide.map(c => max(col(c)).as(c)).head,
+          wide.tail.map(c => max(col(c)).as(c)): _*)
+        .select(col("l_returnflag"),
+          col("exact_parts").cast("long").as("exact_parts"),
+          col("exact_supps").cast("long").as("exact_supps"),
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.15).as("parts_ok"),
           (abs(col("approx_supps") - col("exact_supps"))
