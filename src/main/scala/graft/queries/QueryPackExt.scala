@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.embl.FlagshipFixture
 import graft.llm.{Pii, Similarity, TextAnalysis, TextDedup}
