@@ -86,15 +86,40 @@ object Percentiles {
           .withColumn("__n", sum(col("__c")).over(wholeGroup))
       } else {
         val nBuckets = 256
+        // Bucketing only has to be ORDER-PRESERVING (b(a) <= b(b)
+        // whenever a <= b under the window's sort order); the in-bucket
+        // window does the exact ordering. Non-finite inputs need
+        // explicit routing, or they silently DIVERGE from the
+        // single-window form (r8 ADVICE):
+        //  - NaN sorts LAST under Spark's ordering, so it must land in
+        //    the top bucket (a NaN-poisoned floor()/least() chain would
+        //    otherwise place it arbitrarily);
+        //  - mn/mx must exclude NaN, or one NaN makes span NaN and
+        //    every bucket id NaN for the whole group;
+        //  - __b must be NON-NULL by construction: a null bucket id
+        //    drops the row at the (group, __b) equi-join below while
+        //    its count still rides __n — rank space shifts and rows
+        //    vanish. A value whose double cast is null (non-numeric
+        //    input) pins to bucket 0 instead of dropping.
+        // ±Inf needs no special case: an infinite span collapses the
+        // group into one bucket (degenerate but order-preserving; the
+        // in-bucket sort restores exactness).
+        val v = col(valueCol).cast("double")
+        val finite = !isnan(v) && v =!= Double.PositiveInfinity &&
+          v =!= Double.NegativeInfinity
         val stats = hist.groupBy(col(groupCol))
-          .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
-        val span = col("__mx").cast("double") - col("__mn").cast("double")
+          .agg(min(when(!isnan(v), v)).as("__mn"),
+            max(when(!isnan(v), v)).as("__mx"))
+        val span = col("__mx") - col("__mn")
         val histB = hist.join(broadcast(stats), Seq(groupCol))
           .withColumn("__b",
-            when(span === 0.0, lit(0)).otherwise(
-              least(floor((col(valueCol).cast("double") -
-                col("__mn").cast("double")) / (span / nBuckets)),
-                lit(nBuckets - 1.0)).cast("int")))
+            when(v.isNull, lit(0))
+              .when(isnan(v), lit(nBuckets - 1))
+              .when(span === 0.0, lit(0))
+              .otherwise(coalesce(
+                greatest(least(floor((v - col("__mn")) / (span / nBuckets)),
+                  lit(nBuckets - 1.0)), lit(0.0)).cast("int"),
+                lit(0))))
           .drop("__mn", "__mx")
         val bt = histB.groupBy(col(groupCol), col("__b"))
           .agg(sum(col("__c")).as("__bt"))
