@@ -47,17 +47,31 @@ object QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.parquet(s, s"$dir/$name.parquet")
 
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read natively (PARQUET_TYPE_ILLEGAL). Read `ts` as a nanosecond
-    * long (legacy conf) and convert to a microsecond timestamp — every
-    * events oracle truncates to ≥second granularity, so us precision is
-    * lossless for the compare. `ts div 1000` stays in integer math (a
-    * double division would lose precision on ~1.7e18 ns epoch values).
+  /** Normalize the events table's `ts` to a session-tz TIMESTAMP
+    * regardless of how the generator wrote it. Two layouts observed
+    * across testdata generations:
+    *   - TIMESTAMP(NANOS), which Spark 4 refuses to read natively
+    *     (PARQUET_TYPE_ILLEGAL) — read as a nanosecond long (legacy
+    *     conf) and convert via integer `div 1000` (a double division
+    *     would lose precision on ~1.7e18 ns epoch values);
+    *   - timestamp[us] with isAdjustedToUTC=false — read natively as
+    *     TIMESTAMP_NTZ; the session tz is pinned to UTC everywhere
+    *     (Bench/Verify/tests), so the cast is wall-clock-identical to
+    *     DuckDB's naive-TIMESTAMP read of the same file.
+    * Every events oracle truncates to ≥second granularity, so both
+    * paths are lossless for the compare.
     */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.parquet(s, s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.parquet(s, s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or date): wall-clock cast under UTC session
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** exact-decimal cast for money columns */
