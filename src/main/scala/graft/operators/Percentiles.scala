@@ -105,8 +105,6 @@ object Percentiles {
         // group into one bucket (degenerate but order-preserving; the
         // in-bucket sort restores exactness).
         val v = col(valueCol).cast("double")
-        val finite = !isnan(v) && v =!= Double.PositiveInfinity &&
-          v =!= Double.NegativeInfinity
         val stats = hist.groupBy(col(groupCol))
           .agg(min(when(!isnan(v), v)).as("__mn"),
             max(when(!isnan(v), v)).as("__mx"))

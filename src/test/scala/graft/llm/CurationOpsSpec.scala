@@ -332,12 +332,22 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
   test("Percentiles.groupedExact: two-phase form bit-identical to single-window") {
     val s = spark
     import s.implicits._
-    // ties, negatives, a constant group (span=0 bucket edge), and a
-    // singleton group — the bucket-boundary cases the two-phase
-    // decomposition has to get right
+    // ties, negatives, a constant group (span=0 bucket edge), a
+    // singleton group, and non-finite values — the bucket-boundary
+    // cases the two-phase decomposition has to get right. NaN sorts
+    // LAST under Spark's ordering (so it must reach the top bucket),
+    // ±Inf collapses the bucket span, and a group mixing all three
+    // exercises the NaN-excluded min/max stats — exactly the r8-ADVICE
+    // divergence the when-chain routing fixed
     val d = ((1 to 200).map(i => ("a", (i % 37).toDouble - 5.0)) ++
       (1 to 50).map(_ => ("c", 7.0)) ++
-      Seq(("s", 42.0))).toDF("g", "v")
+      Seq(("s", 42.0)) ++
+      (1 to 20).map(i => ("nan", if (i % 4 == 0) Double.NaN else i.toDouble)) ++
+      Seq(("inf", Double.NegativeInfinity), ("inf", -1.0), ("inf", 3.0),
+        ("inf", Double.PositiveInfinity)) ++
+      Seq(("mix", Double.NaN), ("mix", Double.PositiveInfinity),
+        ("mix", Double.NegativeInfinity), ("mix", 0.0), ("mix", 5.0)) ++
+      Seq(("allnan", Double.NaN), ("allnan", Double.NaN))).toDF("g", "v")
     val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
     val one = graft.operators.Percentiles
       .groupedExact(d, "g", "v", probs)
@@ -348,11 +358,23 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     val tp = two.queryExecution.analyzed.toString
     assert(tp.contains("__b"), tp)
     val k = (r: org.apache.spark.sql.Row) => r.getString(0)
-    val o = one.collect().map(r => k(r) -> r.toSeq).toMap
-    val t = two.collect().map(r => k(r) -> r.toSeq).toMap
+    // "bit-identical" literally: NaN compares unequal to itself under
+    // Scala numeric ==, so compare doubles by their raw bit pattern
+    val bits = (s: Seq[Any]) => s.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case x => x
+    }
+    val o = one.collect().map(r => k(r) -> bits(r.toSeq)).toMap
+    val t = two.collect().map(r => k(r) -> bits(r.toSeq)).toMap
     assert(o === t)
     // and the values themselves are the interpolated ranks
-    assert(o("s")(1) === 42.0 && o("c")(3) === 7.0)
+    val b = (d: Double) => java.lang.Double.doubleToLongBits(d)
+    assert(o("s")(1) === b(42.0) && o("c")(3) === b(7.0))
+    // the NaN/Inf routing keeps finite ranks exact: p0 of the NaN-mixed
+    // group is its smallest finite value, p50 of the ±Inf/NaN group is
+    // the middle of the 5-value sort order (NaN last)
+    assert(o("nan")(1) === b(1.0) && o("mix")(3) === b(5.0))
+    assert(o("allnan")(3) === b(Double.NaN))
   }
 
   test("Dsir.importanceSelect: target-like docs outrank, keepFraction=1 keeps all") {
