@@ -198,10 +198,15 @@ object Curation {
             col("text").rlike(Pii.Ipv4Re) ||
             col("text").rlike(Pii.PhoneRe), 1L).otherwise(0L))
           .as("__pii"))
+    // n_dups subtracts the count of NON-NULL distinct contents: SQL's
+    // count(DISTINCT md5(text)) excludes NULL, so every null-text doc
+    // is a dup copy — counting the null-hash group as one distinct
+    // content would undercount n_dups by one on corpora with null text
     val stats = perContent.agg(
       coalesce(sum(col("__cnt")), lit(0L)).as("n_docs"),
       sum(col("__toks")).as("n_tokens"),
-      (coalesce(sum(col("__cnt")), lit(0L)) - count(lit(1))).as("n_dups"),
+      (coalesce(sum(col("__cnt")), lit(0L)) -
+        count(when(col("__ch").isNotNull, 1))).as("n_dups"),
       coalesce(sum(col("__pii")), lit(0L)).as("n_pii_docs"))
     val clean = Decontaminate
       .decontaminate(docs, evalDocs, shingleK, maxOverlap)

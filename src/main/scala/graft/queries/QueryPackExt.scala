@@ -2181,14 +2181,24 @@ object QueryPackExt {
   private val q100 = Q("q100_release_gate",
     (s, dir) => {
       val d = t(s, dir, "documents")
+      // the corpus carries one synthetic NULL-text doc: the oracle's
+      // count(DISTINCT md5(text)) excludes NULL, so a null-text doc
+      // must count as a dup copy — this fixture row makes the oracle
+      // actually gate that semantic (it would pass vacuously otherwise)
+      val nullDoc = d.sparkSession.range(1)
+        .select(lit(-1L).as("doc_id"), lit(null).cast("string").as("text"))
       graft.llm.Curation.releaseGate(
-        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text"))
+          .unionByName(nullDoc),
         d.filter(col("doc_id") % 20 === 0))
     },
     Some(s"""
-      WITH toks AS (
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+        UNION ALL SELECT -1, NULL),
+      toks AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-        FROM documents WHERE doc_id % 20 <> 0), ${gramCtes(3)},
+        FROM corpus), ${gramCtes(3)},
       evtoks AS (
         SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
         FROM documents WHERE doc_id % 20 = 0),
@@ -2209,7 +2219,7 @@ object QueryPackExt {
                  CASE WHEN sz.n_grams IS NULL THEN 0.0
                       ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / sz.n_grams
                  END AS overlap
-          FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) b
+          FROM (SELECT doc_id FROM corpus) b
           LEFT JOIN sizes sz USING (doc_id)
           LEFT JOIN hits h USING (doc_id)) z
         WHERE overlap <= 0.2),
@@ -2219,14 +2229,14 @@ object QueryPackExt {
         FROM toks),
       dups AS (
         SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dups
-        FROM documents WHERE doc_id % 20 <> 0),
+        FROM corpus),
       pii AS (
         SELECT CAST(count(*) FILTER (WHERE
                  regexp_matches(text, '${graft.llm.Pii.EmailRe}')
                  OR regexp_matches(text, '${graft.llm.Pii.Ipv4Re}')
                  OR regexp_matches(text, '${graft.llm.Pii.PhoneRe}'))
                AS BIGINT) AS n_pii_docs
-        FROM documents WHERE doc_id % 20 <> 0)
+        FROM corpus)
       SELECT base.n_docs, base.n_tokens,
              CAST(dups.n_dups AS DOUBLE) / base.n_docs AS dup_frac,
              CAST(pii.n_pii_docs AS DOUBLE) / base.n_docs AS pii_doc_frac,

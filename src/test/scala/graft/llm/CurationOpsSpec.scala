@@ -192,6 +192,26 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(lax.getAs[Boolean]("release_ok"))
   }
 
+  test("releaseGate: null-text docs count as dup copies (NULL-excluding distinct)") {
+    val s = spark
+    import s.implicits._
+    // SQL count(DISTINCT md5(text)) excludes NULL, so n_dups over
+    // {a, a, NULL, NULL, b} is 5 - 2 = 3: one dup copy of a, and BOTH
+    // null-text docs (the null-hash group contributes no distinct
+    // content). The old fused form counted the null group as one
+    // distinct -> n_dups=2, dup_frac off by 1/n_docs.
+    val corpus = Seq(
+      (1L, Option("alpha beta gamma")), (2L, Option("alpha beta gamma")),
+      (3L, Option.empty[String]), (4L, Option.empty[String]),
+      (5L, Option("delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "benchmark only text nothing shared"))
+      .toDF("doc_id", "text")
+    val row = graft.llm.Curation.releaseGate(corpus, eval).collect().head
+    assert(row.getAs[Long]("n_docs") === 5L)
+    assert(row.getAs[Double]("dup_frac") === 3.0 / 5.0)
+  }
+
   test("kmeansStep: census covers every vector, cells from the label space") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
