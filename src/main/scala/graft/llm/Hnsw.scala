@@ -253,9 +253,20 @@ object Hnsw {
 
   // ------------------------------------------------------- serialization
 
+  /** Shard byte layout is versioned: the r8 addition of per-node norms
+    * changed the format in place, so stale persisted bytes read as
+    * garbage vectors instead of failing. A magic word + format version
+    * up front makes any layout change (or foreign bytes) an immediate,
+    * actionable error rather than silent corruption.
+    */
+  private[llm] val FormatMagic = 0x48574e53 // "HWNS"
+  private[llm] val FormatVersion = 2 // v2 = per-node norms after vecs
+
   def toBytes(g: ShardGraph): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
+    o.writeInt(FormatMagic)
+    o.writeInt(FormatVersion)
     o.writeInt(g.ids.length)
     o.writeInt(if (g.vecs.isEmpty) 0 else g.vecs(0).length)
     o.writeInt(g.entry)
@@ -273,6 +284,15 @@ object Hnsw {
 
   def fromBytes(b: Array[Byte]): ShardGraph = {
     val in = new DataInputStream(new ByteArrayInputStream(b))
+    val magic = in.readInt()
+    require(magic == FormatMagic,
+      f"not an HNSW shard: leading word 0x$magic%08x != 0x$FormatMagic%08x " +
+        "(bytes predate the versioned format or are not an index at all); " +
+        "rebuild the index with hnswIndex/writeHnswIndex")
+    val version = in.readInt()
+    require(version == FormatVersion,
+      s"HNSW shard format version $version, this build reads $FormatVersion; " +
+        "rebuild the index with hnswIndex/writeHnswIndex")
     val n = in.readInt(); val dim = in.readInt(); val entry = in.readInt()
     val ids = Array.fill(n)(in.readLong())
     val levels = Array.fill(n)(in.readInt())

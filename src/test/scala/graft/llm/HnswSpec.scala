@@ -23,6 +23,30 @@ class HnswSpec extends AnyFunSuite with SparkSpec {
     assert(g2.ids.toSeq === g.ids.toSeq && g2.entry === g.entry)
   }
 
+  test("fromBytes rejects unversioned/stale/foreign bytes with an actionable error") {
+    // pre-v2 bytes had no header: their first word is a (small) node
+    // count, which can never equal the magic word — reading them must
+    // fail fast, not deserialize garbage vectors
+    val stale = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(2); o.writeInt(3); o.writeInt(0) // n, dim, entry (v1 shape)
+      (1 to 2).foreach(i => o.writeLong(i.toLong))
+      bos.toByteArray
+    }
+    val e1 = intercept[IllegalArgumentException](Hnsw.fromBytes(stale))
+    assert(e1.getMessage.contains("rebuild the index"))
+    // a versioned header with the wrong version names both versions
+    val wrongVer = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(Hnsw.FormatMagic); o.writeInt(Hnsw.FormatVersion + 1)
+      bos.toByteArray
+    }
+    val e2 = intercept[IllegalArgumentException](Hnsw.fromBytes(wrongVer))
+    assert(e2.getMessage.contains(s"version ${Hnsw.FormatVersion + 1}"))
+  }
+
   test("build is deterministic under input row order") {
     val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
