@@ -265,9 +265,20 @@ object Similarity {
       k: Int = 3): DataFrame = {
     val (cent, cells) = ivfTrain(emb, dims)
     ivfProbe(cent, cells,
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      localizeQueries(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
       nProbe, k)
+  }
+
+  /** Collect a CALLER-BOUNDED query frame (nQueries rows by the
+    * caller's own parameter — the Hnsw.scala probe convention) into a
+    * LocalRelation: the probe side's broadcast then builds from local
+    * rows with no scan job, removing one corpus scan per probe call.
+    */
+  def localizeQueries(queries: DataFrame): DataFrame = {
+    val rows = queries.collect()
+    queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), queries.schema)
   }
 
   /** The IVF "train" step alone: `(centroids(ccell, cv), inverted
@@ -276,41 +287,70 @@ object Similarity {
     */
   def ivfTrain(emb: DataFrame, dims: Int = 64): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val e = TextDedup.spread(emb, "vec_id")
+    // No spread()/repartition here (r11): the centroid aggregate is
+    // map-side partial anyway, and nearest-centroid assignment is a
+    // map-only projection that inherits the scan's split parallelism —
+    // forcing an exchange cost a full-corpus shuffle per index build
+    // and bought nothing at any scale. (Persisting the inverted file
+    // re-clusters explicitly: writeIvfIndex buckets on `cell`.)
+    val e = emb.select(col("vec_id"), col("embedding"), col("label"))
 
-    // The centroid table is tiny by construction (one row per cell) but
-    // its derivation is a corpus-wide 64-avg aggregate — pin it so each
-    // downstream broadcast (cells here, probe ranking, kmeans re-est)
-    // reuses the one computed copy instead of re-running the pass.
-    val cent = e.groupBy(col("label"))
+    // The centroid table is tiny BY CONSTRUCTION (one row per cell) but
+    // its derivation is a corpus-wide 64-avg aggregate. Run that one
+    // pass and land the result driver-side: downstream consumers then
+    // read a LocalRelation (collect on it is free, no job) and the
+    // assignment/probe plans inline the centroids as a literal array —
+    // no localCheckpoint write, no broadcast-build job per consumer.
+    // This is the IntervalJoin-median convention: a bounded, structural
+    // collect, not a data-sized one.
+    val centPlan = e.groupBy(col("label"))
       .agg(array((1 to dims).map(i =>
         round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
         .as("cv"))
       .select(col("label").as("ccell"), col("cv")) // avoid `label` clash
-      .localCheckpoint()
+    val centRows = centPlan.collect()
+    val cent = centPlan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centPlan.schema)
 
-    (cent, assignCells(e, cent))
+    (cent, assignCells(e, centArrayLiteral(centRows)))
+  }
+
+  /** Collected centroid rows `(ccell, cv)` as ONE literal
+    * `array<struct<ccell, cv>>` column, sorted by cell id — the same
+    * value [[assignCells]]' old `sort_array(collect_list(...))`
+    * broadcast produced, now evaluated entirely inside whole-stage
+    * codegen with no broadcast exchange. Empty centroids (degenerate
+    * empty corpus) become a typed NULL array: `transform`/`array_min`
+    * propagate it to a NULL cell, matching the old empty-list behavior.
+    */
+  private def centArrayLiteral(rows: Array[org.apache.spark.sql.Row]): Column = {
+    val structs = rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .map { case (cell, cv) =>
+        struct(lit(cell).as("ccell"), array(cv.map(lit): _*).as("cv"))
+      }
+    if (structs.isEmpty)
+      lit(null).cast("array<struct<ccell:int,cv:array<double>>>")
+    else array(structs.toIndexedSeq: _*)
   }
 
   /** Nearest-centroid assignment without row explosion (r8): the old
     * form crossJoined the corpus against the centroid table and ranked
     * per `vec_id` with a window — ×nCells rows through an exchange and
-    * a per-vector sort. This form broadcasts ONE row holding the
-    * sorted centroid array and takes `array_min` over the per-cell
-    * `(d2, cell)` structs: lexicographic struct ordering IS the
-    * `(d2 ASC, ccell ASC)` tie-break, evaluated per row inside
-    * whole-stage codegen — no exchange, no window, no extra rows.
+    * a per-vector sort. This form takes `array_min` over the per-cell
+    * `(d2, cell)` structs of the LITERAL sorted centroid array (r11 —
+    * previously a one-row broadcast): lexicographic struct ordering IS
+    * the `(d2 ASC, ccell ASC)` tie-break, evaluated per row inside
+    * whole-stage codegen — no exchange, no window, no extra rows, and
+    * now no broadcast-build job either.
     */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val centArr = cent.agg(
-      sort_array(collect_list(struct(col("ccell"), col("cv")))).as("__cents"))
-    e.crossJoin(broadcast(centArr))
-      .withColumn("__best", array_min(transform(col("__cents"),
+  private def assignCells(e: DataFrame, cents: Column): DataFrame =
+    e.withColumn("__best", array_min(transform(cents,
         c => struct(dist2(col("embedding"), c.getField("cv")).as("d2"),
           c.getField("ccell").as("cell")))))
       .select(col("vec_id"), col("__best.cell").as("cell"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-  }
 
   /** Probe a (possibly persisted) IVF index with an explicit query set
     * `queries(query_id, qv)`: rank centroids per query, search the
@@ -324,15 +364,22 @@ object Similarity {
       k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(cells.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("ccell"))
+    // Centroids land driver-side and rank as a literal-array expression
+    // per query row (r11): `sort_array` over `(d2, ccell)` structs is
+    // the old window's `ORDER BY d2, ccell` tie-break, and the explode
+    // of its first nProbe entries replaces crossJoin+row_number — the
+    // probe side becomes one codegen'd projection with no broadcast of
+    // cent and no window exchange. cent is one row per cell by
+    // construction: from [[ivfTrain]] it is already a LocalRelation
+    // (collect is free); from [[readIvfIndex]] it is one tiny scan.
+    val cents = centArrayLiteral(cent.select(col("ccell"), col("cv")).collect())
     val probes = queries
-      .crossJoin(broadcast(cent))
-      .withColumn("d2", dist2(col("qv"), col("cv")))
-      .withColumn("crn", row_number().over(wProbe))
-      .filter(col("crn") <= nProbe)
       .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qn"),
-        col("ccell").as("cell"))
+        explode(slice(sort_array(transform(cents,
+          c => struct(dist2(col("qv"), c.getField("cv")).as("d2"),
+            c.getField("ccell").as("cell")))), 1, nProbe)).as("__pc"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("__pc").getField("cell").as("cell"))
 
     // window rank (not TopKAgg) because the output carries the probed
     // cell alongside the rank, and the candidate set is already
@@ -365,22 +412,22 @@ object Similarity {
   def kmeansStep(emb: DataFrame, dims: Int = 64): DataFrame = {
     val (_, cells1) = ivfTrain(emb, dims)
     // re-estimated centroids: tiny (one row per cell) but derived by a
-    // corpus-wide pass — pin so the assignment array AND the mass
-    // report below read one computed copy
-    val cent2 = cells1.groupBy(col("cell"))
+    // corpus-wide pass — run it once and land the rows driver-side so
+    // the assignment literal AND the mass report read one computed copy
+    // (the same r11 convention as ivfTrain; replaces a localCheckpoint)
+    val cent2Plan = cells1.groupBy(col("cell"))
       .agg(array((1 to dims).map(i =>
         round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
         .as("cv"))
       .select(col("cell").as("ccell"), col("cv"))
-      .localCheckpoint()
+    val cent2Rows = cent2Plan.collect()
+    val cent2 = cent2Plan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cent2Rows: _*), cent2Plan.schema)
     // re-assignment rides the same no-explosion array_min as
     // [[ivfTrain]]'s assignCells; the census then joins the (tiny,
     // broadcast) per-centroid mass back on the cell key
-    val centArr2 = cent2.agg(
-      sort_array(collect_list(struct(col("ccell"), col("cv")))).as("__cents"))
     val census = cells1.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centArr2))
-      .withColumn("__best", array_min(transform(col("__cents"),
+      .withColumn("__best", array_min(transform(centArrayLiteral(cent2Rows),
         c => struct(dist2(col("embedding"), c.getField("cv")).as("d2"),
           c.getField("ccell").as("cell")))))
       .groupBy(col("__best.cell").as("cell"))

@@ -1939,8 +1939,9 @@ object QueryPackExt {
       val emb = t(s, dir, "embeddings")
       val (cent, cells) = Similarity.ivfTrain(emb, dims = 64)
       Similarity.ivfProbe(cent, cells,
-        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        Similarity.localizeQueries(
+          emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
         nProbe = 2, k = 3)
         .harnessSorted(col("query_id"), col("rnk"))
     },
