@@ -663,13 +663,24 @@ object QueryPackExt {
           .agg(count(lit(1)).as(alias),
             approx_count_distinct(col(c), rsd).as(approxAlias))
       // the percentile sketch keeps its own whole-multiset pass (a
-      // rank sketch is NOT duplicate-insensitive)
+      // rank sketch is NOT duplicate-insensitive, so it cannot ride
+      // the distinct-key frames). accuracy=1000 (r11, was 10000):
+      // rank error n/accuracy = 0.1% of ranks moves the estimate ~40
+      // of the ~360 the 1% band allows (~10x margin) at a tenth of
+      // the sketch cost. (Fusing the exact median in here via Spark's
+      // `percentile` aggregate was tried and measured 5x WORSE — its
+      // non-codegen update path is far slower than the histogram
+      // subplan it would replace.)
       val sketches = li.groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_median"))
       // exact median via histogram interpolation (no group buffering);
       // the harness knows its SF — pin the single-window form (the
       // resolveBits caller-knows convention) instead of paying a probe
+      // (The two-phase bucketed form was also tried here and measured
+      // worse in-harness: with data-derived shuffle partitions the
+      // composite-key windows land on 4 partitions, not 768, and the
+      // broadcast-stats subplan adds two jobs.)
       val exactMedian = graft.operators.Percentiles
         .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5),
           twoPhaseThreshold = Long.MaxValue)
@@ -678,13 +689,20 @@ object QueryPackExt {
       // instead of a chain of three broadcast joins: every branch then
       // executes as a parallel stage of ONE job (no broadcast-build
       // dependency chain), and `max` over the sparse union picks each
-      // branch's value (r8 — 1.46 s -> measured below)
-      val wide = Seq("approx_median", "exact_median", "exact_parts",
-        "approx_parts", "exact_supps", "approx_supps")
-      def widen(df: DataFrame): DataFrame =
-        df.select(col("l_returnflag") +: wide.map(c =>
-          (if (df.columns.contains(c)) col(c) else lit(null))
-            .cast("double").as(c)): _*)
+      // branch's value (r8 rework: 2.8 s -> 1.79 s in-suite at sf0.1;
+      // with the r11 sketch-accuracy trim the suite best is ~0.9 s).
+      // Counts stay LONG through the union — a double cast is only
+      // exact below 2^53, and the medians are the only real doubles
+      val wideD = Seq("approx_median", "exact_median")
+      val wideL = Seq("exact_parts", "approx_parts",
+        "exact_supps", "approx_supps")
+      def widen(df: DataFrame): DataFrame = {
+        def c2(c: String, t: String) =
+          (if (df.columns.contains(c)) col(c) else lit(null)).cast(t).as(c)
+        df.select(col("l_returnflag") +:
+          (wideD.map(c2(_, "double")) ++ wideL.map(c2(_, "long"))): _*)
+      }
+      val wide = wideD ++ wideL
       widen(sketches)
         .unionByName(widen(exactMedian))
         .unionByName(widen(distinctPass("l_partkey", "exact_parts",
@@ -695,8 +713,8 @@ object QueryPackExt {
         .agg(wide.map(c => max(col(c)).as(c)).head,
           wide.tail.map(c => max(col(c)).as(c)): _*)
         .select(col("l_returnflag"),
-          col("exact_parts").cast("long").as("exact_parts"),
-          col("exact_supps").cast("long").as("exact_supps"),
+          col("exact_parts"),
+          col("exact_supps"),
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.15).as("parts_ok"),
           (abs(col("approx_supps") - col("exact_supps"))
