@@ -168,6 +168,146 @@ object Percentiles {
       Long.MaxValue
     else 0L
 
+  /** Exact interpolated percentiles by SKETCH-GUIDED BAND SELECTION —
+    * the third exact form, for the regime where [[groupedExact]]'s
+    * histogram degenerates: a near-unique value domain (e.g. sf0.1
+    * `l_extendedprice`: 583k distinct of 600k rows) makes the
+    * (group, value) histogram as large as the input, and its
+    * running-sum window a per-group full sort. This form never sorts
+    * the data:
+    *
+    *  1. one aggregation pass computes, per group, `n` and a sketch
+    *     bound pair per prob — `percentile_approx` at `p ± 2/accuracy`
+    *     (the GK sketch's rank error is deterministically ≤
+    *     n/accuracy, so the true rank-(n−1)p order statistics lie
+    *     inside the [lo, hi] value band; a bound at p ≤ 0 / p ≥ 1
+    *     widens to ±∞);
+    *  2. a second pass classifies every row against the broadcast-
+    *     literal bounds (below / in-band / above, one explode row per
+    *     prob) and aggregates (group, prob, class, band-value) counts —
+    *     map-side combine collapses this to ≤ 4·n/accuracy distinct
+    *     band values plus two counter rows per (group, prob);
+    *  3. the driver reads the bounded result and picks the exact
+    *     order statistics by rank arithmetic, interpolating with the
+    *     same `(n−1)p` formula as [[groupedExact]] / `quantile_cont`.
+    *
+    * This is how a vectorized engine computes exact quantiles
+    * (selection, not sorting), decomposed into two Spark passes. At
+    * scale the collected band is bounded by construction — rank width
+    * 4·n/accuracy collapses further under ties — so `accuracy` is the
+    * knob that trades sketch state for band size (pick ≥ n/B for a
+    * B-row band budget); group count must be report-sized (it is the
+    * output cardinality). Finite domains only: NULLs leave rank space
+    * (SQL semantics, like [[groupedExact]]) and NaN inputs are
+    * rejected by the sketch pass rather than silently misranked.
+    * If the band misses a target rank (impossible within the sketch
+    * guarantee; conceivable only on adversarial float edge cases) the
+    * driver fails loudly instead of returning a wrong value.
+    */
+  def groupedExactSelect(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be within [0, 1]")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull)
+    val eps = 2.0 / accuracy
+
+    // ---- pass 1: per-group n + sketch bounds per prob
+    val pcts = probs.flatMap(p =>
+      Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))
+    val bounds = rows.groupBy(col(groupCol))
+      .agg(percentile_approx(v, typedLit(pcts), lit(accuracy)).as("__b"),
+        count(lit(1)).as("__n"),
+        sum(when(isnan(v), 1L).otherwise(0L)).as("__nan"))
+      .collect()
+    require(bounds.forall(r => r.getLong(3) == 0L),
+      s"groupedExactSelect: NaN values in '$valueCol' — the sketch " +
+        "bound guarantee does not cover NaN; route this domain to " +
+        "groupedExact (NaN sorts last there)")
+    require(bounds.forall(r => !r.isNullAt(1)),
+      s"groupedExactSelect: sketch pass returned no bounds for a group")
+
+    // group key -> (n, per-prob (lo, hi)) with edge probs widened to ±∞
+    val gInfo = bounds.map { r =>
+      val bs = r.getSeq[Double](1)
+      val n = r.getLong(2)
+      val bnds = probs.indices.map { pi =>
+        val lo = if (probs(pi) - eps <= 0.0) Double.NegativeInfinity
+                 else bs(2 * pi)
+        val hi = if (probs(pi) + eps >= 1.0) Double.PositiveInfinity
+                 else bs(2 * pi + 1)
+        (lo, hi)
+      }
+      r.get(0) -> ((n, bnds))
+    }.toMap
+
+    if (gInfo.isEmpty) {
+      // no non-null rows at all: empty result, same as groupedExact
+      return groupedExact(rows, groupCol, valueCol, probs)
+    }
+
+    // ---- pass 2: classify rows against broadcast-literal bounds
+    def litChain(pick: Any => Double): Column =
+      gInfo.foldLeft(lit(Double.NaN)) { case (acc, (gv, _)) =>
+        val cond = if (gv == null) col(groupCol).isNull
+                   else col(groupCol) === lit(gv)
+        when(cond, lit(pick(gv))).otherwise(acc)
+      }
+    val perProb = probs.indices.map { pi =>
+      val lo = litChain(gv => gInfo(gv)._2(pi)._1)
+      val hi = litChain(gv => gInfo(gv)._2(pi)._2)
+      struct(lit(pi).as("pi"),
+        when(v < lo, 0).when(v <= hi, 1).otherwise(2).as("m"),
+        when(v >= lo && v <= hi, v).as("bv"))
+    }
+    val classified = rows
+      .select(col(groupCol), explode(array(perProb: _*)).as("__pc"))
+      .groupBy(col(groupCol), col("__pc.pi").as("__pi"),
+        col("__pc.m").as("__m"), col("__pc.bv").as("__bv"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+
+    // ---- driver: exact order statistics by rank arithmetic
+    val byGroup = classified.groupBy(_.get(0))
+    val outRows = byGroup.toSeq.map { case (gv, rs) =>
+      val (n, _) = gInfo(gv)
+      val vals = probs.indices.map { pi =>
+        val mine = rs.filter(_.getInt(1) == pi)
+        val below = mine.filter(_.getInt(2) == 0).map(_.getLong(4)).sum
+        val band = mine.filter(_.getInt(2) == 1)
+          .map(r => (r.getDouble(3), r.getLong(4))).sortBy(_._1)
+        def at(k: Long): Double = {
+          require(k >= below && k - below < band.map(_._2).sum,
+            s"groupedExactSelect: band missed rank $k for group $gv " +
+              s"prob ${probs(pi)} — raise accuracy")
+          var rem = k - below
+          band.find { case (_, c) =>
+            if (rem < c) true else { rem -= c; false }
+          }.get._1
+        }
+        val r = (n - 1).toDouble * probs(pi)
+        val kLo = math.floor(r).toLong
+        val vLo = at(kLo)
+        val vHi = at(math.ceil(r).toLong)
+        vLo + (r - kLo) * (vHi - vLo)
+      }
+      org.apache.spark.sql.Row.fromSeq(gv +: vals :+ n)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema(groupCol) +:
+        probs.map(p => org.apache.spark.sql.types.StructField(
+          name(p), org.apache.spark.sql.types.DoubleType)) :+
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), schema)
+  }
+
   /** Sketch twin: `percentile_approx` per prob — bounded-memory
     * mergeable state, the only form for unhistogrammable domains.
     */

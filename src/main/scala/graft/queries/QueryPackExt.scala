@@ -2867,6 +2867,29 @@ object QueryPackExt {
     * codegen, no shuffle. chunkSize=32/overlap=8 so the ~50-token
     * test docs produce multi-chunk output.
     */
+  /** Exact percentiles by sketch-guided band selection
+    * ([[graft.operators.Percentiles.groupedExactSelect]]): the q50
+    * semantics computed the way a vectorized engine does — selection,
+    * not sorting. Two bounded passes, no per-group sort, band size
+    * capped by the sketch's deterministic rank guarantee; the form for
+    * near-unique value domains where the q50 histogram degenerates to
+    * the input size. Same quantile_cont oracle as q50.
+    */
+  private val q120 = Q("q120_select_percentiles",
+    (s, dir) => graft.operators.Percentiles
+      .groupedExactSelect(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.5, 0.9))
+      .select(col("l_returnflag"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"), col("n"))
+      .harnessSorted(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val q119 = Q("q119_stride_chunks",
     (s, dir) => graft.llm.Packing.strideChunks(t(s, dir, "documents"),
       chunkSize = 32, overlap = 8)
@@ -2898,7 +2921,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119)
+    q116, q117, q118, q119, q120)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

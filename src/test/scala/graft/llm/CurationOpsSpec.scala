@@ -397,6 +397,43 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(o("allnan")(3) === b(Double.NaN))
   }
 
+  test("Percentiles.groupedExactSelect: matches groupedExact on mixed fixtures") {
+    val s = spark
+    import s.implicits._
+    // ties, negatives, constant group, singleton, near-unique group,
+    // and null values (rank-space excluded) — selection must agree
+    // with the histogram form bit-for-bit on finite domains
+    val d = ((1 to 200).map(i => ("a", Option((i % 37).toDouble - 5.0))) ++
+      (1 to 50).map(_ => ("c", Option(7.0))) ++
+      Seq(("s", Option(42.0)), ("a", Option.empty[Double])) ++
+      (1 to 300).map(i => ("u", Option(i * 1.7 - 150.0))))
+      .toDF("g", "v")
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val hist = graft.operators.Percentiles
+      .groupedExact(d, "g", "v", probs)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val sel = graft.operators.Percentiles
+      .groupedExactSelect(d, "g", "v", probs, accuracy = 100)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(sel === hist)
+    // the low accuracy above forces WIDE bands (rank width ~4% of the
+    // group) — correctness must not depend on the band being narrow
+    val selTight = graft.operators.Percentiles
+      .groupedExactSelect(d, "g", "v", probs, accuracy = 10000)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(selTight === hist)
+  }
+
+  test("Percentiles.groupedExactSelect: NaN input fails loudly, never misranks") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(("a", 1.0), ("a", Double.NaN), ("a", 3.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Percentiles.groupedExactSelect(d, "g", "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("NaN"))
+  }
+
   test("Dsir.importanceSelect: target-like docs outrank, keepFraction=1 keeps all") {
     val s = spark
     import s.implicits._
