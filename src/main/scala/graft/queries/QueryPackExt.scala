@@ -677,10 +677,16 @@ object QueryPackExt {
       // exact median via histogram interpolation (no group buffering);
       // the harness knows its SF — pin the single-window form (the
       // resolveBits caller-knows convention) instead of paying a probe
-      // (The two-phase bucketed form was also tried here and measured
-      // worse in-harness: with data-derived shuffle partitions the
-      // composite-key windows land on 4 partitions, not 768, and the
-      // broadcast-stats subplan adds two jobs.)
+      // exact median via histogram interpolation, single-window pinned
+      // (caller-knows convention). Measured alternatives, recorded so
+      // they are not retried: the L100 band-selection form is a WASH
+      // here (its two eager bounds/classify jobs serialize against
+      // this query's one fused job — the 0.84 s window stage it
+      // removes ran concurrently with the other union branches; L100
+      // wins standalone, q120: 0.56 s vs 0.97 s); the two-phase
+      // bucketed form lands its composite-key windows on the 4
+      // derived shuffle partitions; Spark's `percentile` aggregate is
+      // 5x slower on its non-codegen update path.
       val exactMedian = graft.operators.Percentiles
         .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5),
           twoPhaseThreshold = Long.MaxValue)
