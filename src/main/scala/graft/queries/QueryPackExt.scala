@@ -2873,6 +2873,44 @@ object QueryPackExt {
     * codegen, no shuffle. chunkSize=32/overlap=8 so the ~50-token
     * test docs produce multi-chunk output.
     */
+  /** Real video FRAME decode + frame sampling
+    * ([[graft.llm.Multimodal.videoFramesRgb]] / `frameSampleStats`):
+    * uncompressed BI_RGB AVI frames decoded byte-for-byte (bottom-up
+    * flip, stride padding, BGR order) and every 2nd frame reduced to
+    * exact mean colors. The fixture plants per-frame solid colors by a
+    * closed-form formula, so the oracle recomputes the EXPECTED means
+    * from the formula — any decode-layout mistake (wrong stride, no
+    * flip, RGB/BGR swap) breaks the hash. Compressed codecs remain a
+    * documented stub; this gates the one format that needs no codec.
+    */
+  private val q121 = Q("q121_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      import graft.llm.Multimodal
+      def color(i: Long, j: Int): (Int, Int, Int) =
+        (((i * 31 + j * 7) % 256).toInt, ((i * 17 + j * 13) % 256).toInt,
+          ((i * 5 + j * 11) % 256).toInt)
+      val media = Seq(
+        Multimodal.MediaRow(1L, "video/avi",
+          Multimodal.syntheticAviRgb(8, 6, fps = 10,
+            (0 until 6).map(color(1L, _)))),
+        Multimodal.MediaRow(2L, "video/avi",
+          Multimodal.syntheticAviRgb(5, 3, fps = 10, // 15B rows pad to 16
+            (0 until 6).map(color(2L, _)))))
+      Multimodal.frameSampleStats(s.createDataset(media), stride = 2)
+        .harnessSorted(col("media_id"), col("frame_idx"))
+    },
+    Some("""
+      SELECT i AS media_id, CAST(j AS BIGINT) AS frame_idx,
+             CASE i WHEN 1 THEN 8 ELSE 5 END AS width,
+             CASE i WHEN 1 THEN 6 ELSE 3 END AS height,
+             CAST((i*31 + j*7) % 256 AS DOUBLE) AS mean_r,
+             CAST((i*17 + j*13) % 256 AS DOUBLE) AS mean_g,
+             CAST((i*5 + j*11) % 256 AS DOUBLE) AS mean_b
+      FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) m(i),
+           (VALUES (0), (2), (4)) f(j)
+      ORDER BY media_id, frame_idx"""))
+
   /** Exact percentiles by sketch-guided band selection
     * ([[graft.operators.Percentiles.groupedExactSelect]]): the q50
     * semantics computed the way a vectorized engine does — selection,
@@ -2927,7 +2965,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120)
+    q116, q117, q118, q119, q120, q121)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -553,6 +553,38 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(feats(2L).width === 1280 && feats(2L).height === 720)
   }
 
+  test("uncompressed-AVI frame decode: round trip, flip, sampling, codec refusal") {
+    val s = spark
+    import s.implicits._
+    // 3x2 frames so stride padding (9 -> 12 bytes/row) is exercised
+    val colors = Seq((255, 0, 0), (0, 128, 0), (1, 2, 3), (250, 251, 252))
+    val avi = Multimodal.syntheticAviRgb(3, 2, fps = 10, colors)
+    // the metadata path still reads the RGB container
+    val meta = Multimodal.videoMeta(avi).get
+    assert(meta.width === 3 && meta.n_frames === 4 && meta.codec === "DIB")
+    // every frame decodes to its planted solid color, top-down packed
+    val (w, h, frames) = Multimodal.videoFramesRgb(avi).get
+    assert(w === 3 && h === 2 && frames.length === 4)
+    colors.zip(frames).foreach { case ((r, g, b), px) =>
+      assert(px.length === 3 * 2 * 3)
+      px.grouped(3).foreach { p =>
+        assert((p(0) & 0xff, p(1) & 0xff, p(2) & 0xff) === ((b, g, r)))
+      }
+    }
+    // compressed containers refuse frame decode (no codec in the JVM)
+    assert(Multimodal.videoFramesRgb(
+      Multimodal.syntheticAvi(640, 360, 25, 250)).isEmpty)
+    assert(Multimodal.videoFramesRgb(Array[Byte](9, 9, 9)).isEmpty)
+    // the Spark operator samples every 2nd frame with exact means
+    val stats = Multimodal.frameSampleStats(
+      Seq(Multimodal.MediaRow(7L, "video/avi", avi)).toDS(), stride = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(stats.keySet === Set(0L, 2L))
+    assert(stats(0L) === ((255.0, 0.0, 0.0)))
+    assert(stats(2L) === ((1.0, 2.0, 3.0)))
+  }
+
   test("REAL image + audio decode via JDK codecs (unparseable video falls back to stub)") {
     val s = spark
     import s.implicits._
