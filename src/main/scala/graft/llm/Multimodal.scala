@@ -546,19 +546,53 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: deterministic fake of an image resize — real
-    * implementation would decode, scale, re-encode; the fake re-hashes
-    * the payload with the target dims so outputs are reproducible and
-    * dimension plumbing is testable. Batch shape identical to
-    * [[extractFeatures]].
+  /** REAL single-image resize (r11 — replaces the stub for payloads
+    * ImageIO can decode): decode, scale with a NEAREST_NEIGHBOR
+    * Graphics2D draw (a pure pixel mapping — no platform-dependent
+    * filtering kernels), re-encode lossless PNG. Undecodable payloads
+    * return None.
+    */
+  def resizeImage(
+      bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    scala.util.Try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val out = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, width, height, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }.toOption.flatten
+
+  /** Batch resize: REAL decode→scale→re-encode for image payloads
+    * ([[resizeImage]]), with the feature vector recomputed from the
+    * RESIZED pixels; payloads no JDK codec decodes keep the
+    * deterministic stub path (reproducible fake, dimension plumbing
+    * still exercised). Batch shape identical to [[extractFeatures]].
     */
   def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (_, _, feat) = decodeStub(r.content ++ s"@${width}x$height".getBytes)
-        MediaFeatures(r.media_id, r.mime, r.content.length.toLong,
-          width, height, feat)
+        resizeImage(r.content, width, height) match {
+          case Some(px) =>
+            val (_, _, feat) = decodeImage(px).getOrElse(decodeStub(px))
+            MediaFeatures(r.media_id, r.mime, px.length.toLong,
+              width, height, feat)
+          case None =>
+            val (_, _, feat) =
+              decodeStub(r.content ++ s"@${width}x$height".getBytes)
+            MediaFeatures(r.media_id, r.mime, r.content.length.toLong,
+              width, height, feat)
+        }
       }
     }
   }

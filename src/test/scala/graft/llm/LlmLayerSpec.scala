@@ -671,6 +671,42 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       .map(_.feature.toSeq).toSeq === frames.map(_.feature.toSeq).toSeq)
   }
 
+  test("REAL image resize: NN scale is an exact pixel mapping, PNG round trip") {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 2x2 checkerboard doubled: nearest neighbor copies each source
+    // pixel into an exact 2x2 block — no filtering, no blending
+    val red = 0xff0000; val blue = 0x0000ff
+    val checker = png(2, 2, (x, y) => if ((x + y) % 2 == 0) red else blue)
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(checker, 4, 4).get))
+    assert(up.getWidth === 4 && up.getHeight === 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((up.getRGB(x, y) & 0xffffff) ===
+        (if ((x / 2 + y / 2) % 2 == 0) red else blue), s"($x,$y)")
+    // a solid color survives ANY rescale exactly
+    val down = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(png(7, 5, (_, _) => 0x123456), 3, 2).get))
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((down.getRGB(x, y) & 0xffffff) === 0x123456)
+    // batch path: features are recomputed from the RESIZED pixels and
+    // byte_len is the re-encoded PNG's, not the input's
+    val media = Seq(Multimodal.MediaRow(1L, "image/png", checker)).toDS()
+    val out = Multimodal.resize(media, 4, 4).collect().head
+    assert(out.width === 4 && out.height === 4)
+    assert(out.byte_len > 0L && out.byte_len != checker.length.toLong)
+    val expected = Multimodal.resizeImage(checker, 4, 4).get
+    assert(out.byte_len === expected.length.toLong)
+  }
+
   test("documentsAsMedia wraps a text corpus as binary rows") {
     val docsDf = docs(7L -> "hello").withColumn("doc_id", col("doc_id"))
     val media = Multimodal.documentsAsMedia(spark, docsDf).collect()
