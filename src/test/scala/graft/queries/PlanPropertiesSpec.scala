@@ -285,6 +285,26 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), p) // never a scored-candidate window sort
   }
 
+  test("q43/q91: IVF centroids are literal — map-only assignment, one output window (r11)") {
+    // the inverted-file build must be a pure projection over the scan:
+    // no exchange (the old spread() repartition), no checkpoint scan
+    // (the old localCheckpoint), no broadcast build (the old one-row
+    // centroid-array frame) — centroids are inlined literals
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (_, cells) = graft.llm.Similarity.ivfTrain(emb)
+    val pc = cells.queryExecution.executedPlan.toString
+    assert(!pc.contains("Exchange"), pc)
+    assert(!pc.contains("ExistingRDD"), pc)
+    assert(!pc.contains("BroadcastExchange"), pc)
+    // end-to-end: exactly ONE window remains (the output rank); the
+    // probe-selection window was replaced by the literal sort_array
+    val p = planExt("q43_ann_ivf")
+    assert(p.linesIterator.count(_.contains("Window [")) === 1, p)
+    assert(!p.contains("ExistingRDD"), p)
+    val q = planExt("q91_ivf_index_probe")
+    assert(q.linesIterator.count(_.contains("Window [")) === 1, q)
+  }
+
   test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
     val p = planExt("q108_cdc_chunks")
     assert(!p.contains("CartesianProduct") &&
