@@ -74,6 +74,27 @@ object Sf1xR11 {
         graft.llm.Similarity.centroidOutliers(emb, "label", 0.05))
       graft.operators.Checkpoints.releaseLeaked(spark)
     }
+
+    // --- exact percentiles, all three forms, 600k and 6M rows (the
+    // Sf1xR8 recipe: per-replica price offsets grow the value domain
+    // 10x too — the histogram's scale axis, and near-unique at both
+    // scales, the selection form's home regime)
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val li10 = (0 until 10).map(i =>
+      li.withColumn("l_extendedprice", col("l_extendedprice") + lit(i * 0.001)))
+      .reduce(_ unionByName _).localCheckpoint()
+    for ((tag, d) <- Seq("600k" -> li, "6M" -> li10)) {
+      best3(s"pctl_hist1w_$tag")(graft.operators.Percentiles.groupedExact(
+        d, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9),
+        twoPhaseThreshold = Long.MaxValue))
+      best3(s"pctl_hist2p_$tag")(graft.operators.Percentiles.groupedExact(
+        d, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9),
+        twoPhaseThreshold = 0L))
+      best3(s"pctl_select_$tag")(graft.operators.Percentiles.groupedExactSelect(
+        d, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9)))
+    }
+    graft.operators.Checkpoints.release(li10)
     spark.stop()
   }
 }
