@@ -121,6 +121,26 @@ class NullRobustnessSpec extends AnyFunSuite with SparkSpec {
     assert(dig.map(_.getAs[Long]("n_docs")).sum === 2L)
   }
 
+  test("Percentiles.groupedExactSelect: null keys, null values, empty input") {
+    val s = spark
+    import s.implicits._
+    // a NULL group key is a real group (SQL GROUP BY semantics); null
+    // VALUES leave rank space; an all-null-value group is absent
+    val d = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(3.0)),
+      (Option.empty[String], Option(10.0)), (Option.empty[String], Option(20.0)),
+      (Option("b"), Option.empty[Double]))
+      .toDF("g", "v")
+    val out = graft.operators.Percentiles
+      .groupedExactSelect(d, "g", "v", Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(out === Map(Some("a") -> 2.0, None -> 15.0))
+    // empty input: empty result, no throw
+    assert(graft.operators.Percentiles
+      .groupedExactSelect(d.filter(lit(false)), "g", "v", Seq(0.5))
+      .collect().isEmpty)
+  }
+
   test("Percentiles.groupedExact: null values leave rank space; all-null group absent") {
     val s = spark
     import s.implicits._
