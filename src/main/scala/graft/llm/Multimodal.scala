@@ -467,6 +467,101 @@ object Multimodal {
       "mean_r", "mean_g", "mean_b")
   }
 
+  /** Deterministic canonical 44-byte-header WAV, mono PCM16 LE —
+    * generator half of the [[audioWindows]] round trip (pure byte
+    * layout, no encoder in the loop).
+    */
+  def syntheticWavPcm16(
+      sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def w16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    val dataBytes = samples.length * 2
+    cc("RIFF"); w32(36L + dataBytes); cc("WAVE")
+    cc("fmt "); w32(16); w16(1) /* PCM */; w16(1) /* mono */
+    w32(sampleRate); w32(sampleRate.toLong * 2); w16(2); w16(16)
+    cc("data"); w32(dataBytes)
+    samples.foreach(s => w16(s & 0xffff))
+    out.toByteArray
+  }
+
+  /** Windowed audio features over signed-16-bit PCM — the audio twin
+    * of [[frameSampleStats]]: decode via javax.sound (WAV/AIFF/AU,
+    * endianness from the header), fold interleaved channels to their
+    * per-frame mean, and emit one row per `windowSamples` window
+    * advancing by `strideSamples` (RMS + absolute peak — the signals
+    * a curation pass thresholds for silence/clipping). Non-PCM16
+    * payloads contribute no rows, like undecodable video in the frame
+    * path. Per-partition streaming pass; trailing partial windows are
+    * dropped (a partial window's RMS is not comparable).
+    */
+  def audioWindows(
+      media: Dataset[MediaRow],
+      windowSamples: Int,
+      strideSamples: Int): org.apache.spark.sql.DataFrame = {
+    require(windowSamples > 0 && strideSamples > 0,
+      "window and stride must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        scala.util.Try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16) Seq.empty
+            else {
+              val ch = fmt.getChannels
+              val big = fmt.isBigEndian
+              val bytes = in.readAllBytes()
+              val nFrames = bytes.length / (2 * ch)
+              // fold channels: per-frame mean (integer division like
+              // a (L+R)/2 downmix)
+              val mono = new Array[Int](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                var acc = 0L
+                var c = 0
+                while (c < ch) {
+                  val i = (f * ch + c) * 2
+                  val s =
+                    if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+                    else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                  acc += s
+                  c += 1
+                }
+                mono(f) = (acc / ch).toInt
+                f += 1
+              }
+              val starts = 0 to (nFrames - windowSamples) by strideSamples
+              starts.zipWithIndex.map { case (s0, w) =>
+                var sq = 0.0
+                var peak = 0
+                var i = s0
+                while (i < s0 + windowSamples) {
+                  val v = mono(i)
+                  sq += v.toDouble * v
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  i += 1
+                }
+                (m.media_id, w.toLong, s0.toLong,
+                  math.sqrt(sq / windowSamples), peak)
+              }
+            }
+          } finally in.close()
+        }.getOrElse(Seq.empty)
+      }
+    }.toDF("media_id", "win_idx", "start_sample", "rms", "peak")
+  }
+
   /** Deterministic minimal MP4 (ftyp + moov{mvhd, trak{tkhd,
     * mdia{minf{stbl{stsd, stts}}}}}) — generator half of the MP4 round
     * trip. `durationTicks` is in `timescale` units.

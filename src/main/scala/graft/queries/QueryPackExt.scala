@@ -2911,6 +2911,41 @@ object QueryPackExt {
            (VALUES (0), (2), (4)) f(j)
       ORDER BY media_id, frame_idx"""))
 
+  /** Windowed audio features ([[graft.llm.Multimodal.audioWindows]]):
+    * real PCM16 decode via javax.sound, per-window RMS + peak — the
+    * audio twin of q121's frame sampling, gated the same way: the
+    * fixture plants per-window square-wave amplitudes by a closed-form
+    * formula (RMS and peak of a square wave ARE the amplitude,
+    * exactly), and the oracle recomputes the expectation from the
+    * formula — wrong endianness, channel framing, or window bounds
+    * break the hash.
+    */
+  private val q122 = Q("q122_audio_windows",
+    (s, dir) => {
+      import s.implicits._
+      import graft.llm.Multimodal
+      def amp(i: Long, w: Int): Int = (((i * 13 + w * 29) % 100) + 1).toInt * 100
+      val media = (1L to 2L).map { i =>
+        val samples = (0 until 5).flatMap { w =>
+          val a = amp(i, w)
+          (0 until 400).map(k => (if (k % 2 == 0) a else -a).toShort)
+        }.toArray
+        Multimodal.MediaRow(i, "audio/wav",
+          Multimodal.syntheticWavPcm16(8000, samples))
+      }
+      Multimodal.audioWindows(s.createDataset(media),
+        windowSamples = 400, strideSamples = 400)
+        .harnessSorted(col("media_id"), col("win_idx"))
+    },
+    Some("""
+      SELECT i AS media_id, CAST(w AS BIGINT) AS win_idx,
+             CAST(w * 400 AS BIGINT) AS start_sample,
+             CAST(((i*13 + w*29) % 100 + 1) * 100 AS DOUBLE) AS rms,
+             CAST(((i*13 + w*29) % 100 + 1) * 100 AS INTEGER) AS peak
+      FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) m(i),
+           (VALUES (0), (1), (2), (3), (4)) ws(w)
+      ORDER BY media_id, win_idx"""))
+
   /** Exact percentiles by sketch-guided band selection
     * ([[graft.operators.Percentiles.groupedExactSelect]]): the q50
     * semantics computed the way a vectorized engine does — selection,
@@ -2965,7 +3000,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121)
+    q116, q117, q118, q119, q120, q121, q122)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -671,6 +671,43 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       .map(_.feature.toSeq).toSeq === frames.map(_.feature.toSeq).toSeq)
   }
 
+  test("audioWindows: exact RMS/peak on planted square waves; stereo fold; refusals") {
+    val s = spark
+    import s.implicits._
+    // 2 windows of 4 samples at amplitude 100 then 300: RMS == peak ==
+    // amplitude exactly on a square wave; the trailing partial window
+    // (2 samples) is dropped
+    val wave = Array[Short](100, -100, 100, -100, 300, -300, 300, -300, 7, 7)
+    val wav = Multimodal.syntheticWavPcm16(8000, wave)
+    val out = Multimodal.audioWindows(
+      Seq(Multimodal.MediaRow(1L, "audio/wav", wav)).toDS(),
+      windowSamples = 4, strideSamples = 4)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(3), r.getInt(4)))).toMap
+    assert(out === Map(0L -> ((100.0, 100)), 1L -> ((300.0, 300))))
+    // stereo folds to the per-frame channel mean before windowing:
+    // write an interleaved L/R stream via javax.sound itself
+    val stereoPcm = Array[Short](200, 400, -200, -400, 200, 400, -200, -400)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val raw = new Array[Byte](stereoPcm.length * 2)
+    stereoPcm.zipWithIndex.foreach { case (v, i) =>
+      raw(i * 2) = (v & 0xff).toByte; raw(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, stereoPcm.length / 2),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bytes)
+    val st = Multimodal.audioWindows(
+      Seq(Multimodal.MediaRow(2L, "audio/wav", bytes.toByteArray)).toDS(),
+      windowSamples = 4, strideSamples = 4).collect()
+    assert(st.length === 1) // 4 stereo frames -> one 4-sample window
+    assert(st.head.getDouble(3) === 300.0 && st.head.getInt(4) === 300)
+    // non-audio payloads contribute no rows, not a throw
+    assert(Multimodal.audioWindows(
+      Seq(Multimodal.MediaRow(3L, "audio/wav", Array[Byte](1, 2, 3))).toDS(),
+      4, 4).collect().isEmpty)
+  }
+
   test("REAL image resize: NN scale is an exact pixel mapping, PNG round trip") {
     val s = spark
     import s.implicits._
