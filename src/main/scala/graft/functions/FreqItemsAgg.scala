@@ -1,0 +1,190 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-Saving heavy-hitters aggregate (Metwally et al.): tracks at
+  * most `capacity` distinct items per group in bounded state, partial-
+  * aggregated map-side and merged counter-wise at the shuffle. Returns
+  * `ARRAY<STRUCT<item: STRING, est: LONG, err: LONG>>`, highest
+  * estimate first (ties by item ASC).
+  *
+  * Why it exists: exact token/domain/n-gram frequency at 100 TB means
+  * shuffling the full distinct-key space — fine for a vocabulary,
+  * fatal for open-ended keys (URLs, hosts, error strings). Space-
+  * Saving bounds state to `capacity` counters with the classic
+  * guarantee `est − err ≤ true ≤ est` and absolute error ≤ n/capacity
+  * per partial; counter merge SUMS both fields, so the bound survives
+  * partial aggregation, and the post-merge trim only discards items
+  * whose upper bound is below the kept tail.
+  *
+  * Two regimes, documented deliberately:
+  *  - `capacity ≥` the group's distinct-item count: NO evictions
+  *    anywhere — every `err` is 0, estimates are EXACT counts, and the
+  *    result equals the groupBy-count answer deterministically (this
+  *    is the oracle-gated regime, q123).
+  *  - under eviction: estimates are order-dependent within the
+  *    guarantee (which counter a new item displaces depends on arrival
+  *    order — inherent to the sketch, same as any streaming summary);
+  *    the spec gates the top-k RECOVERY and the error bound on a
+  *    planted Zipf stream instead of exact values.
+  *
+  * The evict path scans the counter table for the minimum — O(capacity)
+  * on that path only. Hits (the common path once heavy items
+  * stabilize) are one hash probe; report-sized capacities (≤ ~100k)
+  * keep the scan irrelevant next to the shuffle it replaces.
+  */
+case class FreqItemsAgg(
+    item: Expression,
+    capExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, (Long, Long)]] {
+
+  private lazy val capacity: Int =
+    capExpr.eval().asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!capExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName capacity must be a literal")
+    else if (item.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING item, INT capacity), got " +
+          item.dataType.sql)
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(capExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName capacity must be an integral literal, got " +
+          capExpr.dataType.sql)
+    else if (capExpr.eval() == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName capacity must not be null")
+    else if (capacity <= 0)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName capacity must be positive")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def children: Seq[Expression] = Seq(item, capExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_freq_items"
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, (Long, Long)] =
+    mutable.HashMap.empty
+
+  // deterministic eviction victim given the same counter CONTENT:
+  // lowest estimate, ties by LARGEST item (so the surviving set under
+  // ties prefers smaller items, matching the eval order's tie-break)
+  private def evictMin(buf: mutable.HashMap[UTF8String, (Long, Long)])
+      : (UTF8String, Long) = {
+    var bestK: UTF8String = null
+    var bestC = Long.MaxValue
+    buf.foreach { case (k, (c, _)) =>
+      if (c < bestC || (c == bestC && (bestK == null || k.compareTo(bestK) > 0))) {
+        bestK = k; bestC = c
+      }
+    }
+    (bestK, bestC)
+  }
+
+  override def update(
+      buf: mutable.HashMap[UTF8String, (Long, Long)],
+      input: InternalRow): mutable.HashMap[UTF8String, (Long, Long)] = {
+    val it = item.eval(input).asInstanceOf[UTF8String]
+    if (it != null) {
+      buf.get(it) match {
+        case Some((c, e)) => buf(it) = (c + 1, e)
+        case None if buf.size < capacity =>
+          buf(it.clone()) = (1L, 0L) // clone: eval may reuse its buffer
+        case None =>
+          val (victim, minC) = evictMin(buf)
+          buf.remove(victim)
+          buf(it.clone()) = (minC + 1, minC)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.HashMap[UTF8String, (Long, Long)],
+      other: mutable.HashMap[UTF8String, (Long, Long)])
+      : mutable.HashMap[UTF8String, (Long, Long)] = {
+    other.foreach { case (k, (c, e)) =>
+      buf.get(k) match {
+        case Some((c0, e0)) => buf(k) = (c0 + c, e0 + e)
+        case None => buf(k) = (c, e)
+      }
+    }
+    if (buf.size > capacity) {
+      // deterministic trim: keep the top `capacity` by (est DESC,
+      // item ASC) — only items whose upper bound trails the kept tail
+      // are dropped, so survivors' bounds are unchanged
+      val keep = buf.toArray
+        .sortWith { case ((k1, (c1, _)), (k2, (c2, _))) =>
+          if (c1 != c2) c1 > c2 else k1.compareTo(k2) < 0
+        }
+        .take(capacity)
+      buf.clear()
+      keep.foreach { case (k, v) => buf(k) = v }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[UTF8String, (Long, Long)]): Any = {
+    val sorted = buf.toArray
+      .sortWith { case ((k1, (c1, _)), (k2, (c2, _))) =>
+        if (c1 != c2) c1 > c2 else k1.compareTo(k2) < 0
+      }
+    new GenericArrayData(sorted.map { case (k, (c, e)) =>
+      InternalRow(k, c, e)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(
+      buf: mutable.HashMap[UTF8String, (Long, Long)]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, (c, e)) =>
+      val kb = k.getBytes
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): mutable.HashMap[UTF8String, (Long, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf(UTF8String.fromBytes(kb)) = (in.readLong(), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FreqItemsAgg =
+    copy(item = newChildren(0), capExpr = newChildren(1))
+}

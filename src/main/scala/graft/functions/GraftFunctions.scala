@@ -19,6 +19,7 @@ object GraftFunctions {
   val NormalizeLocationName = "normalize_location"
   val Hash60Name = "graft_hash60"
   val Hash64Name = "graft_hash64"
+  val FreqItemsName = "graft_freq_items"
 
   private val vecDotInfo = new ExpressionInfo(
     classOf[FloatVecDot].getName, VecDotName)
@@ -62,13 +63,21 @@ object GraftFunctions {
     Hash64(args.head)
   }
 
+  private val freqItemsInfo = new ExpressionInfo(
+    classOf[FreqItemsAgg].getName, FreqItemsName)
+  private def freqItemsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$FreqItemsName expects (item, capacity)")
+    FreqItemsAgg(args(0), args(1))
+  }
+
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
     (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
     (FunctionIdentifier(TopKName), topKInfo, topKBuilder _),
     (FunctionIdentifier(NormalizeLocationName), normLocInfo, normLocBuilder _),
     (FunctionIdentifier(Hash60Name), hash60Info, hash60Builder _),
-    (FunctionIdentifier(Hash64Name), hash64Info, hash64Builder _))
+    (FunctionIdentifier(Hash64Name), hash64Info, hash64Builder _),
+    (FunctionIdentifier(FreqItemsName), freqItemsInfo, freqItemsBuilder _))
 
   /** Idempotent per-session registration (the analyzer resolves
     * `call_function` names through the session's FunctionRegistry).

@@ -2911,6 +2911,36 @@ object QueryPackExt {
            (VALUES (0), (2), (4)) f(j)
       ORDER BY media_id, frame_idx"""))
 
+  /** Heavy-hitter token discovery via the native Space-Saving
+    * aggregate ([[graft.functions.FreqItemsAgg]], `graft_freq_items`):
+    * bounded counter state through the whole aggregation instead of
+    * shuffling the full distinct-token space — the open-ended-key
+    * frequency tool (URLs, hosts, error strings) at 100 TB. Gated in
+    * the sketch's EXACT regime (capacity ≥ vocabulary → zero
+    * evictions, estimates are exact counts, deterministic), so the
+    * oracle is the plain exact top-20; the eviction regime's
+    * recovery + error bounds are spec-gated (FreqItemsAggSpec).
+    */
+  private val q123 = Q("q123_freq_items",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      t(s, dir, "documents")
+        .select(explode(graft.llm.TextFns.tokens(col("text"))).as("t"))
+        .agg(expr("graft_freq_items(t, 262144)").as("fi"))
+        .select(posexplode(slice(col("fi"), 1, 20)))
+        .select((col("pos") + 1).cast("long").as("rnk"),
+          col("col.item").as("token"), col("col.est").as("n"))
+        .harnessSorted(col("rnk"))
+    },
+    Some(s"""
+      WITH $ToksCte,
+      flat AS (SELECT unnest(w) AS token FROM toks),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM flat GROUP BY token)
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
+             token, n
+      FROM c ORDER BY n DESC, token LIMIT 20"""))
+
   /** Windowed audio features ([[graft.llm.Multimodal.audioWindows]]):
     * real PCM16 decode via javax.sound, per-window RMS + peak — the
     * audio twin of q121's frame sampling, gated the same way: the
@@ -3000,7 +3030,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122)
+    q116, q117, q118, q119, q120, q121, q122, q123)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
