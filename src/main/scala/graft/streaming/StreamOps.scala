@@ -236,6 +236,28 @@ object StreamOps {
     pruned.mapPartitions(it => EmblSegmenter.segment(it, metrics))
   }
 
+  /** ST10 (r11) — streaming heavy hitters: the Space-Saving aggregate
+    * ([[graft.functions.FreqItemsAgg]]) over a token stream, windowed
+    * by event time. The sketch's counter-wise merge is exactly what
+    * incremental aggregation needs — each micro-batch updates bounded
+    * per-window state, late data beyond the watermark is dropped and
+    * window state reclaimed. Source-agnostic like everything here: on
+    * a batch frame this is a plain windowed aggregation, the fixpoint
+    * the incremental form converges to.
+    */
+  def streamingHeavyHitters(
+      tokens: DataFrame,
+      capacity: Int,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(tokens.sparkSession)
+    tokens
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"))
+      .agg(expr(s"graft_freq_items(token, $capacity)").as("top"))
+      .select(col("w.start").as("win_start"), col("top"))
+  }
+
   /** ST7 — online ANN serving: a stream of query vectors
     * `(query_id, qv)` probed against a STATIC (pre-trained, usually
     * [[graft.llm.Similarity.readIvfIndex]]-loaded) IVF index, each

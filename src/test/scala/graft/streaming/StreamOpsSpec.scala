@@ -43,6 +43,39 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: cross-batch counts finalize exact, late data drops") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.streamingHeavyHitters(
+        in.toDF().toDF("ts", "token"), capacity = 10,
+        watermarkDelay = "5 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("append").start()
+    try {
+      // hour-0 tokens split across TWO micro-batches: the sketch's
+      // counter merge must accumulate across them
+      in.addData((ts(0), "a"), (ts(10), "a"), (ts(20), "b"))
+      q.processAllAvailable()
+      in.addData((ts(60), "a"), (ts(70), "b"), (ts(80), "c"))
+      q.processAllAvailable()
+      assert(spark.table("hh").count() === 0) // window not finalized
+      in.addData((ts(3600 * 3), "z")) // advance the watermark
+      q.processAllAvailable()
+      in.addData((ts(3600 * 3 + 1), "z"))
+      q.processAllAvailable()
+      val rows = spark.table("hh").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+      assert(rows.length === 1)
+      val top = rows.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // exact regime (capacity > distincts): finalized counts exact,
+      // est DESC with item-ASC ties, zero error
+      assert(top === Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     val s = spark
     import s.implicits._
