@@ -34,7 +34,7 @@ object Plans {
     "q39_ann_topk" ->
       "query side broadcasts (BroadcastNestedLoopJoin over a tiny set); ranking is the bounded ObjectHashAggregate, no Window",
     "q43_ann_ivf" ->
-      "centroids broadcast; probe is an equi-join on cell id; no CartesianProduct",
+      "centroids are a LITERAL sorted array (r11 — collected once, inlined): assignment and probe ranking evaluate inside whole-stage codegen with no centroid broadcast, no checkpoint scan, no probe-selection window; the only window is the output rank; probe meets the inverted file on the cell equi-key — no CartesianProduct",
     "q45_asof_join" ->
       "as-of = ONE Exchange + Window; zero join operators",
     "q54_dedup_pipeline" ->
@@ -106,7 +106,11 @@ object Plans {
     "q118_centroid_outliers" ->
       "centroid agg partial-combines map-side (shuffle carries |labels|*dim rows per partition); centroids AND quantile thresholds broadcast back (BroadcastHashJoin both) — the corpus is never shuffled, no window over vectors",
     "q119_stride_chunks" ->
-      "pure per-row chunking: tokenize + integer chunk count + posexplode + slice, ALL inside one WholeStageCodegen span over the scan — zero exchanges before the harness sort, output doc-clustered for free")
+      "pure per-row chunking: tokenize + integer chunk count + posexplode + slice, ALL inside one WholeStageCodegen span over the scan — zero exchanges before the harness sort, output doc-clustered for free",
+    "q120_select_percentiles" ->
+      "exact percentiles by sketch-guided band SELECTION (r11): the visible plan is a LocalRelation + the harness sort because both bounded passes (per-group percentile_approx bounds; below/band/above classification against broadcast-literal bounds) ran at construction — nothing is ever sorted, and only the <= 4n/accuracy band is collected; the scale contract lives in the operator (Percentiles.groupedExactSelect) and its curve in BASELINE.md r11",
+    "q123_freq_items" ->
+      "Space-Saving heavy hitters: ONE ObjectHashAggregate whose partial state is <= capacity counters per partition (partial_graft_freq_items), merged counter-wise at a single exchange — the full distinct-token space never shuffles; top-20 is a slice of the already-ranked summary, no sort, no window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -197,12 +197,15 @@ object Percentiles {
     * 4·n/accuracy collapses further under ties — so `accuracy` is the
     * knob that trades sketch state for band size (pick ≥ n/B for a
     * B-row band budget); group count must be report-sized (it is the
-    * output cardinality). Finite domains only: NULLs leave rank space
-    * (SQL semantics, like [[groupedExact]]) and NaN inputs are
-    * rejected by the sketch pass rather than silently misranked.
-    * If the band misses a target rank (impossible within the sketch
-    * guarantee; conceivable only on adversarial float edge cases) the
-    * driver fails loudly instead of returning a wrong value.
+    * output cardinality). Groups smaller than 4·accuracy rows get
+    * their bounds re-taken with a rank-based 8/n guard (see the
+    * small-group note in the body): the percentage guard's rank margin
+    * collapses below one rank exactly when the group is tiny, and the
+    * extra pass is tiny for the same reason. Finite domains only:
+    * NULLs leave rank space (SQL semantics, like [[groupedExact]]) and
+    * NaN inputs are rejected by the sketch pass rather than silently
+    * misranked. If a band still misses a target rank the driver fails
+    * loudly instead of returning a wrong value.
     */
   def groupedExactSelect(
       df: DataFrame,
@@ -233,23 +236,59 @@ object Percentiles {
       s"groupedExactSelect: sketch pass returned no bounds for a group")
 
     // group key -> (n, per-prob (lo, hi)) with edge probs widened to ±∞
-    val gInfo = bounds.map { r =>
-      val bs = r.getSeq[Double](1)
-      val n = r.getLong(2)
-      val bnds = probs.indices.map { pi =>
-        val lo = if (probs(pi) - eps <= 0.0) Double.NegativeInfinity
-                 else bs(2 * pi)
-        val hi = if (probs(pi) + eps >= 1.0) Double.PositiveInfinity
-                 else bs(2 * pi + 1)
-        (lo, hi)
-      }
-      r.get(0) -> ((n, bnds))
-    }.toMap
+    def toInfo(rws: Array[org.apache.spark.sql.Row], guard: Double) =
+      rws.map { r =>
+        val bs = r.getSeq[Double](1)
+        val n = r.getLong(2)
+        val bnds = probs.indices.map { pi =>
+          val lo = if (probs(pi) - guard <= 0.0) Double.NegativeInfinity
+                   else bs(2 * pi)
+          val hi = if (probs(pi) + guard >= 1.0) Double.PositiveInfinity
+                   else bs(2 * pi + 1)
+          (lo, hi)
+        }
+        r.get(0) -> ((n, bnds))
+      }.toMap
+    val gInfoFirst = toInfo(bounds, eps)
 
-    if (gInfo.isEmpty) {
+    if (gInfoFirst.isEmpty) {
       // no non-null rows at all: empty result, same as groupedExact
       return groupedExact(rows, groupCol, valueCol, probs)
     }
+
+    // SMALL-GROUP GUARD (found by the sf0.001 plan audit): the sketch's
+    // rank error is ≤ n/accuracy, and the 2/accuracy percentage guard
+    // leaves a rank margin of only n/accuracy — UNDER ONE RANK once
+    // n < accuracy, where floor/ceil and 1-based/0-based convention
+    // slop can push the target rank outside the band. For groups with
+    // fewer than 4 ranks of margin (n < 4·accuracy), re-take their
+    // bounds with a RANK-based guard of 8/n — ≥ ~7 ranks of margin by
+    // construction, one extra tiny pass paid only in the regime where
+    // the group is small by definition (big-data groups never re-pass).
+    val weakN = gInfoFirst.collect {
+      case (_, (n, _)) if n < 4L * accuracy => n
+    }
+    val gInfo =
+      if (weakN.isEmpty) gInfoFirst
+      else {
+        val guard = 8.0 / math.max(1L, weakN.min)
+        val wPcts = probs.flatMap(p =>
+          Seq(math.max(0.0, p - guard), math.min(1.0, p + guard)))
+        val weakKeys = gInfoFirst.collect {
+          case (gv, (n, _)) if n < 4L * accuracy => gv
+        }.toSet
+        val weakCond = weakKeys.foldLeft(lit(false)) { (acc, gv) =>
+          acc || (if (gv == null) col(groupCol).isNull
+                  else col(groupCol) === lit(gv))
+        }
+        val reBounds = rows.filter(weakCond)
+          .groupBy(col(groupCol))
+          .agg(percentile_approx(v, typedLit(wPcts), lit(accuracy)).as("__b"),
+            count(lit(1)).as("__n"),
+            sum(when(isnan(v), 1L).otherwise(0L)).as("__nan"))
+          .collect()
+        gInfoFirst ++ toInfo(reBounds, guard)
+      }
 
     // ---- pass 2: classify rows against broadcast-literal bounds
     def litChain(pick: Any => Double): Column =

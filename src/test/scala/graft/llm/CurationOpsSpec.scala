@@ -424,6 +424,21 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(selTight === hist)
   }
 
+  test("Percentiles.groupedExactSelect: small groups re-guard by rank (sf0.001 regression)") {
+    // the sf0.001 plan audit caught the percentage guard collapsing
+    // below one rank when n < accuracy: group A (~2k rows) missed rank
+    // 1764 at p=0.9. The small-group re-pass must make this exact.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val hist = graft.operators.Percentiles
+      .groupedExact(li, "l_returnflag", "l_extendedprice", probs)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val sel = graft.operators.Percentiles
+      .groupedExactSelect(li, "l_returnflag", "l_extendedprice", probs)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(sel === hist)
+  }
+
   test("Percentiles.groupedExactSelect: NaN input fails loudly, never misranks") {
     val s = spark
     import s.implicits._
