@@ -305,6 +305,16 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(q.linesIterator.count(_.contains("Window [")) === 1, q)
   }
 
+  test("q123: heavy hitters partial-aggregate map-side — the token space never shuffles raw") {
+    val p = planExt("q123_freq_items")
+    // the Space-Saving aggregate must run as ObjectHashAggregate with a
+    // partial phase: <= capacity counters per partition through the
+    // exchange, never the exploded token rows themselves
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_freq_items"), p)
+    assert(!p.contains("Window ["), p) // ranking is the summary slice, not a window
+  }
+
   test("q108: CDC chunk windows stay keyed by doc_id — no cartesian") {
     val p = planExt("q108_cdc_chunks")
     assert(!p.contains("CartesianProduct") &&
