@@ -23,9 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * fatal for open-ended keys (URLs, hosts, error strings). Space-
   * Saving bounds state to `capacity` counters with the classic
   * guarantee `est − err ≤ true ≤ est` and absolute error ≤ n/capacity
-  * per partial; counter merge SUMS both fields, so the bound survives
-  * partial aggregation, and the post-merge trim only discards items
-  * whose upper bound is below the kept tail.
+  * per partial. Merge is the mergeable-summaries combine (Agarwal et
+  * al., PODS'12): matched items SUM both fields, and an item present
+  * in only one side additionally absorbs the ABSENT side's minimum
+  * counter into est and err — a saturated partial may have evicted
+  * that item with up to its current minimum of mass, so the minimum is
+  * exactly the correction that keeps `true ≤ est` (and the widened
+  * err keeps `est − err ≤ true`) through partial aggregation. An
+  * unsaturated partial has never evicted, so its absent-side
+  * correction is 0 and the exact regime stays exact. The post-merge
+  * trim only discards items whose upper bound trails the kept tail,
+  * and the kept minimum then still upper-bounds anything absent.
   *
   * Two regimes, documented deliberately:
   *  - `capacity ≥` the group's distinct-item count: NO evictions
@@ -116,14 +124,37 @@ case class FreqItemsAgg(
     buf
   }
 
+  // the largest count an item absent from `buf` could have accumulated
+  // in buf's stream: a saturated buffer may have evicted it with up to
+  // the current minimum counter of mass (Space-Saving's minimum is
+  // non-decreasing, and the merge/trim paths preserve the invariant —
+  // see the class doc); an unsaturated buffer has never evicted or
+  // trimmed, so absence means a true count of zero
+  private def absentBound(
+      buf: mutable.HashMap[UTF8String, (Long, Long)]): Long =
+    if (buf.size < capacity) 0L
+    else buf.valuesIterator.map(_._1).min
+
   override def merge(
       buf: mutable.HashMap[UTF8String, (Long, Long)],
       other: mutable.HashMap[UTF8String, (Long, Long)])
       : mutable.HashMap[UTF8String, (Long, Long)] = {
+    val minBuf = absentBound(buf)
+    val minOther = absentBound(other)
+    if (minOther > 0) {
+      // items only in buf: `other`'s stream may have held up to its
+      // minimum of this item's mass before evicting it
+      buf.keysIterator.toArray.foreach { k =>
+        if (!other.contains(k)) {
+          val (c0, e0) = buf(k)
+          buf(k) = (c0 + minOther, e0 + minOther)
+        }
+      }
+    }
     other.foreach { case (k, (c, e)) =>
       buf.get(k) match {
         case Some((c0, e0)) => buf(k) = (c0 + c, e0 + e)
-        case None => buf(k) = (c, e)
+        case None => buf(k) = (c + minBuf, e + minBuf)
       }
     }
     if (buf.size > capacity) {

@@ -379,20 +379,97 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** REAL frame decode for the uncompressed-AVI case (r11; closes the
-    * honest frame-decode gap for the one format that needs no codec):
-    * walks the RIFF tree, requires `strf` to declare BI_RGB 24bpp, and
-    * returns each `00db`/`00dc` movi chunk as a top-down, tightly
-    * packed BGR pixel array (bottom-up rows flipped, stride padding
-    * dropped). Compressed codecs (MJPG/H264/…) return None — decoding
-    * them needs a codec the JVM does not ship, and that leg stays a
-    * documented stub rather than a fake.
+  /** Deterministic MJPG AVI: the same RIFF/hdrl layout as
+    * [[syntheticAviRgb]] but `strf.biCompression = "MJPG"` and one
+    * `00dc` chunk per frame holding a standalone JPEG (each frame a
+    * solid color from `colors`, encoded with the JDK's ImageIO JPEG
+    * writer). The generator half of the MJPG [[videoFramesRgb]] leg;
+    * JPEG is lossy, so round-trip tests gate on per-channel tolerance
+    * bands, not exact bytes.
     */
-  def videoFramesRgb(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+  def syntheticAviMjpg(
+      width: Int, height: Int, fps: Int,
+      colors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val jpegs = colors.map { case (r, g, bl) =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | bl
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def pad(n: Int): Int = n + (n & 1) // RIFF chunks are 2-byte aligned
+    val frames = colors.length
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + jpegs.map(j => 8 + pad(j.length)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    cc("RIFF"); w32(riffSize); cc("AVI ")
+    cc("LIST"); w32(hdrlSize); cc("hdrl")
+    cc("avih"); w32(56)
+    w32(1000000L / fps); w32(0); w32(0); w32(0x10)
+    w32(frames); w32(0); w32(1); w32(jpegs.map(_.length).max)
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+    cc("LIST"); w32(strlSize); cc("strl")
+    cc("strh"); w32(56)
+    cc("vids"); cc("MJPG"); w32(0)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    w32(0); w32(1); w32(fps); w32(0); w32(frames)
+    w32(jpegs.map(_.length).max); w32(-1); w32(0); w32(0); w32(0)
+    cc("strf"); w32(40)
+    w32(40); w32(width); w32(height)
+    out.write(1); out.write(0); out.write(24); out.write(0)
+    w32(MjpgFourcc)
+    w32(width.toLong * height * 3); w32(0); w32(0); w32(0); w32(0)
+    cc("LIST"); w32(moviSize); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); w32(j.length)
+      out.write(j, 0, j.length)
+      if ((j.length & 1) == 1) out.write(0) // alignment pad byte
+    }
+    out.toByteArray
+  }
+
+  private val MjpgFourcc = 0x47504A4DL // "MJPG" little-endian
+
+  /** REAL frame decode for the two AVI cases the JDK can handle with
+    * no external codec (r11 BI_RGB; r12 adds MJPG): walks the RIFF
+    * tree, reads `strf`, and returns each `00db`/`00dc` movi chunk as
+    * a top-down, tightly packed BGR pixel array paired with its
+    * ORIGINAL movi chunk index (assigned before any undecodable chunk
+    * is dropped, so a single truncated frame cannot shift every later
+    * frame's index — r11 ADVICE).
+    *
+    *  - BI_RGB 24bpp: pure byte layout — bottom-up rows flipped (a
+    *    negative biHeight marks a top-down DIB and is passed through
+    *    unflipped), stride padding dropped; chunks shorter than one
+    *    frame are skipped.
+    *  - MJPG: every movi chunk is a standalone JPEG, decoded with the
+    *    JDK's own ImageIO JPEG codec (the same one [[decodeImage]]
+    *    uses for stills); frames whose decode fails or whose
+    *    dimensions disagree with `strf` are skipped.
+    *
+    * Truly codec-bearing formats (H264/MP4/…) return None — that leg
+    * stays a documented stub rather than a fake.
+    */
+  def videoFramesRgb(b: Array[Byte]): Option[(Int, Int, Seq[(Int, Array[Byte])])] =
     scala.util.Try {
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") None
       else {
-        var dims: Option[(Int, Int)] = None // from strf, with BI_RGB check
+        // from strf: (width, |height|, topDown, isMjpg)
+        var dims: Option[(Int, Int, Boolean, Boolean)] = None
         val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
         def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
           var off = from
@@ -407,29 +484,57 @@ object Multimodal {
             else if (cc == "strf" && size >= 20) {
               val bpp = (le32(b, payload + 12) >> 16) & 0xffff
               val compression = le32(b, payload + 16)
-              if (compression == 0L && bpp == 24L)
-                dims = dims.orElse(Some(
-                  (le32(b, payload + 4).toInt, le32(b, payload + 8).toInt)))
+              val rawH = le32(b, payload + 8).toInt
+              if ((compression == 0L && bpp == 24L) || compression == MjpgFourcc)
+                dims = dims.orElse(Some((le32(b, payload + 4).toInt,
+                  math.abs(rawH), rawH < 0, compression == MjpgFourcc)))
             } else if (inMovi && (cc == "00db" || cc == "00dc"))
               frames += java.util.Arrays.copyOfRange(b, payload, payload + size)
             off = payload + size + (size & 1)
           }
         }
         walk(12, b.length, inMovi = false)
-        dims.map { case (w, h) =>
-          val stride = ((w * 3 + 3) / 4) * 4
-          val flipped = frames.toSeq
-            .filter(_.length >= stride * h)
-            .map { f =>
-              val outPx = new Array[Byte](w * h * 3)
-              var r = 0
-              while (r < h) {
-                System.arraycopy(f, (h - 1 - r) * stride, outPx, r * w * 3, w * 3)
-                r += 1
-              }
-              outPx
+        dims.map { case (w, h, topDown, isMjpg) =>
+          val indexed = frames.toSeq.zipWithIndex
+          val decoded =
+            if (isMjpg) indexed.flatMap { case (f, i) =>
+              scala.util.Try(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(f))).toOption
+                .filter(img => img != null &&
+                  img.getWidth == w && img.getHeight == h)
+                .map { img =>
+                  val outPx = new Array[Byte](w * h * 3)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      val p = (y * w + x) * 3
+                      outPx(p) = (rgb & 0xff).toByte            // B
+                      outPx(p + 1) = ((rgb >> 8) & 0xff).toByte // G
+                      outPx(p + 2) = ((rgb >> 16) & 0xff).toByte // R
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  (i, outPx)
+                }
+            } else {
+              val stride = ((w * 3 + 3) / 4) * 4
+              indexed
+                .filter { case (f, _) => f.length >= stride * h }
+                .map { case (f, i) =>
+                  val outPx = new Array[Byte](w * h * 3)
+                  var r = 0
+                  while (r < h) {
+                    val srcRow = if (topDown) r else h - 1 - r
+                    System.arraycopy(f, srcRow * stride, outPx, r * w * 3, w * 3)
+                    r += 1
+                  }
+                  (i, outPx)
+                }
             }
-          (w, h, flipped)
+          (w, h, decoded)
         }
       }
     }.toOption.flatten
@@ -448,9 +553,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { m =>
         videoFramesRgb(m.content).toSeq.flatMap { case (w, h, frames) =>
-          frames.zipWithIndex
-            .filter { case (_, i) => i % stride == 0 }
-            .map { case (px, i) =>
+          frames // frame_idx is the ORIGINAL movi chunk index
+            .filter { case (i, _) => i % stride == 0 }
+            .map { case (i, px) =>
               var sb = 0L; var sg = 0L; var sr = 0L
               var p = 0
               while (p < px.length) {

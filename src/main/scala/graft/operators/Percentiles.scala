@@ -235,21 +235,28 @@ object Percentiles {
     require(bounds.forall(r => !r.isNullAt(1)),
       s"groupedExactSelect: sketch pass returned no bounds for a group")
 
-    // group key -> (n, per-prob (lo, hi)) with edge probs widened to ±∞
-    def toInfo(rws: Array[org.apache.spark.sql.Row], guard: Double) =
+    // group key -> (n, per-prob (lo, hi)) with edge probs widened to ±∞.
+    // `guardFor`/`offsetFor` pick the group's own guard and its slice
+    // of the percentage array from its n (pass 1 uses one shared
+    // guard; the weak-group re-pass batches guards by n).
+    def toInfo(rws: Array[org.apache.spark.sql.Row],
+               guardFor: Long => Double,
+               offsetFor: Long => Int = _ => 0) =
       rws.map { r =>
         val bs = r.getSeq[Double](1)
         val n = r.getLong(2)
+        val guard = guardFor(n)
+        val off = offsetFor(n)
         val bnds = probs.indices.map { pi =>
           val lo = if (probs(pi) - guard <= 0.0) Double.NegativeInfinity
-                   else bs(2 * pi)
+                   else bs(off + 2 * pi)
           val hi = if (probs(pi) + guard >= 1.0) Double.PositiveInfinity
-                   else bs(2 * pi + 1)
+                   else bs(off + 2 * pi + 1)
           (lo, hi)
         }
         r.get(0) -> ((n, bnds))
       }.toMap
-    val gInfoFirst = toInfo(bounds, eps)
+    val gInfoFirst = toInfo(bounds, _ => eps)
 
     if (gInfoFirst.isEmpty) {
       // no non-null rows at all: empty result, same as groupedExact
@@ -262,21 +269,33 @@ object Percentiles {
     // n < accuracy, where floor/ceil and 1-based/0-based convention
     // slop can push the target rank outside the band. For groups with
     // fewer than 4 ranks of margin (n < 4·accuracy), re-take their
-    // bounds with a RANK-based guard of 8/n — ≥ ~7 ranks of margin by
+    // bounds with a RANK-based guard of ~8/n — ≥ ~7 ranks of margin by
     // construction, one extra tiny pass paid only in the regime where
     // the group is small by definition (big-data groups never re-pass).
-    val weakN = gInfoFirst.collect {
-      case (_, (n, _)) if n < 4L * accuracy => n
+    // The guard is PER GROUP (r11 ADVICE: one global 8/min(n) let a
+    // single tiny group widen every other weak group's band toward its
+    // full width, inflating the pass-2 collect): groups batch by
+    // floor(log2 n), each batch gets 8/2^⌊log2 n⌋ ∈ (8/n, 16/n] — at
+    // most 2× the per-group optimum — and ONE re-pass evaluates every
+    // batch's percentage pairs side by side in a single array, with
+    // each group reading only its batch's slice.
+    val weakNs = gInfoFirst.collect {
+      case (gv, (n, _)) if n < 4L * accuracy => gv -> n
     }
     val gInfo =
-      if (weakN.isEmpty) gInfoFirst
+      if (weakNs.isEmpty) gInfoFirst
       else {
-        val guard = 8.0 / math.max(1L, weakN.min)
-        val wPcts = probs.flatMap(p =>
-          Seq(math.max(0.0, p - guard), math.min(1.0, p + guard)))
-        val weakKeys = gInfoFirst.collect {
-          case (gv, (n, _)) if n < 4L * accuracy => gv
-        }.toSet
+        def batchOf(n: Long): Int =
+          63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+        val batches = weakNs.values.map(batchOf).toSeq.distinct.sorted
+        val batchIdx = batches.zipWithIndex.toMap
+        def guardOfBatch(b: Int): Double = 8.0 / math.max(1L, 1L << b)
+        val wPcts: Seq[Double] = batches.flatMap { b =>
+          val g = guardOfBatch(b)
+          probs.flatMap(p =>
+            Seq(math.max(0.0, p - g), math.min(1.0, p + g)))
+        }
+        val weakKeys = weakNs.keySet
         val weakCond = weakKeys.foldLeft(lit(false)) { (acc, gv) =>
           acc || (if (gv == null) col(groupCol).isNull
                   else col(groupCol) === lit(gv))
@@ -287,7 +306,9 @@ object Percentiles {
             count(lit(1)).as("__n"),
             sum(when(isnan(v), 1L).otherwise(0L)).as("__nan"))
           .collect()
-        gInfoFirst ++ toInfo(reBounds, guard)
+        gInfoFirst ++ toInfo(reBounds,
+          n => guardOfBatch(batchOf(n)),
+          n => batchIdx(batchOf(n)) * 2 * probs.size)
       }
 
     // ---- pass 2: classify rows against broadcast-literal bounds

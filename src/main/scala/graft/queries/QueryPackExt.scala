@@ -2941,6 +2941,49 @@ object QueryPackExt {
              token, n
       FROM c ORDER BY n DESC, token LIMIT 20"""))
 
+  /** MJPG frame decode via the JDK's own JPEG codec
+    * ([[graft.llm.Multimodal.videoFramesRgb]], MJPG leg — r12, closes
+    * the r11 VERDICT gap: a real user's AVI corpus is far more often
+    * MJPG than BI_RGB, and MJPG frames are standalone JPEGs the JVM
+    * CAN decode). JPEG is lossy, so this gates TOLERANCE-BANDED flags
+    * (the q49 technique), not exact means: the fixture plants
+    * per-frame solid colors by a closed-form formula, the query
+    * decodes the frames and emits per-channel |mean − expected| ≤ 8
+    * booleans, and the oracle expects every flag true. A broken
+    * decode path (failed ImageIO wiring, BGR/RGB swap, frame-index
+    * shift) fails rows or flags; H264/MP4 remain a documented stub.
+    */
+  private val q124 = Q("q124_mjpg_frames",
+    (s, dir) => {
+      import s.implicits._
+      import graft.llm.Multimodal
+      def color(i: Long, j: Int): (Int, Int, Int) =
+        (((i * 37 + j * 11) % 256).toInt, ((i * 23 + j * 19) % 256).toInt,
+          ((i * 7 + j * 3) % 256).toInt)
+      val media = Seq(
+        Multimodal.MediaRow(1L, "video/avi",
+          Multimodal.syntheticAviMjpg(16, 8, fps = 10,
+            (0 until 4).map(color(1L, _)))),
+        Multimodal.MediaRow(2L, "video/avi",
+          Multimodal.syntheticAviMjpg(8, 8, fps = 10,
+            (0 until 4).map(color(2L, _)))))
+      val i = col("media_id"); val j = col("frame_idx")
+      Multimodal.frameSampleStats(s.createDataset(media), stride = 1)
+        .select(i, j, col("width"), col("height"),
+          (abs(col("mean_r") - (i * 37 + j * 11) % 256) <= 8).as("r_ok"),
+          (abs(col("mean_g") - (i * 23 + j * 19) % 256) <= 8).as("g_ok"),
+          (abs(col("mean_b") - (i * 7 + j * 3) % 256) <= 8).as("b_ok"))
+        .harnessSorted(col("media_id"), col("frame_idx"))
+    },
+    Some("""
+      SELECT i AS media_id, CAST(j AS BIGINT) AS frame_idx,
+             CASE i WHEN 1 THEN 16 ELSE 8 END AS width,
+             8 AS height,
+             TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
+      FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) m(i),
+           (VALUES (0), (1), (2), (3)) f(j)
+      ORDER BY media_id, frame_idx"""))
+
   /** Windowed audio features ([[graft.llm.Multimodal.audioWindows]]):
     * real PCM16 decode via javax.sound, per-window RMS + peak — the
     * audio twin of q121's frame sampling, gated the same way: the
@@ -3030,7 +3073,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -58,6 +58,70 @@ class FreqItemsAggSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_._3 <= 2200 / 20 * 4))
   }
 
+  test("graft_freq_items: merge preserves true <= est when an item was evicted in one partial") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = FreqItemsAgg(BoundReference(0, StringType, nullable = true), Literal(2))
+    def feed(items: String*): scala.collection.mutable.HashMap[UTF8String, (Long, Long)] = {
+      val buf = agg.createAggregationBuffer()
+      items.foreach(i => agg.update(buf, InternalRow(UTF8String.fromString(i))))
+      buf
+    }
+    // partial A holds h with 3; partial B saw h once but EVICTED it
+    // (capacity 2, evict ties pick the largest item: c displaces h).
+    // Pre-fix, merge left h at est=3 < true=4 — the broken upper bound.
+    val a = feed("h", "h", "h", "a")
+    val b = feed("h", "b", "c")
+    assert(!b.contains(UTF8String.fromString("h")), "setup: h must be evicted from B")
+    val merged = agg.merge(a, b)
+    val h = merged(UTF8String.fromString("h"))
+    assert(h._1 >= 4L, s"upper bound broken: est=${h._1} < true=4")
+    assert(h._1 - h._2 <= 4L, s"lower bound broken: est-err=${h._1 - h._2} > true=4")
+  }
+
+  test("graft_freq_items: per-item bounds hold across random partials and merge orders") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 25) {
+      val cap = 2 + rnd.nextInt(6)
+      val agg = FreqItemsAgg(BoundReference(0, StringType, nullable = true), Literal(cap))
+      // zipf-ish stream over a key space larger than capacity
+      val stream = Seq.fill(300 + rnd.nextInt(300)) {
+        val r = rnd.nextInt(100)
+        if (r < 40) "k0" else if (r < 60) "k1" else s"k${2 + rnd.nextInt(30)}"
+      }
+      val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // split into 2..5 partials, update each, merge in a random fold order
+      val nParts = 2 + rnd.nextInt(4)
+      val partials = rnd.shuffle(stream).grouped(
+        math.max(1, stream.size / nParts)).map { chunk =>
+        val buf = agg.createAggregationBuffer()
+        chunk.foreach(i => agg.update(buf, InternalRow(UTF8String.fromString(i))))
+        buf
+      }.toSeq
+      val merged = rnd.shuffle(partials).reduce(agg.merge)
+      merged.foreach { case (k, (est, err)) =>
+        val t = truth.getOrElse(k.toString, 0L)
+        assert(t <= est, s"trial $trial cap=$cap ${k.toString}: true=$t > est=$est")
+        assert(est - err <= t,
+          s"trial $trial cap=$cap ${k.toString}: est-err=${est - err} > true=$t")
+      }
+      // absent items are bounded by the kept minimum (saturated) or 0
+      if (merged.size >= cap) {
+        val minKept = merged.valuesIterator.map(_._1).min
+        truth.foreach { case (k, t) =>
+          if (!merged.contains(UTF8String.fromString(k)))
+            assert(t <= minKept, s"trial $trial absent $k: true=$t > minKept=$minKept")
+        }
+      }
+    }
+  }
+
   test("graft_freq_items: capacity must be a positive integral literal") {
     GraftFunctions.ensureRegistered(spark)
     val s = spark
