@@ -110,7 +110,9 @@ object Plans {
     "q120_select_percentiles" ->
       "exact percentiles by sketch-guided band SELECTION (r11): the visible plan is a LocalRelation + the harness sort because both bounded passes (per-group percentile_approx bounds; below/band/above classification against broadcast-literal bounds) ran at construction — nothing is ever sorted, and only the <= 4n/accuracy band is collected; the scale contract lives in the operator (Percentiles.groupedExactSelect) and its curve in BASELINE.md r11",
     "q123_freq_items" ->
-      "Space-Saving heavy hitters: ONE ObjectHashAggregate whose partial state is <= capacity counters per partition (partial_graft_freq_items), merged counter-wise at a single exchange — the full distinct-token space never shuffles; top-20 is a slice of the already-ranked summary, no sort, no window")
+      "Space-Saving heavy hitters: ONE ObjectHashAggregate whose partial state is <= capacity counters per partition (partial_graft_freq_items), merged counter-wise at a single exchange — the full distinct-token space never shuffles; top-20 is a slice of the already-ranked summary, no sort, no window",
+    "q124_mjpg_frames" ->
+      "MJPG frame decode (r12): per-partition streaming mapPartitions over a LocalRelation of media rows — each AVI's movi chunks decode through the JDK JPEG codec one frame at a time, no shuffle before the harness sort; tolerance flags are per-row codegen projections. At corpus scale the input is a binary-column parquet scan and the decode stays embarrassingly parallel (the Sf1xR12 curve)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -296,10 +296,15 @@ object Percentiles {
             Seq(math.max(0.0, p - g), math.min(1.0, p + g)))
         }
         val weakKeys = weakNs.keySet
-        val weakCond = weakKeys.foldLeft(lit(false)) { (acc, gv) =>
-          acc || (if (gv == null) col(groupCol).isNull
-                  else col(groupCol) === lit(gv))
-        }
+        val nonNullKeys = weakKeys.filter(_ != null).toSeq
+        // one In predicate, not an OR-chain per group (codegen-friendly
+        // when many groups are weak), plus an isNull leg if needed
+        val inWeak =
+          if (nonNullKeys.isEmpty) lit(false)
+          else col(groupCol).isin(nonNullKeys: _*)
+        val weakCond =
+          if (weakKeys.contains(null)) inWeak || col(groupCol).isNull
+          else inWeak
         val reBounds = rows.filter(weakCond)
           .groupBy(col(groupCol))
           .agg(percentile_approx(v, typedLit(wPcts), lit(accuracy)).as("__b"),

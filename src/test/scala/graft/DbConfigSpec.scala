@@ -34,7 +34,12 @@ class DbConfigSpec extends AnyFunSuite {
 
   test("load: builds the JDBC url; missing key gets the reference's message") {
     val db = DbConfig.load(writeIni(GoodIni))
-    assert(db.jdbcUrl("efi_db") === "jdbc:mysql://db.example.org:3306/efi_db")
+    // useCursorFetch pins MySQL Connector/J to server-side cursor
+    // batching — without it a positive fetchsize is ignored and the
+    // whole result set buffers in executor memory (dialect pin; the
+    // reference streams idmapping in 1000-row cursor batches)
+    assert(db.jdbcUrl("efi_db") ===
+      "jdbc:mysql://db.example.org:3306/efi_db?useCursorFetch=true")
     assert(db.user === "efi_user" && db.password === "s3cret")
     val noPort = writeIni("[database]\nuser=u\npassword=p\nhost=h\n")
     val ex = intercept[IllegalArgumentException](DbConfig.load(noPort))
@@ -57,7 +62,8 @@ class DbConfigSpec extends AnyFunSuite {
     val l = EnaMain.resolveArgs(Seq(
       "--db-config", ini, "--db-name", "efi", "--output-dir", "/out",
       "--ena-paths", "/ena/a", "--n-workers", "8"))
-    assert(l.idmappingSource === "jdbc:mysql://db.example.org:3306/efi")
+    assert(l.idmappingSource ===
+      "jdbc:mysql://db.example.org:3306/efi?useCursorFetch=true")
     assert(l.user === Some("efi_user") && l.password === Some("s3cret"))
     assert(l.outDir === "/out" && l.roots === Seq("/ena/a"))
     assert(l.nWorkers === Some(8))
