@@ -75,10 +75,19 @@ object Multimodal {
     * payloads ImageIO can't decode — callers fall back to
     * [[decodeStub]].
     */
+  /** ImageIO stream over an in-memory payload, pinned to the MEMORY
+    * cache: `ImageIO.createImageInputStream`/`ImageIO.read(InputStream)`
+    * default to a FILE-backed cache (`useCache=true`), which creates
+    * and deletes a temp file on executor disk PER DECODE — pure churn
+    * when the source bytes are already on the heap (r12 self-review).
+    */
+  private def memStream(bytes: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
     scala.util.Try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val iis = memStream(bytes)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -465,6 +474,16 @@ object Multimodal {
     * stays a documented stub rather than a fake.
     */
   def videoFramesRgb(b: Array[Byte]): Option[(Int, Int, Seq[(Int, Array[Byte])])] =
+    videoFramesRgb(b, _ => true)
+
+  /** As [[videoFramesRgb]], but only chunks whose ORIGINAL movi index
+    * passes `sample` are DECODED — indices are assigned to every chunk
+    * first, so sampling never shifts them, and skipped frames never
+    * pay the JPEG decode (at stride 2 that is half the MJPG work).
+    */
+  def videoFramesRgb(
+      b: Array[Byte],
+      sample: Int => Boolean): Option[(Int, Int, Seq[(Int, Array[Byte])])] =
     scala.util.Try {
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") None
       else {
@@ -496,26 +515,24 @@ object Multimodal {
         walk(12, b.length, inMovi = false)
         dims.map { case (w, h, topDown, isMjpg) =>
           val indexed = frames.toSeq.zipWithIndex
+            .filter { case (_, i) => sample(i) }
           val decoded =
             if (isMjpg) indexed.flatMap { case (f, i) =>
-              scala.util.Try(javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(f))).toOption
+              scala.util.Try(
+                javax.imageio.ImageIO.read(memStream(f))).toOption
                 .filter(img => img != null &&
                   img.getWidth == w && img.getHeight == h)
                 .map { img =>
+                  // one bulk raster grab, not w*h getRGB calls
+                  val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
                   val outPx = new Array[Byte](w * h * 3)
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) {
-                      val rgb = img.getRGB(x, y)
-                      val p = (y * w + x) * 3
-                      outPx(p) = (rgb & 0xff).toByte            // B
-                      outPx(p + 1) = ((rgb >> 8) & 0xff).toByte // G
-                      outPx(p + 2) = ((rgb >> 16) & 0xff).toByte // R
-                      x += 1
-                    }
-                    y += 1
+                  var p = 0
+                  while (p < rgbs.length) {
+                    val rgb = rgbs(p)
+                    outPx(p * 3) = (rgb & 0xff).toByte             // B
+                    outPx(p * 3 + 1) = ((rgb >> 8) & 0xff).toByte  // G
+                    outPx(p * 3 + 2) = ((rgb >> 16) & 0xff).toByte // R
+                    p += 1
                   }
                   (i, outPx)
                 }
@@ -552,10 +569,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { m =>
-        videoFramesRgb(m.content).toSeq.flatMap { case (w, h, frames) =>
-          frames // frame_idx is the ORIGINAL movi chunk index
-            .filter { case (i, _) => i % stride == 0 }
-            .map { case (i, px) =>
+        // stride pushed into the decode: non-sampled frames keep their
+        // index slot but never pay the (JPEG) decode
+        videoFramesRgb(m.content, i => i % stride == 0).toSeq
+          .flatMap { case (w, h, frames) =>
+          frames.map { case (i, px) =>
               var sb = 0L; var sg = 0L; var sr = 0L
               var p = 0
               while (p < px.length) {
@@ -755,8 +773,7 @@ object Multimodal {
   def resizeImage(
       bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
     scala.util.Try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))).map { img =>
+      Option(javax.imageio.ImageIO.read(memStream(bytes))).map { img =>
         val out = new java.awt.image.BufferedImage(
           width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()

@@ -20,13 +20,28 @@ import graft.SparkSpec
   */
 class EventsLayoutSpec extends AnyFunSuite with SparkSpec {
 
-  /** Every SparkEntry query whose plan reads events.parquet. */
-  private val eventQueries = Seq(
-    "q22_range_join", "q23_sessionize", "q24_tumbling_window",
-    "q25_json_extract", "q45_asof_join", "q46_sliding_window",
-    "q47_session_window", "q65_stream_tumbling_twin",
-    "q73_stream_sessionize_twin", "q74_stream_attribution_twin",
-    "q95_funnel", "q96_retention_cohorts", "q102_funnel_windowed")
+  /** Every SparkEntry query whose ANALYZED PLAN scans events.parquet —
+    * derived, not hand-listed, so a future query that starts reading
+    * events is covered the day it is registered (building a plan runs
+    * no jobs for file-backed scans; queries that execute at
+    * construction against driver-local data carry no events scan).
+    */
+  private lazy val eventQueries: Seq[String] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val reads = scala.util.Try {
+        val plan = fn(spark, srcDir).queryExecution.analyzed
+        plan.collectLeaves().exists {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.exists(_.toString.contains("events.parquet"))
+              case _ => false
+            }
+          case _ => false
+        }
+      }.getOrElse(false)
+      if (reads) Some(name) else None
+    }
 
   private val srcDir = "/root/testdata/sf0.001"
 
@@ -37,7 +52,22 @@ class EventsLayoutSpec extends AnyFunSuite with SparkSpec {
     * tables are the driver's files unchanged.
     */
   private lazy val nanosDir: String = {
-    val dir = Files.createTempDirectory("graft_events_ns").toString
+    // fixed, reusable path (r12 self-review): the twin is a pure
+    // function of the driver fixture, so repeated suite runs share one
+    // copy instead of leaking a fresh temp dir each run; stale copies
+    // are rebuilt whenever the driver fixture is newer
+    val fixed = Paths.get("/tmp/graft_events_ns_fixture")
+    val srcM = new java.io.File(s"$srcDir/events.parquet").lastModified()
+    val fresh = Files.exists(fixed.resolve("events.parquet")) &&
+      fixed.resolve("events.parquet").toFile.lastModified() > srcM
+    if (fresh) fixed.toString
+    else buildTwin(fixed)
+  }
+
+  private def buildTwin(fixed: java.nio.file.Path): String = {
+    org.apache.commons.io.FileUtils.deleteQuietly(fixed.toFile)
+    Files.createDirectories(fixed)
+    val dir = fixed.toString
     new java.io.File(srcDir).listFiles()
       .filter(f => f.getName.endsWith(".parquet") && f.getName != "events.parquet")
       .foreach(f => Files.copy(f.toPath, Paths.get(dir, f.getName),
@@ -63,9 +93,10 @@ class EventsLayoutSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("events loader: every time-series query is layout-invariant (NTZ vs epoch-nanos long)") {
-    // guard: the list above must stay in sync with the query registry
-    val missing = eventQueries.filterNot(graft.SparkEntry.queries.contains)
-    assert(missing.isEmpty, s"unknown event queries: $missing")
+    // the plan-derived consumer set must cover at least the 13 known
+    // event queries — if derivation silently broke, this catches it
+    assert(eventQueries.size >= 13,
+      s"expected >= 13 event-reading queries, derived: $eventQueries")
 
     val nsSchema = spark.read.parquet(s"$nanosDir/events.parquet").schema("ts")
     assert(nsSchema.dataType === org.apache.spark.sql.types.LongType,
