@@ -30,6 +30,12 @@ object Percentiles {
 
   private def name(p: Double) = "p" + math.round(p * 100)
 
+  /** Above this group count, groupedExactSelect's pass-2 bounds ship
+    * as a broadcast lookup join instead of inline literal when-chains
+    * (a G·P-conditional chain overruns codegen method limits).
+    */
+  private val LitChainMaxGroups = 64
+
   /** Exact interpolated percentiles from the value histogram — one row
     * per group: `p<NN>` per requested prob, plus `n`. NULL values are
     * excluded from rank space (SQL semantics); a group with only NULLs
@@ -316,26 +322,58 @@ object Percentiles {
           n => batchIdx(batchOf(n)) * 2 * probs.size)
       }
 
-    // ---- pass 2: classify rows against broadcast-literal bounds
-    def litChain(pick: Any => Double): Column =
-      gInfo.foldLeft(lit(Double.NaN)) { case (acc, (gv, _)) =>
-        val cond = if (gv == null) col(groupCol).isNull
-                   else col(groupCol) === lit(gv)
-        when(cond, lit(pick(gv))).otherwise(acc)
+    // ---- pass 2: classify rows against the per-group bounds. Two
+    // regimes (r12, closes the r12 self-review codegen item): at
+    // report-sized group counts the bounds inline as literal
+    // when-chains — pure codegen, no join operator at all — but the
+    // chain is G·P nested conditionals, which overruns the JIT/codegen
+    // method-size limit as G grows. Past `LitChainMaxGroups` the
+    // bounds ship as a one-row-per-group broadcast lookup joined
+    // null-safely on the group key instead: one BroadcastHashJoin,
+    // still zero exchanges on the data side, size-independent codegen.
+    def classify(source: DataFrame,
+                 loOf: Int => Column, hiOf: Int => Column) = {
+      val perProb = probs.indices.map { pi =>
+        val lo = loOf(pi); val hi = hiOf(pi)
+        struct(lit(pi).as("pi"),
+          when(v < lo, 0).when(v <= hi, 1).otherwise(2).as("m"),
+          when(v >= lo && v <= hi, v).as("bv"))
       }
-    val perProb = probs.indices.map { pi =>
-      val lo = litChain(gv => gInfo(gv)._2(pi)._1)
-      val hi = litChain(gv => gInfo(gv)._2(pi)._2)
-      struct(lit(pi).as("pi"),
-        when(v < lo, 0).when(v <= hi, 1).otherwise(2).as("m"),
-        when(v >= lo && v <= hi, v).as("bv"))
+      source.select(col(groupCol), explode(array(perProb: _*)).as("__pc"))
+        .groupBy(col(groupCol), col("__pc.pi").as("__pi"),
+          col("__pc.m").as("__m"), col("__pc.bv").as("__bv"))
+        .agg(count(lit(1)).as("__c"))
+        .collect()
     }
-    val classified = rows
-      .select(col(groupCol), explode(array(perProb: _*)).as("__pc"))
-      .groupBy(col(groupCol), col("__pc.pi").as("__pi"),
-        col("__pc.m").as("__m"), col("__pc.bv").as("__bv"))
-      .agg(count(lit(1)).as("__c"))
-      .collect()
+    val classified =
+      if (gInfo.size <= LitChainMaxGroups) {
+        def litChain(pick: Any => Double): Column =
+          gInfo.foldLeft(lit(Double.NaN)) { case (acc, (gv, _)) =>
+            val cond = if (gv == null) col(groupCol).isNull
+                       else col(groupCol) === lit(gv)
+            when(cond, lit(pick(gv))).otherwise(acc)
+          }
+        classify(rows,
+          pi => litChain(gv => gInfo(gv)._2(pi)._1),
+          pi => litChain(gv => gInfo(gv)._2(pi)._2))
+      } else {
+        val lookupSchema = org.apache.spark.sql.types.StructType(
+          df.schema(groupCol).copy(name = "__g") +:
+            probs.indices.flatMap(pi => Seq(
+              org.apache.spark.sql.types.StructField(s"__lo$pi",
+                org.apache.spark.sql.types.DoubleType, nullable = false),
+              org.apache.spark.sql.types.StructField(s"__hi$pi",
+                org.apache.spark.sql.types.DoubleType, nullable = false))))
+        val lookupRows = gInfo.toSeq.map { case (gv, (_, bnds)) =>
+          org.apache.spark.sql.Row.fromSeq(
+            gv +: bnds.flatMap { case (lo, hi) => Seq(lo, hi) })
+        }
+        val lookup = spark.createDataFrame(
+          java.util.Arrays.asList(lookupRows: _*), lookupSchema)
+        classify(
+          rows.join(broadcast(lookup), col(groupCol) <=> col("__g")),
+          pi => col(s"__lo$pi"), pi => col(s"__hi$pi"))
+      }
 
     // ---- driver: exact order statistics by rank arithmetic
     val byGroup = classified.groupBy(_.get(0))

@@ -424,6 +424,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(selTight === hist)
   }
 
+  test("Percentiles.groupedExactSelect: broadcast-lookup regime (many groups) matches groupedExact") {
+    val s = spark
+    import s.implicits._
+    // 150 groups (> LitChainMaxGroups=64) forces the broadcast lookup
+    // join path for pass 2 — same answers as the histogram form,
+    // including a null group key (the join is null-safe)
+    val d = (0 until 150).flatMap { g =>
+      val key = if (g == 0) Option.empty[String] else Option(f"g$g%03d")
+      (1 to 40).map(i => (key, ((i * 31 + g * 7) % 97).toDouble))
+    }.toDF("g", "v")
+    val probs = Seq(0.25, 0.5, 0.9)
+    val hist = graft.operators.Percentiles
+      .groupedExact(d, "g", "v", probs)
+      .collect().map(r => Option(r.getString(0)) -> r.toSeq).toMap
+    val sel = graft.operators.Percentiles
+      .groupedExactSelect(d, "g", "v", probs, accuracy = 1000)
+      .collect().map(r => Option(r.getString(0)) -> r.toSeq).toMap
+    assert(sel.size === 150)
+    assert(sel === hist)
+  }
+
   test("Percentiles.groupedExactSelect: small groups re-guard by rank (sf0.001 regression)") {
     // the sf0.001 plan audit caught the percentage guard collapsing
     // below one rank when n < accuracy: group A (~2k rows) missed rank
