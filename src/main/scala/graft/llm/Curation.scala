@@ -57,30 +57,59 @@ object Curation {
       minMeanTokLen: Double = 2.0,
       maxMeanTokLen: Double = 12.0,
       blockSize: Long = 512,
-      groupWidth: Long = 4096): DataFrame = {
+      groupWidth: Long = 4096,
+      inlineKeepListMax: Int = InlineKeepListMax): DataFrame = {
     val sampled = Sampling.sampleCorpus(docs, sampleFraction, sampleSeed)
-    // Each stage's keep-list is localCheckpoint'd: downstream stages
-    // consume their input corpus several times (dedup alone joins it
-    // 4×), and without the barrier every consumer would re-run the
-    // upstream stage's full gram pipeline (isolated best-of-2 A/B at
-    // sf0.1: 18.6 s without the barrier → 6.9 s with it — the
-    // composition now costs ≈ the sum of its stages). Only the doc_id lists are pinned — bytes-per-row tiny,
-    // broadcast-sized next to the corpus — while the wide corpus rows
-    // are re-derived from the (columnar, pruned) scan + broadcast
-    // id-list joins, which is the right trade at 100 TB versus
-    // pinning corpus blocks in executor memory.
-    val cleanIds = Decontaminate
+    // Each stage's keep-list is a BARRIER: downstream stages consume
+    // their input corpus several times (dedup alone joins it 4×), and
+    // without the barrier every consumer would re-run the upstream
+    // stage's full gram pipeline (isolated best-of-2 A/B at sf0.1:
+    // 18.6 s without → 6.9 s with — the composition costs ≈ the sum
+    // of its stages). The barrier itself is dual-regime
+    // ([[keepFilter]]): a bounded probe either inlines the id list as
+    // an InSet codegen filter (no checkpoint write, no broadcast-build
+    // job per consumer) or localCheckpoints it for the broadcast join
+    // — only doc_id lists ever pin, never wide corpus rows, which
+    // re-derive from the (columnar, pruned) scan at 100 TB.
+    val clean = keepFilter(sampled, Decontaminate
       .decontaminate(sampled, evalDocs, decontamShingleK, maxOverlap)
-      .select(col("doc_id")).localCheckpoint()
-    val clean = sampled.join(cleanIds, Seq("doc_id"))
-    val uniqueIds = TextDedup.dedupPipeline(clean, dedupShingleK, nHashes,
-      bands, threshold, prefixK, maxBucketWidth).localCheckpoint()
-    val unique = clean.join(uniqueIds, Seq("doc_id"))
-    val goodIds = TextAnalysis.qualityFilter(unique, minTokens, minTtr,
-      maxStopwordRatio, minMeanTokLen, maxMeanTokLen)
-      .select(col("doc_id")).localCheckpoint()
-    val good = unique.join(goodIds, Seq("doc_id"))
+      .select(col("doc_id")), inlineKeepListMax)
+    val unique = keepFilter(clean,
+      TextDedup.dedupPipeline(clean, dedupShingleK, nHashes,
+        bands, threshold, prefixK, maxBucketWidth), inlineKeepListMax)
+    val good = keepFilter(unique,
+      TextAnalysis.qualityFilter(unique, minTokens, minTtr,
+        maxStopwordRatio, minMeanTokLen, maxMeanTokLen)
+        .select(col("doc_id")), inlineKeepListMax)
     Packing.packBlocks(good, blockSize, groupWidth)
+  }
+
+  /** Above this keep-list size the stage barrier localCheckpoints and
+    * broadcast-joins; at or below, the ids inline as one InSet filter.
+    */
+  private val InlineKeepListMax = 100000
+
+  /** Dual-regime stage barrier (r12, the resolveIds/J1 probe pattern):
+    * materialize `keepIds` ONCE with a bounded `limit(n+1).collect()`
+    * probe. If it fits (`≤ InlineKeepListMax` ids — MBs on the
+    * driver), the collected ids ARE the barrier: every corpus consumer
+    * evaluates one codegen InSet filter fused into its scan, with no
+    * checkpoint write, no pinned blocks to release, and no
+    * broadcast-build job per consumer. A keep-list that overflows the
+    * probe — the 100 TB regime — localCheckpoints and broadcast-joins
+    * exactly as before. Either way the upstream stage's pipeline runs
+    * once.
+    */
+  private def keepFilter(
+      corpus: DataFrame, keepIds: DataFrame, maxInline: Int): DataFrame = {
+    val probe =
+      if (maxInline > 0) keepIds.limit(maxInline + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (maxInline > 0 && probe.length <= maxInline)
+      corpus.filter(col("doc_id")
+        .isInCollection(probe.toSeq.map(_.get(0))))
+    else
+      corpus.join(keepIds.localCheckpoint(), Seq("doc_id"))
   }
 
   /** Order-independent corpus digest per `by` group: `bit_xor` over

@@ -811,17 +811,76 @@ object TextDedup {
     * round count. With the defaults (20 > 8) deep graphs now converge
     * where r7 hit the rail; a caller that sets `maxIter ≤
     * escalateAfter` keeps the strict propagation-only rail.
+    *
+    * SMALL-GRAPH REGIME (r12): integral-id edge sets that a bounded
+    * probe shows ≤ `smallGraphMaxEdges` close via one driver-side
+    * union-find with min-root representatives — the same output
+    * relation, hash-identical, in 2 jobs instead of ~3 per round
+    * (dup graphs are usually tiny next to their corpus, and the loop's
+    * scheduler floors dominated bench cost). Graphs over the bound —
+    * the 100 TB case — take the distributed loop unchanged; pass 0 to
+    * force it.
     */
   def duplicateComponents(
       pairs: DataFrame,
       maxIter: Int = 20,
-      escalateAfter: Int = 8): DataFrame = {
+      escalateAfter: Int = 8,
+      smallGraphMaxEdges: Int = 1 << 17): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     require(escalateAfter > 0, "escalateAfter must be positive")
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct()
       .localCheckpoint()
+    // SMALL-GRAPH REGIME (r12): near-dup graphs are usually tiny next
+    // to their corpus (edges ≈ dup pairs, not docs), and the
+    // distributed loop pays 2–3 scheduler round trips PER ROUND — at
+    // bench scale that is most of the operator's cost (q61: ~12 of 15
+    // jobs are loop floors). When a bounded probe (`limit(n+1).count`
+    // over the already-checkpointed symmetric edge set — reads at most
+    // n+1 rows) shows ≤ `smallGraphMaxEdges` edges of integral ids,
+    // close the components with one driver-side union-find whose
+    // representative is the component MINIMUM — the exact relation the
+    // fixpoint computes, hash-identical, in 2 jobs instead of
+    // 3×diameter. ~1e5 edges × 16 B is MBs on the driver; a graph that
+    // overflows the probe takes the distributed loop below, which
+    // remains the 100 TB path. Pass 0 to force the distributed loop
+    // (the rail/equivalence specs do).
+    val idType = edges.schema("a").dataType
+    val integralIds =
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && smallGraphMaxEdges > 0 &&
+        edges.limit(smallGraphMaxEdges + 1).count() <= smallGraphMaxEdges) {
+      val es = edges
+        .select(col("a").cast("long"), col("b").cast("long")).collect()
+      graft.operators.Checkpoints.release(edges)
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val p = parent.getOrDefault(r, r); p != r }) r = parent.get(r)
+        var c = x // path compression
+        while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { row =>
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra != rb) { // smaller root absorbs: root IS the component min
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val members = new java.util.TreeSet[java.lang.Long]()
+      es.foreach { r => members.add(r.getLong(0)); members.add(r.getLong(1)) }
+      def asId(v: Long): Any =
+        if (idType == org.apache.spark.sql.types.IntegerType) v.toInt else v
+      val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](members.size())
+      members.forEach(id =>
+        outRows.add(org.apache.spark.sql.Row(asId(id), asId(find(id)))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+      return pairs.sparkSession.createDataFrame(outRows, schema)
+    }
     val propBudget = math.min(maxIter, escalateAfter)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))

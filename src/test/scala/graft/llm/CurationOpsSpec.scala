@@ -141,6 +141,38 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.count(_.getAs[Long]("doc_id") == 3L) === 1) // only 1 term
   }
 
+  test("curate: inline-keep-list regime equals the checkpointed-join regime") {
+    val s = spark
+    import s.implicits._
+    // a corpus that exercises every stage: an exact dup pair, a
+    // near-dup pair, an eval-contaminated doc, and a junk doc the
+    // quality filter drops — both barrier regimes (r12: InSet inline
+    // vs localCheckpoint + broadcast join) must pack IDENTICAL blocks
+    val docs = ((1 to 30).map(i => (i.toLong,
+        s"unique document number $i with several plain words " +
+          s"alpha$i beta$i gamma delta epsilon zeta eta theta")) ++
+      Seq(
+        (31L, "duplicate content duplicate content duplicate content xy"),
+        (32L, "duplicate content duplicate content duplicate content xy"),
+        (33L, "evaluation benchmark sentence held out for testing models"),
+        (34L, "zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("web"))
+    val eval =
+      Seq((1000L, "evaluation benchmark sentence held out for testing models"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("web"))
+    val inline = graft.llm.Curation.curate(docs, eval).collect()
+      .map(_.toSeq).toSet
+    val joined = graft.llm.Curation
+      .curate(docs, eval, inlineKeepListMax = 0).collect()
+      .map(_.toSeq).toSet
+    assert(inline === joined)
+    assert(inline.nonEmpty)
+  }
+
   test("corpusDigest: invariant under repartitioning; flips on any content change") {
     val s = spark
     import s.implicits._

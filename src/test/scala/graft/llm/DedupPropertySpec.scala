@@ -178,12 +178,17 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     val s = spark
     import s.implicits._
     val p = Prop.forAll(Gen.chooseNum(2, 5)) { d =>
+      // smallGraphMaxEdges = 0: the budget boundary is a property of
+      // the DISTRIBUTED loop; the default regime solves these tiny
+      // graphs driver-side without any round budget (r12)
       val path = (0 until d).map(i => (i.toLong, (i + 1).toLong))
         .toDF("da", "db")
-      val ok = TextDedup.duplicateComponents(path, maxIter = d + 1).collect()
+      val ok = TextDedup.duplicateComponents(path, maxIter = d + 1,
+        escalateAfter = d + 1, smallGraphMaxEdges = 0).collect()
       val converged = ok.length == d + 1 && ok.forall(_.getLong(1) == 0L)
       val under = scala.util.Try(
-        TextDedup.duplicateComponents(path, maxIter = d))
+        TextDedup.duplicateComponents(path, maxIter = d,
+          escalateAfter = d, smallGraphMaxEdges = 0))
       converged && under.isFailure &&
         under.failed.get.getMessage.contains("did not converge")
     }
@@ -197,12 +202,20 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     // threw here; the default budget (prop 8 + star 12) now converges
     // because large-star/small-star halves chains: log2(101) ≈ 7 rounds
     val chain = (0L until 100L).map(i => (i, i + 1)).toDF("da", "db")
-    val comp = TextDedup.duplicateComponents(chain).collect()
+    // r12: a graph this small is closed by the driver union-find
+    // regime; force the DISTRIBUTED path (smallGraphMaxEdges = 0) to
+    // exercise the escalation
+    val comp = TextDedup
+      .duplicateComponents(chain, smallGraphMaxEdges = 0).collect()
     assert(comp.length === 101 && comp.forall(_.getLong(1) == 0L))
+    // the default small-graph regime answers identically, in 2 jobs
+    val compUf = TextDedup.duplicateComponents(chain).collect()
+    assert(compUf.length === 101 && compUf.forall(_.getLong(1) == 0L))
     // the strict propagation-only rail is still available: budget
     // capped at escalateAfter leaves no star rounds and throws
     val ex = intercept[IllegalStateException] {
-      TextDedup.duplicateComponents(chain, maxIter = 8, escalateAfter = 8)
+      TextDedup.duplicateComponents(chain, maxIter = 8, escalateAfter = 8,
+        smallGraphMaxEdges = 0)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
@@ -216,15 +229,20 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
       .suchThat(_.nonEmpty)
     val p = Prop.forAll(edgeGen) { es =>
       val pairs = es.toDF("da", "db")
-      // propagation only (escalateAfter = maxIter forbids the switch)
-      val viaProp = TextDedup.duplicateComponents(pairs, 64, 64)
+      // propagation only (escalateAfter = maxIter forbids the star
+      // switch; smallGraphMaxEdges = 0 forbids the union-find regime)
+      val viaProp = TextDedup
+        .duplicateComponents(pairs, 64, 64, smallGraphMaxEdges = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // default regime: driver union-find (these graphs are tiny)
+      val viaUf = TextDedup.duplicateComponents(pairs, 64, 64)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val sym = pairs.select(col("da").as("a"), col("db").as("b"))
         .union(pairs.select(col("db").as("a"), col("da").as("b")))
         .distinct()
       val viaStar = TextDedup.starComponents(sym, 64)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      viaProp == viaStar
+      viaProp == viaStar && viaProp == viaUf
     }
     assertHolds(p, 4)
   }

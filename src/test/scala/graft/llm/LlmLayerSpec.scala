@@ -179,11 +179,15 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     // round, so convergence needs ~diameter rounds — far past a small
     // maxIter, within a generous one
     val chain = (0L until 25L).map(i => (i, i + 1)).toDF("da", "db")
+    // force the distributed loop (r12: the default small-graph regime
+    // closes a 25-edge graph on the driver and never hits the rail)
     val ex = intercept[IllegalStateException] {
-      TextDedup.duplicateComponents(chain, maxIter = 5)
+      TextDedup.duplicateComponents(chain, maxIter = 5, escalateAfter = 5,
+        smallGraphMaxEdges = 0)
     }
     assert(ex.getMessage.contains("did not converge"))
-    val comp = TextDedup.duplicateComponents(chain, maxIter = 40).collect()
+    val comp = TextDedup.duplicateComponents(chain, maxIter = 40,
+      smallGraphMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size === 26 && comp.values.forall(_ == 0L))
   }
