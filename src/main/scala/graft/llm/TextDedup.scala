@@ -974,6 +974,7 @@ object TextDedup {
     // canonical undirected form (a > b) so set-equality probes compare
     // like with like; edges0 is symmetric, keep one direction
     var cur = edges0.filter(col("a") > col("b")).distinct().localCheckpoint()
+    var curCnt = cur.count()
     var iter = 0
     var converged = false
     while (!converged) {
@@ -981,14 +982,25 @@ object TextDedup {
         throw new IllegalStateException(
           s"starComponents did not converge in $maxIter rounds — " +
             "raise maxIter for this graph")
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      // both sides are canonical distinct sets: equal iff no element
-      // of either difference exists (two bounded probes)
-      converged =
-        next.exceptAll(cur).limit(1).count() == 0 &&
-          cur.exceptAll(next).limit(1).count() == 0
+      // checkpoint BETWEEN the two star steps (r12, found by the 550k-
+      // edge CcScale run): smallStar consumes its input through two
+      // union legs plus the min agg, so an unmaterialized largeStar
+      // pipeline re-executes several times per round — the barrier
+      // makes each round cost one pass of each step (54 s → 11 s on
+      // the 550k-edge planted graph)
+      val ls = largeStar(cur).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
+      graft.operators.Checkpoints.release(ls)
+      // both sides are canonical DISTINCT sets, so equal counts plus
+      // one empty difference imply equality — the count is free off
+      // the fresh checkpoint and skips the except-join entirely in the
+      // still-shrinking rounds
+      val nextCnt = next.count()
+      converged = nextCnt == curCnt &&
+        next.exceptAll(cur).limit(1).count() == 0
       graft.operators.Checkpoints.release(cur)
       cur = next
+      curCnt = nextCnt
       iter += 1
     }
     // star forest: every edge is (member, component-min); the mins
