@@ -20,28 +20,36 @@ import graft.SparkSpec
   */
 class EventsLayoutSpec extends AnyFunSuite with SparkSpec {
 
-  /** Every SparkEntry query whose ANALYZED PLAN scans events.parquet —
-    * derived, not hand-listed, so a future query that starts reading
-    * events is covered the day it is registered (building a plan runs
-    * no jobs for file-backed scans; queries that execute at
-    * construction against driver-local data carry no events scan).
+  /** Every SparkEntry query that reads the events table — derived, not
+    * hand-listed, so a future query that starts reading events is
+    * covered the day it is registered. Derivation reads the CHEAP side
+    * first (r12 ADVICE): the oracle SQL mirrors each query's table
+    * set, so a `\bevents\b` scan over `oracleSql` finds consumers with
+    * zero plan builds; only oracle-LESS queries (none today) fall back
+    * to analyzed-plan leaf inspection, which for construction-eager
+    * queries would run their construction jobs.
     */
-  private lazy val eventQueries: Seq[String] =
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val reads = scala.util.Try {
-        val plan = fn(spark, srcDir).queryExecution.analyzed
-        plan.collectLeaves().exists {
-          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            r.relation match {
-              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                h.location.rootPaths.exists(_.toString.contains("events.parquet"))
+  private lazy val eventQueries: Seq[String] = {
+    val eventsRef = "(?i)\\bevents\\b".r
+    graft.SparkEntry.queries.keySet.toSeq.sorted.filter { name =>
+      graft.SparkEntry.oracleSql.get(name) match {
+        case Some(sql) => eventsRef.findFirstIn(sql).isDefined
+        case None => scala.util.Try {
+          graft.SparkEntry.queries(name)(spark, srcDir)
+            .queryExecution.analyzed.collectLeaves().exists {
+              case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                r.relation match {
+                  case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                    h.location.rootPaths
+                      .exists(_.toString.contains("events.parquet"))
+                  case _ => false
+                }
               case _ => false
             }
-          case _ => false
-        }
-      }.getOrElse(false)
-      if (reads) Some(name) else None
+        }.getOrElse(false)
+      }
     }
+  }
 
   private val srcDir = "/root/testdata/sf0.001"
 
