@@ -316,30 +316,54 @@ object Similarity {
   }
 
   /** Driver-side memo of collected centroid rows, keyed by the
-    * CANONICALIZED logical plan of `cent.select(ccell, cv)`: two
-    * probes against the same index (same scan path / same
-    * LocalRelation) hit the same entry, so only the first pays the
-    * (tiny, one-row-per-cell) collect job. Bounded LRU — centroid
-    * tables are report-sized by construction, and 8 live indexes per
-    * driver is already generous. Trade-off, documented: a probe sees
-    * the centroid rows as of the first collect of that plan; an index
-    * OVERWRITTEN IN PLACE on disk needs a fresh `readIvfIndex`
-    * DataFrame (different path ⇒ different plan) or a driver restart,
-    * the same staleness contract as Spark's own relation cache.
+    * CANONICALIZED logical plan of `cent.select(ccell, cv)` plus the
+    * max mtime of its file-backed sources ([[sourceVersion]]): two
+    * probes against the same unchanged index hit the same entry, so
+    * only the first pays the (tiny, one-row-per-cell) collect job,
+    * while an index overwritten in place changes the mtime component
+    * and re-collects (r12 — closes the stale-read trade-off the first
+    * cut documented). Bounded LRU — centroid tables are report-sized
+    * by construction, and 8 live indexes per driver is generous.
     */
   private val centCollectCache =
     new java.util.LinkedHashMap[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
         Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[
-            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
             Array[org.apache.spark.sql.Row]]): Boolean = size > 8
     }
 
+  /** Max lastModified across the file-backed leaves of `plan` (0 for
+    * purely local/in-memory plans): folded into the memo key so an
+    * index overwritten IN PLACE at the same path misses the cache on
+    * the next probe instead of serving stale centroids (r12 ADVICE).
+    * One driver-side FS stat per root path — centroid tables are one
+    * tiny file set by construction.
+    */
+  private def sourceVersion(plan: DataFrame): Long =
+    plan.queryExecution.analyzed.collectLeaves().flatMap {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.flatMap { p =>
+              scala.util.Try {
+                val f = new java.io.File(p.toUri.getPath)
+                if (f.isDirectory)
+                  (f.lastModified() +:
+                    Option(f.listFiles()).toSeq.flatten.map(_.lastModified())).max
+                else f.lastModified()
+              }.toOption
+            }
+          case _ => Nil
+        }
+      case _ => Nil
+    }.foldLeft(0L)(math.max)
+
   private def collectCentroids(cent: DataFrame): Array[org.apache.spark.sql.Row] = {
     val plan = cent.select(col("ccell"), col("cv"))
-    val key = plan.queryExecution.analyzed.canonicalized
+    val key = (plan.queryExecution.analyzed.canonicalized, sourceVersion(plan))
     centCollectCache.synchronized {
       Option(centCollectCache.get(key))
     } match {

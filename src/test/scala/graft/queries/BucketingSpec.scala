@@ -66,6 +66,20 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       val disk = fromDisk
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(disk === mem)
+
+      // r12: the per-plan centroid memo keys on source mtime — an index
+      // OVERWRITTEN IN PLACE must re-collect, not serve stale centroids.
+      // Shrink the persisted cent table to one cell; a fresh probe must
+      // route every query to that cell.
+      val keepCell = c0.select(col("ccell")).collect().map(_.getInt(0)).min
+      Thread.sleep(1100) // cover coarse-mtime filesystems
+      c0.filter(col("ccell") === keepCell)
+        .write.mode("overwrite").saveAsTable("ivf_cent")
+      val (c2, f2) = graft.llm.Similarity.readIvfIndex(s, "ivf_cent", "ivf_cells")
+      val cellsProbed = graft.llm.Similarity.ivfProbe(c2, f2, queries, 2, 3)
+        .select(col("cell")).collect().map(_.getInt(0)).toSet
+      assert(cellsProbed === Set(keepCell),
+        s"stale centroid cache: probed $cellsProbed, index now has only $keepCell")
     } finally {
       s.sql("DROP TABLE IF EXISTS ivf_cent")
       s.sql("DROP TABLE IF EXISTS ivf_cells")
