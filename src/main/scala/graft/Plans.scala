@@ -46,7 +46,7 @@ object Plans {
     "q70_sequence_packing" ->
       "two-phase prefix sum: per-group window keyed on grp, group offsets broadcast back; the only unpartitioned window runs over n/groupWidth rows",
     "q72_curation_flagship" ->
-      "five chained stages, each handing the next a checkpointed doc_id keep-list (ExistingRDD scans — no upstream recompute); every join equi-keyed or broadcast, no CartesianProduct",
+      "five chained stages, each handing the next its doc_id keep-list through the r12 dual-regime barrier: at this scale the ids INLINE as InSet codegen filters fused into the scan (each stage pipeline ran once at construction, NO stage joins or checkpoint reads in the final plan); over the 100k-id probe they localCheckpoint + broadcast-join as before; no CartesianProduct either way",
     "q74_stream_attribution_twin" ->
       "stream-stream interval join plans as an equi-join on user_id with the time range as residual predicate — never a nested loop",
     "q75_temperature_mix" ->
@@ -64,7 +64,7 @@ object Plans {
     "q63_bpe_encode" ->
       "the merge-table replace chain compiles into the scan's Project (whole-stage codegen, no UDF in the column path); zero exchanges before the output sort — encoding is embarrassingly parallel and stays that way",
     "q80_semantic_dedup" ->
-      "sign-LSH bucketed pair generation (no CartesianProduct) + bounded min-label propagation; the keep/drop label is a left join back over the vectors",
+      "sign-LSH bucketed pair generation (no CartesianProduct); the component closure is dual-regime (r12): under the 128k-edge probe the labels come back as a driver union-find LocalRelation (2 jobs), over it the bounded min-label propagation + star escalation runs; the keep/drop label is a left join back over the vectors",
     "q81_top_fraction" ->
       "histogram-rank selection (r7 — replaces the grouped row_number corpus window): per-(group, value) counts cumulated over each group's VALUE DOMAIN, broadcast back on the composite key; only the one boundary value per group pays a tie-break window, composite-keyed and over the boundary frame only",
     "q82_dup_source_attribution" ->
@@ -90,7 +90,7 @@ object Plans {
     "q106_quality_blend" ->
       "no corpus-wide sort anywhere: percent-ranks come from distinct-VALUE histograms (keyed partial agg, then a window over the value domain only) joined back as broadcasts; the only single-partition exchanges are domain-sized",
     "q107_cluster_representative" ->
-      "representative election is a row_number window KEYED by component (never a global or corpus-frame sort); the CC label table inherits q61's equi-keyed round shape; quality signals join the pair list (dedup-output-sized), not the corpus",
+      "representative election is a row_number window KEYED by component (never a global or corpus-frame sort); the CC label table inherits q61's dual-regime shape (r12: driver union-find LocalRelation under the edge probe, equi-keyed rounds over it); quality signals join the pair list (dedup-output-sized), not the corpus",
     "q108_cdc_chunks" ->
       "token numbering and chunk ids ride windows KEYED by doc_id (never global); chunk text is hashed inside its keyed agg and discarded — stats aggregate partially map-side",
     "q111_verbatim_spans" ->
