@@ -95,6 +95,42 @@ object Sf1xR12 {
       }
     } else println("SF1XR12 skip q123_exact: run Sf1xR11 first for /tmp/sf1x")
 
+    // ---- curation flagship at 10x: needs a DUP-RATE-PRESERVING
+    // fixture (the Sf1xR11 word-shuffled corpus destroys the planted
+    // near-dup structure that drives curate's pair generation — it
+    // measured 2.7x FASTER at 10x, i.e. the wrong workload). Here each
+    // replica suffixes every token with its replica id: within a
+    // replica the dup/near-dup structure is EXACTLY the original's,
+    // across replicas nothing collides — 10 independent copies of the
+    // 1x workload. doc_id = orig + rep*1e9 keeps each replica's
+    // doc_id%20 eval slice intact (1e9 is divisible by 20).
+    val docs1xNorm = s"$root/docs_1x_norm"
+    if (!new java.io.File(docs1xNorm).exists())
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .repartition(8).write.mode("overwrite").parquet(docs1xNorm)
+    val docs10xDup = s"$root/docs_10x_dup"
+    if (!new java.io.File(docs10xDup).exists()) {
+      val d1 = spark.read.parquet(docs1xNorm)
+      (0 until 10).map { rep =>
+        d1.select(
+          (col("doc_id") + lit(rep.toLong * 1000000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            x => concat(x, lit(s"_$rep")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(8).write.mode("overwrite").parquet(docs10xDup)
+      println(s"SF1XR12 generated $docs10xDup")
+    }
+    for ((tag, path) <- Seq("1x" -> docs1xNorm, "10x" -> docs10xDup)) {
+      val d = spark.read.parquet(path)
+      best3(s"q72_curate_$tag")(graft.llm.Curation.curate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0),
+        sampleFraction = 0.9, sampleSeed = "curate",
+        blockSize = 512, groupWidth = 64))
+      graft.operators.Checkpoints.releaseLeaked(spark)
+    }
+
     // ---- q123 eviction regime: Zipf(a~1.1) stream over ~50k distinct
     // keys, capacity 256 (<< distinct) — throughput curve AND top-k
     // recovery vs the exact answer. Deterministic: rank from a crc32
