@@ -24,12 +24,46 @@ fail() { echo; echo "!!!!!!!! GATE RED: $1 !!!!!!!!"; exit 1; }
 echo "== gate 1/4: sbt compile + Test/compile + test =="
 sbt -batch compile Test/compile test || fail "sbt build/test"
 
+# 1b: scale certifications (ScaleCertSpec) — the distributed-CC
+# ground-truth check, eviction-regime bounds, and the flagship 10x
+# growth tripwire, promoted from manual tools so drift costs a red
+# gate (VERDICT r12 #3). assume()-gated: only runs with
+# SPARK_GRAFT_SLOW=1. Skippable while iterating: GATE_SKIP_SLOW=1.
+if [[ "${GATE_SKIP_SLOW:-0}" != "1" ]]; then
+  echo "== gate 1b/4: scale certifications (SPARK_GRAFT_SLOW=1) =="
+  SPARK_GRAFT_SLOW=1 sbt -batch "Test/testOnly graft.ScaleCertSpec" \
+    || fail "scale certifications"
+else
+  echo "== gate 1b/4: scale certifications SKIPPED =="
+fi
+
 echo "== gate 2/4: graft.Verify @ $SF -> $OUT =="
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF $OUT" || fail "graft.Verify"
 
 echo "== gate 3/4: DuckDB oracle compare =="
 python3 scripts/check_oracle.py "$SF" "$OUT" || fail "oracle compare"
+
+# 3b: the SAME compare with every dual-regime operator pinned to its
+# LARGE-SCALE form (graft.Regimes / SPARK_GRAFT_FORCE_DISTRIBUTED) —
+# hash-certifies the 100 TB plans (distributed CC loop, checkpoint
+# broadcast barriers, two-phase percentiles, shuffle id-resolve), not
+# just the small-input fast paths (VERDICT r12 #1). Skippable while
+# iterating: GATE_SKIP_DISTRIBUTED=1.
+if [[ "${GATE_SKIP_DISTRIBUTED:-0}" != "1" ]]; then
+  echo "== gate 3b/4: FORCED-DISTRIBUTED Verify + oracle compare =="
+  DOUT="${GATE_OUT:-/tmp/gate_verify}_dist"
+  rm -rf "$DOUT"
+  SPARK_GRAFT_FORCE_DISTRIBUTED=1 sbt -batch "runMain graft.Verify $SF $DOUT" \
+    || fail "graft.Verify (forced distributed)"
+  python3 scripts/check_oracle.py "$SF" "$DOUT" \
+    | tee CORRECTNESS_DISTRIBUTED_r13.txt \
+    || fail "oracle compare (forced distributed)"
+  grep -q ", 0 fail ==" CORRECTNESS_DISTRIBUTED_r13.txt \
+    || fail "forced-distributed compare had failures"
+else
+  echo "== gate 3b/4: forced-distributed compare SKIPPED =="
+fi
 
 if [[ "${GATE_SKIP_BENCH:-0}" != "1" ]]; then
   echo "== gate 4/4: bench smoke @ $SF =="

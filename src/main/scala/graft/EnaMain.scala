@@ -110,7 +110,10 @@ object EnaMain {
       idmapping: DataFrame,
       maxRows: Long,
       maxBytes: Long = 256L << 20): Boolean =
-    if (maxRows >= Int.MaxValue) {
+    if (graft.Regimes.forceDistributed) {
+      // oracle runs certifying the 100 TB plan: always shuffle-resolve
+      false
+    } else if (maxRows >= Int.MaxValue) {
       // limit() can't probe past Int.MaxValue, and a threshold that
       // size means billions of driver-collected rows anyway — take the
       // regime that is safe regardless of the true count

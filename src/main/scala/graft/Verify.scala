@@ -22,6 +22,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // SPARK_GRAFT_FORCE_DISTRIBUTED=1 pins every dual-regime operator
+    // to its large-scale form (graft.Regimes), so this same dump +
+    // DuckDB compare hash-certifies the 100 TB plans — run once per
+    // round alongside the default-regime gate (r12 VERDICT #1).
+    if (Regimes.forceDistributed)
+      System.err.println(
+        "[verify] FORCED DISTRIBUTED REGIMES: union-find/InSet/" +
+          "single-window/broadcast-resolve fast paths disabled")
     new java.io.File(outDir).mkdirs()
     // dev-loop filter: SPARK_GRAFT_ONLY=q30_x,q31_y runs a subset
     // (the driver sets nothing, so its runs always dump everything)

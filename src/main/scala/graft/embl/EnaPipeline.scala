@@ -118,8 +118,10 @@ object EnaPipeline {
       .groupBy(col("foreign_id"))
       .agg(collect_set(col("uniprot_id")).as("mapped_ids")) // A1
 
+    // forced oracle runs pin the shuffle regime — the true-UniProt
+    // (~1e9 mapping rows) plan — regardless of the caller's choice
     val resolved =
-      if (broadcastIdMap) {
+      if (broadcastIdMap && !graft.Regimes.forceDistributed) {
         // Broadcast regime: ship the aggregated foreign_id -> ids map to
         // every executor and resolve each locus's protein_ids per-row —
         // a map-side hash join with NO explode / join / regroup. The

@@ -66,11 +66,13 @@ object Curation {
     // stage's full gram pipeline (isolated best-of-2 A/B at sf0.1:
     // 18.6 s without → 6.9 s with — the composition costs ≈ the sum
     // of its stages). The barrier itself is dual-regime
-    // ([[keepFilter]]): a bounded probe either inlines the id list as
-    // an InSet codegen filter (no checkpoint write, no broadcast-build
-    // job per consumer) or localCheckpoints it for the broadcast join
-    // — only doc_id lists ever pin, never wide corpus rows, which
-    // re-derive from the (columnar, pruned) scan at 100 TB.
+    // ([[keepFilter]]): the id list always localCheckpoints once (so
+    // the stage pipeline runs exactly once), then a bounded probe
+    // either inlines it as an InSet codegen filter (checkpoint
+    // released, no broadcast-build job per consumer) or keeps it for
+    // the broadcast join — only doc_id lists ever pin, never wide
+    // corpus rows, which re-derive from the (columnar, pruned) scan
+    // at 100 TB.
     val clean = keepFilter(sampled, Decontaminate
       .decontaminate(sampled, evalDocs, decontamShingleK, maxOverlap)
       .select(col("doc_id")), inlineKeepListMax)
@@ -84,32 +86,58 @@ object Curation {
     Packing.packBlocks(good, blockSize, groupWidth)
   }
 
-  /** Above this keep-list size the stage barrier localCheckpoints and
-    * broadcast-joins; at or below, the ids inline as one InSet filter.
+  /** Above this keep-list size the stage barrier broadcast-joins; at
+    * or below (and under [[InlineKeepListMaxBytes]]), the ids inline
+    * as one InSet filter. [[graft.Regimes.forceDistributed]] pins the
+    * barrier to the broadcast-join form so the oracle gate can certify
+    * the 100 TB plan.
     */
-  private val InlineKeepListMax = 100000
+  private def InlineKeepListMax: Int =
+    if (graft.Regimes.forceDistributed) 0 else 100000
 
-  /** Dual-regime stage barrier (r12, the resolveIds/J1 probe pattern):
-    * materialize `keepIds` ONCE with a bounded `limit(n+1).collect()`
-    * probe. If it fits (`≤ InlineKeepListMax` ids — MBs on the
-    * driver), the collected ids ARE the barrier: every corpus consumer
-    * evaluates one codegen InSet filter fused into its scan, with no
-    * checkpoint write, no pinned blocks to release, and no
-    * broadcast-build job per consumer. A keep-list that overflows the
-    * probe — the 100 TB regime — localCheckpoints and broadcast-joins
-    * exactly as before. Either way the upstream stage's pipeline runs
-    * once.
+  /** Byte cap on the inlined id list (r13, the ENA broadcast-regime
+    * octet-probe convention): [[InlineKeepListMax]] alone is a ROW
+    * cap, and 100k WIDE STRING doc_ids would bloat every task's
+    * serialized plan — the same wide-row trap the J1 byte probe
+    * already closes. 4 MiB of estimated id payload keeps the inlined
+    * filter comfortably under task-binary budgets.
+    */
+  private val InlineKeepListMaxBytes = 4L << 20
+
+  /** Dual-regime stage barrier (r12, the resolveIds/J1 probe pattern;
+    * r13 materialize-once). `keepIds` is localCheckpointed FIRST, so
+    * the upstream stage's pipeline executes exactly once — the bounded
+    * probe and whichever consumer wins both read the checkpoint (the
+    * r12 cut probed the live plan, which ran the stage pipeline for
+    * the probe and AGAIN for the overflow checkpoint — a bounded 2×
+    * exactly in the 100 TB regime; the fix costs the small regime only
+    * a tiny id-list checkpoint write). If the probe fits (`≤
+    * maxInline` ids AND ≤ [[InlineKeepListMaxBytes]] estimated bytes),
+    * the collected ids ARE the barrier: every corpus consumer
+    * evaluates one codegen InSet filter fused into its scan, the
+    * checkpoint is released immediately, and no broadcast-build job
+    * runs per consumer. A keep-list that overflows either bound — the
+    * 100 TB regime — broadcast-joins the checkpoint exactly as before.
     */
   private def keepFilter(
       corpus: DataFrame, keepIds: DataFrame, maxInline: Int): DataFrame = {
+    val ck = keepIds.localCheckpoint()
+    // enforced here as well as in the default, so explicit caller
+    // values cannot re-enable the inline cut in forced oracle runs
+    val effMax = if (graft.Regimes.forceDistributed) 0 else maxInline
     val probe =
-      if (maxInline > 0) keepIds.limit(maxInline + 1).collect()
+      if (effMax > 0) ck.limit(effMax + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
-    if (maxInline > 0 && probe.length <= maxInline)
-      corpus.filter(col("doc_id")
-        .isInCollection(probe.toSeq.map(_.get(0))))
-    else
-      corpus.join(keepIds.localCheckpoint(), Seq("doc_id"))
+    def idBytes: Long = probe.foldLeft(0L)((acc, r) => acc + (r.get(0) match {
+      case s: String => 40L + 2L * s.length // object header + char payload
+      case _         => 16L                 // boxed numeric
+    }))
+    if (effMax > 0 && probe.length <= effMax &&
+        idBytes <= InlineKeepListMaxBytes) {
+      graft.operators.Checkpoints.release(ck)
+      corpus.filter(col("doc_id").isInCollection(probe.toSeq.map(_.get(0))))
+    } else
+      corpus.join(ck, Seq("doc_id"))
   }
 
   /** Order-independent corpus digest per `by` group: `bit_xor` over

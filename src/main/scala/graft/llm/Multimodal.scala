@@ -490,16 +490,28 @@ object Multimodal {
         // from strf: (width, |height|, topDown, isMjpg)
         var dims: Option[(Int, Int, Boolean, Boolean)] = None
         val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-        def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        def walk(from: Int, to0: Int, inMovi: Boolean): Unit = {
+          // clamp the container bound to the REAL buffer (r12 ADVICE
+          // hardening): declared sizes are never trusted past the
+          // bytes actually present, so a truncated upload yields its
+          // INTACT frame prefix — the container is walked up to the
+          // cut, and the chunk the cut lands in is dropped (never
+          // zero-padded: copyOfRange is only reached under the
+          // payload+size <= to <= b.length guard)
+          val to = math.min(to0, b.length)
           var off = from
           while (off + 8 <= to) {
             val cc = tag(b, off)
             val size = le32(b, off + 4).toInt
             val payload = off + 8
-            if (size < 0 || payload + size > to) return
-            if (cc == "LIST" && size >= 4)
-              walk(payload + 4, payload + size,
+            if (size < 0) return
+            if (cc == "LIST" && size >= 4 && payload + 4 <= to)
+              // recurse to the AVAILABLE bound: a truncated movi LIST
+              // still surfaces every frame chunk that fits before the
+              // cut (the leaf guard below drops the cut chunk itself)
+              walk(payload + 4, math.min(payload + size, to),
                 inMovi || tag(b, payload) == "movi")
+            else if (payload + size > to) return
             else if (cc == "strf" && size >= 20) {
               val bpp = (le32(b, payload + 12) >> 16) & 0xffff
               val compression = le32(b, payload + 16)

@@ -335,31 +335,44 @@ object Similarity {
             Array[org.apache.spark.sql.Row]]): Boolean = size > 8
     }
 
-  /** Max lastModified across the file-backed leaves of `plan` (0 for
-    * purely local/in-memory plans): folded into the memo key so an
-    * index overwritten IN PLACE at the same path misses the cache on
-    * the next probe instead of serving stale centroids (r12 ADVICE).
-    * One driver-side FS stat per root path — centroid tables are one
-    * tiny file set by construction.
+  /** Fingerprint of the file-backed leaves of `plan` (0 for purely
+    * local/in-memory plans): folded into the memo key so an index
+    * overwritten IN PLACE at the same path misses the cache on the
+    * next probe instead of serving stale centroids (r12 ADVICE).
+    * Resolved through the HADOOP FileSystem of each root path — NOT
+    * `java.io.File`, which silently reports lastModified=0 for any
+    * non-local URI (hdfs://, s3a://), i.e. a constant key exactly in
+    * the distributed-storage regime this memo targets (r13, closes
+    * the r12 ADVICE medium). The fingerprint folds every child's
+    * (name, mtime, length) so coarse-mtime filesystems (1–2 s
+    * granularity on object stores) still change the key when a
+    * same-second rewrite alters the file set or sizes. One driver-side
+    * FS listing per root path — centroid tables are one tiny file set
+    * by construction.
     */
   private def sourceVersion(plan: DataFrame): Long =
     plan.queryExecution.analyzed.collectLeaves().flatMap {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val conf = plan.sparkSession.sessionState.newHadoopConf()
             h.location.rootPaths.flatMap { p =>
               scala.util.Try {
-                val f = new java.io.File(p.toUri.getPath)
-                if (f.isDirectory)
-                  (f.lastModified() +:
-                    Option(f.listFiles()).toSeq.flatten.map(_.lastModified())).max
-                else f.lastModified()
+                val fs = p.getFileSystem(conf)
+                val root = fs.getFileStatus(p)
+                val statuses =
+                  if (root.isDirectory) root +: fs.listStatus(p).toSeq
+                  else Seq(root)
+                statuses.foldLeft(1125899906842597L) { (acc, s) =>
+                  31L * (31L * (31L * acc + s.getPath.getName.hashCode)
+                    + s.getModificationTime) + s.getLen
+                }
               }.toOption
             }
           case _ => Nil
         }
       case _ => Nil
-    }.foldLeft(0L)(math.max)
+    }.foldLeft(0L)((acc, v) => 31L * acc + v)
 
   private def collectCentroids(cent: DataFrame): Array[org.apache.spark.sql.Row] = {
     val plan = cent.select(col("ccell"), col("cv"))

@@ -825,9 +825,11 @@ object TextDedup {
       pairs: DataFrame,
       maxIter: Int = 20,
       escalateAfter: Int = 8,
-      smallGraphMaxEdges: Int = 1 << 17): DataFrame = {
+      smallGraphMaxEdges: Int = defaultSmallGraphMaxEdges): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     require(escalateAfter > 0, "escalateAfter must be positive")
+    val smallMax =
+      if (graft.Regimes.forceDistributed) 0 else smallGraphMaxEdges
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct()
@@ -850,8 +852,8 @@ object TextDedup {
     val integralIds =
       idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType
-    if (integralIds && smallGraphMaxEdges > 0 &&
-        edges.limit(smallGraphMaxEdges + 1).count() <= smallGraphMaxEdges) {
+    if (integralIds && smallMax > 0 &&
+        edges.limit(smallMax + 1).count() <= smallMax) {
       val es = edges
         .select(col("a").cast("long"), col("b").cast("long")).collect()
       graft.operators.Checkpoints.release(edges)
@@ -923,6 +925,17 @@ object TextDedup {
           "component diameter exceeds maxIter; raise it for this graph")
     }
   }
+
+  /** Default small-graph probe bound for [[duplicateComponents]]
+    * (~1e5 edges × 16 B — MBs on the driver).
+    * [[graft.Regimes.forceDistributed]] pins it to 0 so the oracle
+    * gate certifies the distributed loop — the 100 TB plan — and not
+    * just the driver union-find cut (also enforced inside the method,
+    * so explicit caller values cannot re-enable the fast path in
+    * forced runs).
+    */
+  def defaultSmallGraphMaxEdges: Int =
+    if (graft.Regimes.forceDistributed) 0 else 1 << 17
 
   /** Large-star/small-star connected components (the Kiveris et al.
     * "Connected Components in MapReduce and Beyond" alternation): each

@@ -33,8 +33,11 @@ object Percentiles {
   /** Above this group count, groupedExactSelect's pass-2 bounds ship
     * as a broadcast lookup join instead of inline literal when-chains
     * (a G·P-conditional chain overruns codegen method limits).
+    * [[graft.Regimes.forceDistributed]] pins it to 0 so the oracle
+    * gate certifies the broadcast-lookup (scale) form.
     */
-  private val LitChainMaxGroups = 64
+  private def LitChainMaxGroups: Int =
+    if (graft.Regimes.forceDistributed) 0 else 64
 
   /** Exact interpolated percentiles from the value histogram — one row
     * per group: `p<NN>` per requested prob, plus `n`. NULL values are
@@ -77,10 +80,37 @@ object Percentiles {
     // forces single-window; anything between probes with a bounded
     // limit+count (clamped before toInt so a large Long can't wrap
     // negative into limit()).
+    // forceDistributed overrides even caller-pinned thresholds (q50
+    // pins Long.MaxValue as "caller knows the oracle SF"): the forced
+    // oracle run exists precisely to push the bit-identical TWO-PHASE
+    // form — the 100 TB plan — through the DuckDB gate.
     val single =
-      if (twoPhaseThreshold <= 0L) false
+      if (graft.Regimes.forceDistributed) false
+      else if (twoPhaseThreshold <= 0L) false
       else if (twoPhaseThreshold >= Int.MaxValue.toLong) true
       else rows.limit(twoPhaseThreshold.toInt + 1).count() <= twoPhaseThreshold
+    groupedExactFromHist(hist, groupCol, valueCol, probs, single)
+  }
+
+  /** The histogram-input form of [[groupedExact]] (r13): callers that
+    * ALREADY hold a `(group, value, __c)` count frame — e.g. q49's
+    * fused sketch query, whose one corpus pass builds histograms for
+    * several kinds at once — interpolate from it directly, skipping
+    * the internal groupBy. `hist` must carry the count in a `__c`
+    * column and contain no NULL `valueCol` rows (SQL rank-space
+    * semantics are the caller's job here). Form choice is the
+    * caller's too ([[formSentinel]] for probing);
+    * [[graft.Regimes.forceDistributed]] still pins two-phase.
+    */
+  def groupedExactFromHist(
+      hist: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[Double],
+      singleWindow: Boolean): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be within [0, 1]")
+    val single = singleWindow && !graft.Regimes.forceDistributed
     val cum =
       if (single) {
         val byValue = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))

@@ -643,9 +643,133 @@ object QueryPackExt {
     * 15% for the default rsd=0.05 HLL, 3% for rsd=0.01, 1% relative
     * for the rank-bounded percentile at accuracy=10000.
     */
-  private val q49 = Q("q49_approx_sketches",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
+  /** One-scan FUSED form of q49 (r13, VERDICT r12 #2): every EXACT
+    * twin rides a single (returnflag, kind, value) histogram built in
+    * one corpus pass — posexplode fans each row into its three keyed
+    * values (partkey, suppkey, price), a map-side partial count agg
+    * collapses them to the distinct frame, and from that one frame
+    * fall out:
+    *  - exact distinct counts = rows per (rf, kind)
+    *  - the HLL twins = approx_count_distinct over the distinct frame
+    *    (duplicate-insensitive, the r8 insight)
+    *  - the exact median = cumulative-rank interpolation over the
+    *    kind=price slice (the L92 histogram technique, fused in-query)
+    * The intentional ×3 Expand is NOT the 29.6 s countDistinct Expand
+    * of r8 lore: that one pushed every raw row through three aggregate
+    * update paths including a sort-based percentile; this one feeds a
+    * single codegen'd count whose map-side combine collapses to
+    * distinct keys before any shuffle. The whole plan reads the corpus
+    * TWICE (the histogram pass + the quantile-sketch pass) vs FOUR
+    * scans in the branched form — the regime for scan-dominated
+    * (100 TB) inputs; see [[q49Branched]] for why it loses at bench
+    * scale.
+    */
+  private[graft] def q49Fused(li: DataFrame): DataFrame = {
+      val expanded = li.select(col("l_returnflag"),
+        posexplode(array(
+          col("l_partkey").cast("double"),
+          col("l_suppkey").cast("double"),
+          col("l_extendedprice").cast("double"))).as(Seq("kind", "v")))
+        .filter(col("v").isNotNull) // SQL DISTINCT/rank-space semantics
+      val hist = expanded
+        .groupBy(col("l_returnflag"), col("kind"), col("v"))
+        .agg(count(lit(1)).as("__c"))
+      // cumulative 0-based rank per distinct value via the TWO-PHASE
+      // bucketed prefix sum (the L92/Packing decomposition, keyed
+      // (rf, kind, bucket)) — a single (rf, kind) window here
+      // serializes onto 9 tasks and measured 1.81 s vs the r8 shape's
+      // 1.36 s; bucketing keeps every heavy stage parallel. All
+      // consumptions of `hist` sit ABOVE its aggregation exchange, so
+      // the physical plan shares ONE shuffle via ReusedExchange — the
+      // corpus is still scanned once. No kind=2 Filter node anywhere:
+      // a grouping-key filter would push below the exchange, split the
+      // subtrees, and silently resurrect the second scan — the price
+      // slice is selected only inside conditional aggregates.
+      import org.apache.spark.sql.expressions.Window
+      val nBuckets = 256
+      val gk = Seq(col("l_returnflag"), col("kind"))
+      // the `+ 0.0*sum(__c)` is ballast with a purpose: without a live
+      // reference to __c this subtree's column pruning rewrites its
+      // copy of `hist` to a count-free distinct, the canonical
+      // exchange no longer matches histB's, and ReuseExchange silently
+      // re-scans the corpus for the stats broadcast (observed: 3 scan
+      // stages instead of 1). sum is nullable, so the *0 term cannot
+      // be constant-folded away; its value is exactly 0.0.
+      val stats = hist.groupBy(gk: _*)
+        .agg(min(col("v")).as("__mn"),
+          (max(col("v")) + lit(0.0) * sum(col("__c"))).as("__mx"))
+      val span = col("__mx") - col("__mn")
+      val histB = hist.join(broadcast(stats), Seq("l_returnflag", "kind"))
+        .withColumn("__b",
+          when(span === 0.0, lit(0)).otherwise(
+            greatest(least(floor((col("v") - col("__mn")) / (span / nBuckets)),
+              lit(nBuckets - 1.0)), lit(0.0)).cast("int")))
+        .drop("__mn", "__mx")
+      val bt = histB.groupBy((gk :+ col("__b")): _*)
+        .agg(sum(col("__c")).as("__bt"))
+      val wB = Window.partitionBy(gk: _*).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wG = Window.partitionBy(gk: _*)
+      val boff = bt
+        .withColumn("__boff", coalesce(sum(col("__bt")).over(wB), lit(0L)))
+        .withColumn("__n", sum(col("__bt")).over(wG))
+        .select(col("l_returnflag"), col("kind"), col("__b"),
+          col("__boff"), col("__n"))
+      val inB = Window.partitionBy((gk :+ col("__b")): _*).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = histB
+        .join(broadcast(boff), Seq("l_returnflag", "kind", "__b"))
+        .withColumn("__cum", col("__boff") + sum(col("__c")).over(inB))
+        .withColumn("__start", col("__cum") - col("__c"))
+      val r = (col("__n") - 1).cast("double") * 0.5
+      val isPrice = col("kind") === 2
+      // value at rank floor(r)/ceil(r): a rank k is covered by the
+      // distinct value whose range [__start, __cum) contains it —
+      // (n−1)p interpolation, bit-compatible with quantile_cont
+      def at(k: org.apache.spark.sql.Column) =
+        min(when(isPrice && col("__start") <= k && k < col("__cum"),
+          col("v")))
+      val exact = ranked.groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("kind") === 0, 1)).as("exact_parts"),
+          approx_count_distinct(
+            when(col("kind") === 0, col("v").cast("long")), rsd = 0.05)
+            .as("approx_parts"),
+          count(when(col("kind") === 1, 1)).as("exact_supps"),
+          approx_count_distinct(
+            when(col("kind") === 1, col("v").cast("long")), rsd = 0.01)
+            .as("approx_supps"),
+          at(floor(r)).as("__vLo"),
+          at(ceil(r)).as("__vHi"),
+          max(when(isPrice, r)).as("__r"))
+        .withColumn("exact_median",
+          col("__vLo") +
+            (col("__r") - floor(col("__r"))) * (col("__vHi") - col("__vLo")))
+      // the percentile sketch keeps its own whole-multiset pass — a
+      // rank sketch is NOT duplicate-insensitive, so it cannot ride
+      // the distinct frame. accuracy=1000 (r11): rank error 0.1% of
+      // ranks is ~10x inside the 1% band. (Fusing it via Spark's
+      // `percentile` aggregate was tried and measured 5x WORSE — its
+      // non-codegen update path; re-confirmed direction r13: the
+      // sketch pass is the cheap one, the exact twins were the cost.)
+      val sketches = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median"))
+      q49Flags(exact.join(broadcast(sketches), Seq("l_returnflag")))
+  }
+
+  /** BRANCHED form of q49 (the r8 shape): four parallel branches over
+    * the corpus — one per exact/sketch family — combined by UNION +
+    * one final agg so every branch executes as a concurrent stage of
+    * ONE job. Four scans, but at bench scale the parquet scans are
+    * cheap and the three exact branches hide entirely behind the
+    * quantile-sketch pass (the 0.84 s stage that floors this query) —
+    * measured r13 at sf0.1: branched 1.36 s vs fused 1.81–1.99 s.
+    * Above the probe (or forced), the roles invert: scans dominate,
+    * and [[q49Fused]]'s two reads beat four (r13 10× lineitem A/B in
+    * BASELINE.md).
+    */
+  private[graft] def q49Branched(li: DataFrame): DataFrame = {
       // exact distinct counts via two-level aggregation: mixing two
       // countDistinct columns with sort-based percentile aggregates in
       // one agg forces an Expand (input ×3) through every aggregate's
@@ -653,50 +777,26 @@ object QueryPackExt {
       // Each pass ALSO evaluates its HLL sketch over the distinct-key
       // frame (r8): HyperLogLog state is duplicate-insensitive by
       // construction, so the estimate over distinct keys IS the
-      // estimate over the raw rows — the sketch-vs-exact twins then
-      // share one scan + one shuffle per key instead of paying a
-      // separate whole-table sketch pass.
+      // estimate over the raw rows.
       def distinctPass(c: String, alias: String, approxAlias: String,
           rsd: Double) =
         li.groupBy(col("l_returnflag"), col(c)).agg(count(lit(1)))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as(alias),
             approx_count_distinct(col(c), rsd).as(approxAlias))
-      // the percentile sketch keeps its own whole-multiset pass (a
-      // rank sketch is NOT duplicate-insensitive, so it cannot ride
-      // the distinct-key frames). accuracy=1000 (r11, was 10000):
-      // rank error n/accuracy = 0.1% of ranks moves the estimate ~40
-      // of the ~360 the 1% band allows (~10x margin) at a tenth of
-      // the sketch cost. (Fusing the exact median in here via Spark's
-      // `percentile` aggregate was tried and measured 5x WORSE — its
-      // non-codegen update path is far slower than the histogram
-      // subplan it would replace.)
       val sketches = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_median"))
-      // exact median via histogram interpolation (no group buffering);
-      // the harness knows its SF — pin the single-window form (the
-      // resolveBits caller-knows convention) instead of paying a probe
       // exact median via histogram interpolation, single-window pinned
-      // (caller-knows convention). Measured alternatives, recorded so
-      // they are not retried: the L100 band-selection form is a WASH
-      // here (its two eager bounds/classify jobs serialize against
-      // this query's one fused job — the 0.84 s window stage it
-      // removes ran concurrently with the other union branches; L100
-      // wins standalone, q120: 0.56 s vs 0.97 s); the two-phase
-      // bucketed form lands its composite-key windows on the 4
-      // derived shuffle partitions; Spark's `percentile` aggregate is
-      // 5x slower on its non-codegen update path.
+      // (caller-knows convention — this regime IS the small input).
       val exactMedian = graft.operators.Percentiles
         .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5),
           twoPhaseThreshold = Long.MaxValue)
         .select(col("l_returnflag"), col("p50").as("exact_median"))
       // combine the four 3-row branch results by UNION + one final agg
       // instead of a chain of three broadcast joins: every branch then
-      // executes as a parallel stage of ONE job (no broadcast-build
-      // dependency chain), and `max` over the sparse union picks each
-      // branch's value (r8 rework: 2.8 s -> 1.79 s in-suite at sf0.1;
-      // with the r11 sketch-accuracy trim the suite best is ~0.9 s).
+      // executes as a parallel stage of ONE job, and `max` over the
+      // sparse union picks each branch's value (r8: 2.8 s -> 1.79 s).
       // Counts stay LONG through the union — a double cast is only
       // exact below 2^53, and the medians are the only real doubles
       val wideD = Seq("approx_median", "exact_median")
@@ -709,7 +809,7 @@ object QueryPackExt {
           (wideD.map(c2(_, "double")) ++ wideL.map(c2(_, "long"))): _*)
       }
       val wide = wideD ++ wideL
-      widen(sketches)
+      q49Flags(widen(sketches)
         .unionByName(widen(exactMedian))
         .unionByName(widen(distinctPass("l_partkey", "exact_parts",
           "approx_parts", rsd = 0.05)))
@@ -717,16 +817,39 @@ object QueryPackExt {
           "approx_supps", rsd = 0.01)))
         .groupBy(col("l_returnflag"))
         .agg(wide.map(c => max(col(c)).as(c)).head,
-          wide.tail.map(c => max(col(c)).as(c)): _*)
-        .select(col("l_returnflag"),
-          col("exact_parts"),
-          col("exact_supps"),
-          (abs(col("approx_parts") - col("exact_parts"))
-            <= col("exact_parts") * 0.15).as("parts_ok"),
-          (abs(col("approx_supps") - col("exact_supps"))
-            <= col("exact_supps") * 0.03).as("supps_ok"),
-          (abs(col("approx_median") - col("exact_median"))
-            <= abs(col("exact_median")) * 0.01).as("median_ok"))
+          wide.tail.map(c => max(col(c)).as(c)): _*))
+  }
+
+  /** Shared q49 output contract: exact counts + within-band flags. */
+  private def q49Flags(df: DataFrame): DataFrame =
+    df.select(col("l_returnflag"),
+      col("exact_parts"),
+      col("exact_supps"),
+      (abs(col("approx_parts") - col("exact_parts"))
+        <= col("exact_parts") * 0.15).as("parts_ok"),
+      (abs(col("approx_supps") - col("exact_supps"))
+        <= col("exact_supps") * 0.03).as("supps_ok"),
+      (abs(col("approx_median") - col("exact_median"))
+        <= abs(col("exact_median")) * 0.01).as("median_ok"))
+
+  private val q49 = Q("q49_approx_sketches",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // dual regime (r13): routes small inputs to the branched form
+      // (everything hides behind the sketch stage) and scan-dominated
+      // inputs to the fused two-scan form. The probe currency is FILE
+      // BYTES — one driver-side FS stat, free at any scale — because
+      // scan cost is exactly what the cut trades on (a row-count
+      // limit-probe measured as a full extra scan job per run at
+      // bench scale). forceDistributed pins fused so the oracle gate
+      // certifies the 100 TB plan.
+      val fused = graft.Regimes.forceDistributed || {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+        scala.util.Try(p.getFileSystem(s.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength).getOrElse(Long.MaxValue) >
+          (128L << 20)
+      }
+      (if (fused) q49Fused(li) else q49Branched(li))
         .harnessSorted(col("l_returnflag"))
     },
     Some("""

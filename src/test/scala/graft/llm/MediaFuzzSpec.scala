@@ -59,6 +59,26 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated BI_RGB AVI drops the cut frame instead of zero-padding it") {
+    // r12 ADVICE: a truncated file whose LIST header still declares the
+    // full movi size admitted the cut chunk, and copyOfRange zero-padded
+    // it into a full-length, silently corrupt frame (MJPG was protected
+    // by the JPEG decode failing; BI_RGB has no decode step to object).
+    val full = Multimodal.syntheticAviRgb(6, 4, 10,
+      Seq((1, 2, 3), (200, 100, 50), (255, 255, 255)))
+    val intact = Multimodal.videoFramesRgb(full).get._3.map(_._1)
+    assert(intact == Seq(0, 1, 2))
+    // cut into the LAST frame's pixel data (w=6 ⇒ stride 20, frame 80 B)
+    val truncated = full.take(full.length - 10)
+    Multimodal.videoFramesRgb(truncated) match {
+      case Some((w, h, frames)) =>
+        assert(w == 6 && h == 4)
+        assert(frames.map(_._1) == Seq(0, 1),
+          s"truncated frame surfaced: ${frames.map(_._1)}")
+      case None => // acceptable: fully rejecting the truncated container
+    }
+  }
+
   test("decoded frames from corrupted AVIs are always well-formed when present") {
     val seed = Multimodal.syntheticAviRgb(6, 4, 10,
       Seq((1, 2, 3), (200, 100, 50), (255, 255, 255)))

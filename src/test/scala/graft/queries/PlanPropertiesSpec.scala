@@ -93,11 +93,20 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     // InSet codegen filters — the FINAL plan is a single filtered
     // scan→pack pipeline with NO stage joins and NO checkpoint reads
     // (the stage pipelines ran once during construction, their result
-    // ids baked into the filter). Over the probe bound the old
-    // checkpointed-RDD join shape returns (unit-gated in
-    // CurationOpsSpec via the regime equivalence test).
-    assert(p.contains("doc_id#") && p.contains("INSET") ||
-      p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    // ids baked into the filter). Asserted POSITIVELY (r12 ADVICE: the
+    // old `|| ExistingRDD` escape hatch let a silent fall-back to the
+    // checkpointed-join regime pass): the sf0.001 keep-lists are
+    // hundreds of ids, and the InSet conversion threshold is pinned so
+    // an ambient conf change can't flip INSET back to In and fail
+    // spuriously. The over-probe checkpoint-join shape is separately
+    // regime-equivalence-gated in CurationOpsSpec.
+    spark.conf.set("spark.sql.optimizer.inSetConversionThreshold", "10")
+    try {
+      val pi = planExt("q72_curation_flagship")
+      assert(pi.contains("doc_id#") && pi.contains("INSET"), pi)
+      assert(!pi.contains("ExistingRDD"), pi)
+    } finally
+      spark.conf.unset("spark.sql.optimizer.inSetConversionThreshold")
   }
 
   test("q74: stream-stream attribution twin is an equi-join with a range residual") {

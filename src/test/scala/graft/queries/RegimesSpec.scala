@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** The `graft.Regimes.forceDistributed` switch (r13, VERDICT r12 #1):
+  * with the flag up, every dual-regime operator must take its
+  * LARGE-SCALE form — distributed CC loop, checkpoint+broadcast stage
+  * barriers, two-phase percentile rank, shuffle id-resolution — and
+  * produce VALUE-IDENTICAL results, because the whole point of the
+  * switch is pushing the 100 TB plans through the DuckDB oracle gate.
+  *
+  * This spec gates the switch mechanism in-repo (cheap, sf0.001); the
+  * full 124-query certification is the forced Verify + check_oracle
+  * run recorded per round (scripts/gate.sh distributed leg).
+  */
+class RegimesSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def forced[A](body: => A): A = {
+    sys.props("spark.graft.forceDistributed") = "true"
+    try body finally sys.props.remove("spark.graft.forceDistributed")
+  }
+
+  private def rows(name: String): Seq[Seq[Any]] =
+    QueryPackExt.queries(name)(spark, sf).collect().toSeq.map(_.toSeq)
+
+  test("flag reads env or system property") {
+    assert(!graft.Regimes.forceDistributed)
+    forced { assert(graft.Regimes.forceDistributed) }
+    assert(!graft.Regimes.forceDistributed)
+  }
+
+  test("q61 dup components: forced distributed loop is value-identical") {
+    val default = rows("q61_dup_components")
+    val dist = forced { rows("q61_dup_components") }
+    assert(dist == default)
+  }
+
+  test("q72 curation flagship: forced barriers are value-identical and join-shaped") {
+    val default = rows("q72_curation_flagship")
+    val (dist, plan) = forced {
+      val df = QueryPackExt.queries("q72_curation_flagship")(spark, sf)
+      (df.collect().toSeq.map(_.toSeq), df.queryExecution.executedPlan.toString)
+    }
+    assert(dist == default)
+    // the forced plan must be the checkpoint-join regime, not InSet
+    assert(!plan.contains("INSET"), plan)
+    assert(plan.contains("ExistingRDD"), plan)
+  }
+
+  test("q50/q120 percentiles: forced two-phase + broadcast bounds are value-identical") {
+    assert(forced { rows("q50_exact_percentiles") } ==
+      rows("q50_exact_percentiles"))
+    assert(forced { rows("q120_select_percentiles") } ==
+      rows("q120_select_percentiles"))
+  }
+
+  test("q29 ENA flagship: forced shuffle id-resolution is value-identical") {
+    assert(forced { rows("q29_ena_flagship") } == rows("q29_ena_flagship"))
+  }
+
+  test("chooseBroadcastRegime always shuffles when forced") {
+    val tiny = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("a", "b")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("foreign_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("uniprot_id",
+          org.apache.spark.sql.types.StringType))))
+    assert(graft.EnaMain.chooseBroadcastRegime(tiny, maxRows = 1000))
+    forced {
+      assert(!graft.EnaMain.chooseBroadcastRegime(tiny, maxRows = 1000))
+    }
+  }
+}
