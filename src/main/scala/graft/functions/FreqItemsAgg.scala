@@ -46,17 +46,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the spec gates the top-k RECOVERY and the error bound on a
   *    planted Zipf stream instead of exact values.
   *
-  * The evict path scans the counter table for the minimum — O(capacity)
-  * on that path only. Hits (the common path once heavy items
-  * stabilize) are one hash probe; report-sized capacities (≤ ~100k)
-  * keep the scan irrelevant next to the shuffle it replaces.
+  * Eviction is amortized O(1) (r13; was an O(capacity) scan per
+  * eviction, which at capacity 8k on a heavy-tail stream was ~10^10
+  * comparisons — the q125 fixture took minutes): the buffer carries a
+  * lazy candidate list of ALL keys that sat at the minimum count when
+  * it was last rebuilt. Space-Saving's minimum is non-decreasing and
+  * eviction inserts at min+1, so the candidate set only SHRINKS
+  * between rebuilds — popped candidates whose count has since grown
+  * are skipped (lazy deletion), and only when the list empties does an
+  * O(capacity) rescan run (once per distinct minimum value, ≤ n/m
+  * times total). Victim choice is unchanged and content-deterministic:
+  * lowest count, ties by largest item (candidates are sorted at
+  * rebuild; later entrants can never rejoin the current minimum).
   */
 case class FreqItemsAgg(
     item: Expression,
     capExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, (Long, Long)]] {
+    extends TypedImperativeAggregate[FreqItemsAgg.SsBuffer] {
+  import FreqItemsAgg.SsBuffer
 
   private lazy val capacity: Int =
     capExpr.eval().asInstanceOf[Number].intValue()
@@ -88,27 +97,38 @@ case class FreqItemsAgg(
     StructField("err", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_freq_items"
 
-  override def createAggregationBuffer(): mutable.HashMap[UTF8String, (Long, Long)] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): SsBuffer = new SsBuffer
 
   // deterministic eviction victim given the same counter CONTENT:
   // lowest estimate, ties by LARGEST item (so the surviving set under
-  // ties prefers smaller items, matching the eval order's tie-break)
-  private def evictMin(buf: mutable.HashMap[UTF8String, (Long, Long)])
-      : (UTF8String, Long) = {
-    var bestK: UTF8String = null
-    var bestC = Long.MaxValue
-    buf.foreach { case (k, (c, _)) =>
-      if (c < bestC || (c == bestC && (bestK == null || k.compareTo(bestK) > 0))) {
-        bestK = k; bestC = c
-      }
+  // ties prefers smaller items, matching the eval order's tie-break).
+  // Amortized O(1) via the buffer's lazy candidate list (class doc):
+  // pollLast on the ASC-sorted candidates IS the largest-at-minimum
+  // rule; a popped key whose count moved past the minimum is skipped;
+  // an empty list triggers the once-per-minimum-value O(capacity)
+  // rebuild.
+  private def evictMin(buf: SsBuffer): (UTF8String, Long) = {
+    var victim: UTF8String = null
+    while (victim == null) {
+      val k = buf.cands.pollLast()
+      if (k == null) {
+        var m = Long.MaxValue
+        buf.foreach { case (_, (c, _)) => if (c < m) m = c }
+        val ks = buf.iterator
+          .collect { case (k2, (c, _)) if c == m => k2 }.toArray
+        java.util.Arrays.sort(ks,
+          (a: UTF8String, b: UTF8String) => a.compareTo(b))
+        buf.curMin = m
+        var i = 0
+        while (i < ks.length) { buf.cands.addLast(ks(i)); i += 1 }
+      } else if (buf.get(k).exists(_._1 == buf.curMin)) victim = k
     }
-    (bestK, bestC)
+    (victim, buf.curMin)
   }
 
   override def update(
-      buf: mutable.HashMap[UTF8String, (Long, Long)],
-      input: InternalRow): mutable.HashMap[UTF8String, (Long, Long)] = {
+      buf: SsBuffer,
+      input: InternalRow): SsBuffer = {
     val it = item.eval(input).asInstanceOf[UTF8String]
     if (it != null) {
       buf.get(it) match {
@@ -130,15 +150,11 @@ case class FreqItemsAgg(
   // non-decreasing, and the merge/trim paths preserve the invariant —
   // see the class doc); an unsaturated buffer has never evicted or
   // trimmed, so absence means a true count of zero
-  private def absentBound(
-      buf: mutable.HashMap[UTF8String, (Long, Long)]): Long =
+  private def absentBound(buf: SsBuffer): Long =
     if (buf.size < capacity) 0L
     else buf.valuesIterator.map(_._1).min
 
-  override def merge(
-      buf: mutable.HashMap[UTF8String, (Long, Long)],
-      other: mutable.HashMap[UTF8String, (Long, Long)])
-      : mutable.HashMap[UTF8String, (Long, Long)] = {
+  override def merge(buf: SsBuffer, other: SsBuffer): SsBuffer = {
     val minBuf = absentBound(buf)
     val minOther = absentBound(other)
     if (minOther > 0) {
@@ -169,10 +185,13 @@ case class FreqItemsAgg(
       buf.clear()
       keep.foreach { case (k, v) => buf(k) = v }
     }
+    // merged counts moved arbitrarily (and trim may have dropped
+    // candidates) — the lazy minimum cache is stale either way
+    buf.invalidateCands()
     buf
   }
 
-  override def eval(buf: mutable.HashMap[UTF8String, (Long, Long)]): Any = {
+  override def eval(buf: SsBuffer): Any = {
     val sorted = buf.toArray
       .sortWith { case ((k1, (c1, _)), (k2, (c2, _))) =>
         if (c1 != c2) c1 > c2 else k1.compareTo(k2) < 0
@@ -182,8 +201,7 @@ case class FreqItemsAgg(
     }.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(
-      buf: mutable.HashMap[UTF8String, (Long, Long)]): Array[Byte] = {
+  override def serialize(buf: SsBuffer): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
@@ -196,8 +214,7 @@ case class FreqItemsAgg(
     bytes.toByteArray
   }
 
-  override def deserialize(
-      bytes: Array[Byte]): mutable.HashMap[UTF8String, (Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): SsBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
@@ -218,4 +235,25 @@ case class FreqItemsAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FreqItemsAgg =
     copy(item = newChildren(0), capExpr = newChildren(1))
+}
+
+object FreqItemsAgg {
+
+  /** Aggregation buffer: the Space-Saving counter table plus the lazy
+    * eviction-candidate cache. `cands` holds every key whose count
+    * equalled `curMin` when the cache was last rebuilt, sorted ASC so
+    * `pollLast` yields the largest-key tie-break victim first. The
+    * minimum is non-decreasing and evictions insert at min+1, so the
+    * candidate set only shrinks between rebuilds; entries whose count
+    * has moved on are skipped lazily. Rebuilt from scratch after any
+    * merge (counts move arbitrarily) and after deserialization (the
+    * cache is deliberately not serialized — it is derivable state).
+    */
+  final class SsBuffer extends mutable.HashMap[UTF8String, (Long, Long)] {
+    private[functions] var curMin: Long = -1L
+    private[functions] val cands = new java.util.ArrayDeque[UTF8String]()
+    private[functions] def invalidateCands(): Unit = {
+      cands.clear(); curMin = -1L
+    }
+  }
 }

@@ -3204,6 +3204,64 @@ object QueryPackExt {
              ${h60("chunk_text")} AS chunk_hash
       FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  /** Space-Saving heavy hitters in the EVICTION regime, oracle-gated
+    * (r13, VERDICT r12 #6 — q123 exercises only the no-eviction exact
+    * regime at oracle scale). A deterministic PLANTED-GAP stream makes
+    * the top-20 provably exact under eviction with ANY partitioning or
+    * merge order: 20 heavy tokens with counts 20000, 19000, …, 1000
+    * (gaps 1000) over a 2M-row stream with 400k distinct tail tokens
+    * (4 occurrences each) and sketch capacity 8192 ≪ distinct — so
+    * eviction runs constantly, yet Space-Saving's merged overestimate
+    * bound n/m = 244 < gap guarantees membership AND order: est_j ≥
+    * c_j > c_(j+1) + n/m ≥ est_(j+1), and every tail est ≤ 4 + 244 ≪
+    * c_19 = 1000. Raw est values are banded (the q49 technique); rank,
+    * token, and the exact twin count are hash-gated outright — a
+    * broken eviction path (lost counts, wrong min selection, a merge
+    * that forgets the absent-side minimum) shifts ranks or blows the
+    * bands. Both engines derive the stream from the same closed-form
+    * id→token map over range(2M); no table needed.
+    */
+  private val q125 = Q("q125_freq_items_eviction",
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val n = 2000000L
+      val m = 8192
+      val b = col("id") % 100
+      val blk = expr("id div 100")
+      val tok = when(b < 20 && blk < lit(20000) - lit(1000) * b,
+          concat(lit("h"), lpad(b.cast("string"), 2, "0")))
+        .otherwise(concat(lit("t"),
+          ((blk * 80 + (b - 20)) % 400000).cast("string")))
+      val stream = s.range(n).select(tok.as("token"))
+      val sketch = stream
+        .agg(expr(s"graft_freq_items(token, $m)").as("fi"))
+        .select(posexplode(slice(col("fi"), 1, 20)))
+        .select((col("pos") + 1).cast("long").as("rnk"),
+          col("col.item").as("token"),
+          col("col.est").as("est"), col("col.err").as("err"))
+      val exact = stream.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+      sketch.join(exact, Seq("token"))
+        .select(col("rnk"), col("token"), col("n"),
+          (col("est") >= col("n") &&
+            col("est") - col("n") <= lit(2L * (n / m))).as("est_ok"),
+          (col("est") - col("err") <= col("n") &&
+            col("n") <= col("est")).as("bound_ok"))
+        .harnessSorted(col("rnk"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT CASE WHEN id % 100 < 20 AND id // 100 < 20000 - 1000*(id % 100)
+                    THEN 'h' || lpad(CAST(id % 100 AS VARCHAR), 2, '0')
+                    ELSE 't' || CAST(((id // 100)*80 + (id % 100 - 20)) % 400000 AS VARCHAR)
+               END AS token
+        FROM range(2000000) t(id)),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY token)
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
+             token, n, TRUE AS est_ok, TRUE AS bound_ok
+      FROM c ORDER BY n DESC, token LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3211,7 +3269,7 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -106,15 +106,23 @@ class ScaleCertSpec extends AnyFunSuite with SparkSpec {
     // (~6k docs), 10x = ~60k — big enough that a quadratic pair
     // generator or a lost barrier shows up as >>10x growth, small
     // enough to keep the gate in seconds.
-    val d1 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-      .localCheckpoint()
-    val d10 = (0 until 10).map { rep =>
-      d1.select(
+    // fixtures go to parquet, NOT localCheckpoint: wall() sweeps with
+    // releaseLeaked between runs, which would evict checkpoint blocks
+    // and fail later reads — and a scan-backed corpus is the
+    // production shape anyway
+    val root = java.nio.file.Files.createTempDirectory("scalecert").toString
+    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base.write.mode("overwrite").parquet(s"$root/d1")
+    (0 until 10).map { rep =>
+      base.select(
         (col("doc_id") + lit(rep.toLong * 1000000000L)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           x => concat(x, lit(s"_$rep")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _).localCheckpoint()
+    }.reduce(_ unionByName _)
+      .repartition(8).write.mode("overwrite").parquet(s"$root/d10")
+    val d1 = spark.read.parquet(s"$root/d1")
+    val d10 = spark.read.parquet(s"$root/d10")
     def wall(d: DataFrame): Double = {
       def run(): Double = {
         val t0 = System.nanoTime()
@@ -131,8 +139,6 @@ class ScaleCertSpec extends AnyFunSuite with SparkSpec {
     }
     val t1 = wall(d1)
     val t10 = wall(d10)
-    graft.operators.Checkpoints.release(d1)
-    graft.operators.Checkpoints.release(d10)
     val ratio = t10 / t1
     info(f"flagship 1x=$t1%.2f s 10x=$t10%.2f s ratio=$ratio%.2f")
     // sublinear-with-headroom: the fixed scheduler floors dominate the

@@ -64,7 +64,7 @@ class FreqItemsAggSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
     val agg = FreqItemsAgg(BoundReference(0, StringType, nullable = true), Literal(2))
-    def feed(items: String*): scala.collection.mutable.HashMap[UTF8String, (Long, Long)] = {
+    def feed(items: String*): graft.functions.FreqItemsAgg.SsBuffer = {
       val buf = agg.createAggregationBuffer()
       items.foreach(i => agg.update(buf, InternalRow(UTF8String.fromString(i))))
       buf
