@@ -625,4 +625,89 @@ object TextAnalysis {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Top-k bigram collocations by pointwise mutual information — the
+    * phrase-mining/collocation report a corpus card leads with ("which
+    * word pairs co-occur far beyond chance"). PMI's log is monotone,
+    * so the emitted statistic is the RATIONAL lift
+    * `n_ab·N / (c_a·c_b)` (the bm25/familiarity no-`log` convention):
+    * every input is an exact integer count, the single double division
+    * of exact-below-2^53 integers is IEEE-correctly-rounded, and the
+    * result is BIT-IDENTICAL on any engine — no tolerance band needed.
+    * `minCount` suppresses the unstable singleton tail (a pair seen
+    * twice in a tiny corpus otherwise tops the list on noise).
+    *
+    * Scale: bigrams assemble per-row with `zip_with` over the token
+    * array (codegen, no posexplode/self-join); both count frames are
+    * vocabulary-bounded keyed aggregates with map-side partials; the
+    * unigram joins are keyed on the word; top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def bigramPmi(
+      docs: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val w = TextFns.tokens(col("text"))
+    val len = greatest(size(w) - 1, lit(0))
+    val bigrams = docs
+      .select(explode(zip_with(slice(w, lit(1), len), slice(w, lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    // total bigram mass from the SAME aggregated frame (its exchange is
+    // shared with the filtered consumer via ReuseExchange — the q49
+    // lesson: identical subtrees, no kind-filter below the shuffle)
+    val nTotal = bgc.agg(sum(col("n_ab")).as("n_total"))
+    val uni = docs.select(explode(w).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    bgc.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        ((col("n_ab") * col("n_total")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("pmi_lift"))
+      .orderBy(col("pmi_lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Pairwise divergence between per-`by` unigram distributions — the
+    * data-mixture diagnostic behind "how different are my corpus
+    * slices" (language/domain shift before and after curation, mixture
+    * rebalancing). Emits TOTAL VARIATION distance (½ Σ|p−q|, the
+    * fraction of mass you would have to move) and squared HELLINGER
+    * distance (1 − Σ√(pq)) per slice pair. Both are chosen over
+    * KL/JS specifically for engine parity: no `log` (libm rounding
+    * differs across engines — the bm25 lesson); |x|, √x, and IEEE
+    * ±/÷ are all correctly rounded. The only nondeterminism left is
+    * float summation order across the vocabulary, absorbed by
+    * round(6) (the q50 convention).
+    *
+    * Scale: counts and totals are keyed vocabulary-bounded aggregates;
+    * the dense (slice × vocab) grid joins the tiny slice list as a
+    * broadcast; the pair join is keyed on the word — no cartesian over
+    * rows, only over the slice LIST (bounded, report-sized).
+    */
+  def langDivergence(docs: DataFrame, by: String = "lang"): DataFrame = {
+    val toks = docs
+      .select(col(by).as("slice"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("slice"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("slice")).agg(sum(col("c")).as("n"))
+    // dense grid: every (slice, vocab word) — absent words carry p=0 so
+    // one-sided mass reaches the TV sum (an inner join would drop it)
+    val grid = counts.select(col("tok")).distinct()
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("slice", "tok"), "left")
+      .select(col("slice"), col("tok"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("n")).as("p"))
+    val a = grid.select(col("slice").as("slice_a"), col("tok"), col("p").as("pa"))
+    val b = grid.select(col("slice").as("slice_b"), col("tok"), col("p").as("pb"))
+    a.join(b, Seq("tok"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(
+        round(sum(abs(col("pa") - col("pb"))) * 0.5, 6).as("tv_distance"),
+        round(lit(1.0) - sum(sqrt(col("pa") * col("pb"))), 6)
+          .as("hellinger_sq"))
+  }
 }

@@ -3262,6 +3262,66 @@ object QueryPackExt {
              token, n, TRUE AS est_ok, TRUE AS bound_ok
       FROM c ORDER BY n DESC, token LIMIT 20"""))
 
+  /** Bigram PMI collocations ([[TextAnalysis.bigramPmi]]): the
+    * rational lift `n_ab·N/(c_a·c_b)` is one IEEE division of exact
+    * integers, so the oracle hash-compares the doubles OUTRIGHT — no
+    * band, no rounding (see the operator's scaladoc for why).
+    */
+  private val q126 = Q("q126_bigram_pmi",
+    (s, dir) => TextAnalysis.bigramPmi(t(s, dir, "documents"),
+      minCount = 5, topK = 20)
+      .harnessSorted(col("w1"), col("w2")),
+    Some(s"""
+      WITH $ToksCte,
+      pos AS (SELECT doc_id, unnest(w) AS tok,
+                     generate_subscripts(w, 1) AS ord FROM toks),
+      bg AS (SELECT a.tok AS w1, b.tok AS w2
+             FROM pos a JOIN pos b
+               ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+      bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+              FROM bg GROUP BY w1, w2),
+      nt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM bgc),
+      uni AS (SELECT unnest(w) AS tok FROM toks),
+      uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             FROM uni GROUP BY tok),
+      top AS (
+        SELECT bgc.w1, bgc.w2, bgc.n_ab,
+               CAST(bgc.n_ab * nt.n_total AS DOUBLE) /
+                 CAST(ca.c * cb.c AS DOUBLE) AS pmi_lift
+        FROM bgc CROSS JOIN nt
+        JOIN uc ca ON ca.tok = bgc.w1
+        JOIN uc cb ON cb.tok = bgc.w2
+        WHERE bgc.n_ab >= 5
+        ORDER BY pmi_lift DESC, bgc.w1, bgc.w2 LIMIT 20)
+      SELECT * FROM top ORDER BY w1, w2"""))
+
+  /** Corpus-slice divergence ([[TextAnalysis.langDivergence]]): TV +
+    * squared Hellinger between per-language unigram distributions —
+    * the log-free divergences (|x|, √x, ÷ are IEEE-correctly-rounded;
+    * KL/JS's log is not portable across libms).
+    */
+  private val q127 = Q("q127_lang_divergence",
+    (s, dir) => TextAnalysis.langDivergence(t(s, dir, "documents"))
+      .harnessSorted(col("slice_a"), col("slice_b")),
+    Some(s"""
+      WITH $ToksCte,
+      t2 AS (SELECT lang AS slice, unnest(w) AS tok FROM toks),
+      counts AS (SELECT slice, tok, CAST(count(*) AS BIGINT) AS c
+                 FROM t2 GROUP BY slice, tok),
+      totals AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n
+                 FROM counts GROUP BY slice),
+      vocab AS (SELECT DISTINCT tok FROM counts),
+      grid AS (
+        SELECT tt.slice, v.tok,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) / tt.n AS p
+        FROM vocab v CROSS JOIN totals tt
+        LEFT JOIN counts c ON c.slice = tt.slice AND c.tok = v.tok)
+      SELECT a.slice AS slice_a, b.slice AS slice_b,
+             round(sum(abs(a.p - b.p)) * 0.5, 6) AS tv_distance,
+             round(1.0 - sum(sqrt(a.p * b.p)), 6) AS hellinger_sq
+      FROM grid a JOIN grid b ON a.tok = b.tok AND a.slice < b.slice
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3269,7 +3329,8 @@ object QueryPackExt {
     q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
+    q127)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -993,4 +993,41 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(loopSide === colSide)
     assert(colSide(3L) === Seq.empty)
   }
+
+  test("bigramPmi: exact rational lift on a hand-built corpus, keyed plan") {
+    // corpus: "a b a b" + "a b c" -> bigrams: (a,b)x3? no:
+    //   doc1 tokens a b a b -> (a,b),(b,a),(a,b); doc2 a b c -> (a,b),(b,c)
+    // unigrams: a=4? doc1 has a,b,a,b (a=2,b=2); doc2 a,b,c -> a=3,b=3,c=1
+    // N bigrams total = 5. (a,b): n_ab=3, lift = 3*5/(3*3) = 1.666...
+    val d = docs(1L -> "a b a b", 2L -> "a b c")
+    val out = TextAnalysis.bigramPmi(d, minCount = 2, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("a", "b")))
+    assert(out(("a", "b"))._1 == 3L)
+    assert(math.abs(out(("a", "b"))._2 - 15.0 / 9.0) < 1e-12)
+    assertNoCartesian(TextAnalysis.bigramPmi(d, 2, 10))
+    // top-k compiles to TakeOrderedAndProject, never a global sort
+    val plan = TextAnalysis.bigramPmi(d, 2, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("langDivergence: TV and Hellinger exact on disjoint and identical slices") {
+    val s0 = spark
+    import s0.implicits._
+    val d = Seq(
+      (1L, "x x y", "en"), (2L, "x y", "en"),   // en: x=3,y=2 -> p(x)=.6
+      (3L, "x x y x y", "de"),                  // de: x=3,y=2 -> same dist
+      (4L, "z z", "es"))                        // es: disjoint support
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langDivergence(d)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    // identical distributions -> 0 on both measures
+    assert(out(("de", "en")) == ((0.0, 0.0)))
+    // disjoint support -> TV = 1, Hellinger^2 = 1
+    assert(out(("en", "es")) == ((1.0, 1.0)))
+    assert(out(("de", "es")) == ((1.0, 1.0)))
+  }
 }
