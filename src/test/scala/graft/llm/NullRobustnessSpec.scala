@@ -185,4 +185,25 @@ class NullRobustnessSpec extends AnyFunSuite with SparkSpec {
     }
     assert(Multimodal.videoMeta(avi).nonEmpty)
   }
+
+  test("bigramPmi / langDivergence: null text and null slice survive") {
+    // null text: tokens(null) is null, explode drops the row; the doc
+    // contributes nothing to either statistic
+    val pmi = TextAnalysis.bigramPmi(withNullText, minCount = 1, topK = 10)
+      .collect()
+    assert(pmi.nonEmpty) // the two identical docs still yield bigrams
+    assert(pmi.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+    val s0 = spark
+    import s0.implicits._
+    val d = Seq(
+      (1L, Option("x y"), Option("en")),
+      (2L, Option.empty[String], Option("en")),  // null text
+      (3L, Option("x z"), Option.empty[String])) // null slice
+      .toDF("doc_id", "text", "lang")
+    // null slice forms its own group but null comparisons are filtered
+    // out of the pair list (slice_a < slice_b is null-safe by SQL
+    // semantics: null predicates drop) — only real pairs emit
+    val div = TextAnalysis.langDivergence(d).collect()
+    assert(div.forall(r => r.getString(0) != null && r.getString(1) != null))
+  }
 }

@@ -109,6 +109,30 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
       spark.conf.unset("spark.sql.optimizer.inSetConversionThreshold")
   }
 
+  test("q49 fused form: exactly two corpus scans (histogram + sketch), exchange reused") {
+    // the one-scan histogram side holds ONLY if every consumer of the
+    // (rf, kind, v) frame shares the same canonical exchange: a
+    // kind-Filter pushed below it, or column pruning diverging the
+    // stats subtree (the 0.0*sum(__c) ballast), silently resurrects
+    // full corpus scans — observed during r13 development as 3 scan
+    // stages. Guard: the fused plan reads lineitem exactly twice
+    // (histogram pass + the separate percentile_approx pass) and
+    // carries at least one ReusedExchange.
+    // AQE's initial plan predates reuse (it dedupes at stage
+    // submission via its stage cache); the STATIC planner's
+    // ReuseExchange is what Bench (AQE off) runs and what this guard
+    // can see — assert under that config, like the bench harness
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val p = QueryPackExt.q49Fused(li).queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllMatchIn(p).length
+      assert(scans == 2,
+        s"expected 2 lineitem scans in fused q49, got $scans:\n$p")
+      assert(p.contains("ReusedExchange"), p)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("q74: stream-stream attribution twin is an equi-join with a range residual") {
     val p = planExt("q74_stream_attribution_twin")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
