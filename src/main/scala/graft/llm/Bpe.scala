@@ -204,4 +204,146 @@ object Bpe {
       }
       .toDF("doc_id", "tokens", "n_tokens")
   }
+
+  // ------------------------------------------------------------- training
+
+  /** Apply one merge rule to a word's piece sequence: every
+    * non-overlapping adjacent `(a, b)`, leftmost first — the same
+    * semantics [[encodeWord]] applies and string `replace` mirrors.
+    */
+  private[llm] def mergePieces(
+      pieces: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < pieces.length) {
+      if (j < pieces.length - 1 && pieces(j) == a && pieces(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += pieces(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** LEARN a merge table from the corpus — the missing half of the BPE
+    * story (encode applies a table; this produces one): repeatedly
+    * take the highest-count adjacent piece pair and merge it
+    * everywhere, emitting `(left, right, pair_count)` in rank order.
+    * Tie-break is total and content-deterministic: count DESC, then
+    * (left, right) ASC — the same convention as every top-k in the
+    * repo. Stops early when the best pair falls below `minPairCount`
+    * (singleton-noise rules are worse than no rule).
+    *
+    * SCALE DESIGN — the histogram trick (what production tokenizer
+    * trainers do): training never iterates the corpus. ONE corpus
+    * scan builds the `(word, count)` histogram, which is
+    * VOCABULARY-sized, and the n-merge loop runs over that. Dual
+    * regime from there (the resolveIds/keepFilter probe pattern):
+    *  - a bounded probe collects the histogram when it fits
+    *    (`maxDriverVocab` rows) and the loop is a driver in-memory
+    *    pass — exact, and at real vocabularies (~1e6 words) a few
+    *    hundred MB of strings, the common case;
+    *  - an open vocabulary (or [[graft.Regimes.forceDistributed]])
+    *    keeps the histogram distributed: each iteration is one
+    *    vocabulary-sized keyed pair-count aggregate (map-side
+    *    partials), a 1-row argmax collect, and a codegen'd-UDF merge
+    *    application, with per-round localCheckpoint + superseded-block
+    *    release (the CC loop convention).
+    * Both regimes share [[mergePieces]] and the tie-break, and the
+    * regime-equivalence spec pins them identical on a chained-merge
+    * fixture. Boundary glyphs never appear: training runs on raw
+    * [[TextFns.regexTokens]] word characters, exactly the alphabet
+    * [[encodeWord]]/[[encodeColumn]] apply tables over.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      nMerges: Int,
+      minPairCount: Long = 2L,
+      maxDriverVocab: Int = 1 << 20): Seq[(String, String, Long)] = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    val hist = docs
+      .select(explode(TextFns.regexTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val effMax =
+      if (graft.Regimes.forceDistributed) 0 else maxDriverVocab
+    val probe =
+      if (effMax > 0) hist.limit(effMax + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (effMax > 0 && probe.length <= effMax)
+      trainOnHist(probe.map(r => (r.getString(0), r.getLong(1))),
+        nMerges, minPairCount)
+    else trainDistributed(docs.sparkSession, hist, nMerges, minPairCount)
+  }
+
+  private def trainOnHist(
+      hist: Array[(String, Long)],
+      nMerges: Int,
+      minPairCount: Long): Seq[(String, String, Long)] = {
+    var words: Array[(Vector[String], Long)] =
+      hist.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (acc.length < nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (ps, c) =>
+        var i = 0
+        while (i < ps.length - 1) {
+          counts.merge((ps(i), ps(i + 1)), c, (x, y) => x + y)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.forEach { (k, v) =>
+        if (best == null || v > best._2 ||
+            (v == best._2 &&
+              Ordering[(String, String)].lt(k, best._1))) best = (k, v)
+      }
+      if (best == null || best._2 < minPairCount) done = true
+      else {
+        val ((a, b), cnt) = best
+        acc += ((a, b, cnt))
+        words = words.map { case (ps, c) => (mergePieces(ps, a, b), c) }
+      }
+    }
+    acc.toSeq
+  }
+
+  private def trainDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      hist: DataFrame,
+      nMerges: Int,
+      minPairCount: Long): Seq[(String, String, Long)] = {
+    import spark.implicits._
+    var words = hist.as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .toDF("pieces", "c")
+      .localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (acc.length < nMerges && !done) {
+      val len = greatest(size(col("pieces")) - 1, lit(0))
+      val best = words
+        .select(explode(zip_with(
+          slice(col("pieces"), lit(1), len),
+          slice(col("pieces"), lit(2), len),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"), col("c"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        acc += ((a, b, cnt))
+        val applyMerge = udf((ps: Seq[String]) =>
+          mergePieces(ps.toVector, a, b))
+        val next = words
+          .select(applyMerge(col("pieces")).as("pieces"), col("c"))
+          .localCheckpoint()
+        graft.operators.Checkpoints.release(words)
+        words = next
+      }
+    }
+    graft.operators.Checkpoints.release(words)
+    acc.toSeq
+  }
 }

@@ -3322,6 +3322,46 @@ object QueryPackExt {
       FROM grid a JOIN grid b ON a.tok = b.tok AND a.slice < b.slice
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** BPE TRAINING oracle ([[graft.llm.Bpe.bpeTrain]]) on a planted
+    * NON-INTERACTING corpus: 12 two-letter words over disjoint letter
+    * pairs with strictly descending counts (2400, 2300, …), so
+    * merging any pair cannot change any other pair's count and the
+    * learned table provably equals the top-8 of the INITIAL pair
+    * counts — which IS static SQL, making the iterative trainer
+    * hash-gateable without unrolling the loop. (Chained-merge
+    * interaction and the distributed regime are spec-gated in
+    * LlmLayerSpec/RegimesSpec — this oracle certifies counting,
+    * ranking, tie order, and the stop condition.) Both engines derive
+    * the corpus from the same id→word closed form over range(28800).
+    */
+  private val q128 = Q("q128_bpe_train",
+    (s, dir) => {
+      val corpus = s.range(28800)
+        .filter(expr("id div 12") <
+          lit(2400) - lit(100) * (col("id") % 12))
+        .select(concat(expr("char(97 + 2*(id % 12))"),
+          expr("char(98 + 2*(id % 12))")).as("text"))
+      val merges = graft.llm.Bpe.bpeTrain(corpus, nMerges = 8,
+        minPairCount = 2)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+        .toDF("rnk", "mleft", "mright", "n_pair")
+        .harnessSorted(col("rnk"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT id % 12 AS j FROM range(28800) r(id)
+        WHERE id // 12 < 2400 - 100*(id % 12)),
+      c AS (SELECT chr(CAST(97 + 2*j AS INTEGER)) AS mleft,
+                   chr(CAST(98 + 2*j AS INTEGER)) AS mright,
+                   CAST(count(*) AS BIGINT) AS n_pair
+            FROM t GROUP BY 1, 2)
+      SELECT CAST(row_number() OVER (ORDER BY n_pair DESC, mleft, mright)
+               AS BIGINT) AS rnk,
+             mleft, mright, n_pair
+      FROM c ORDER BY n_pair DESC, mleft, mright LIMIT 8"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3330,7 +3370,7 @@ object QueryPackExt {
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127)
+    q127, q128)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

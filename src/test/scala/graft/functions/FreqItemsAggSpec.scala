@@ -58,6 +58,44 @@ class FreqItemsAggSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(_._3 <= 2200 / 20 * 4))
   }
 
+  test("lazy-candidate eviction is victim-identical to the full-scan reference") {
+    // the r13 amortized-O(1) eviction must choose EXACTLY the victims
+    // the old O(capacity) content scan chose (lowest count, ties by
+    // largest key) — randomized streams with heavy eviction pressure,
+    // repeated keys (lazy-skip exercise), and several capacities
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(4242)
+    for (cap <- Seq(2, 3, 8, 17); trial <- 0 until 20) {
+      val agg = FreqItemsAgg(
+        BoundReference(0, StringType, nullable = true), Literal(cap))
+      val buf = agg.createAggregationBuffer()
+      val ref = scala.collection.mutable.HashMap[String, (Long, Long)]()
+      val nKeys = cap + 1 + rnd.nextInt(3 * cap)
+      (0 until 400).foreach { _ =>
+        val it = "k" + rnd.nextInt(nKeys)
+        agg.update(buf, InternalRow(UTF8String.fromString(it)))
+        ref.get(it) match {
+          case Some((c, e)) => ref(it) = (c + 1, e)
+          case None if ref.size < cap => ref(it) = (1L, 0L)
+          case None =>
+            var bestK: String = null; var bestC = Long.MaxValue
+            ref.foreach { case (k, (c, _)) =>
+              if (c < bestC ||
+                  (c == bestC && (bestK == null || k.compareTo(bestK) > 0))) {
+                bestK = k; bestC = c
+              }
+            }
+            ref.remove(bestK); ref(it) = (bestC + 1, bestC)
+        }
+      }
+      val got = buf.map { case (k, v) => k.toString -> v }.toMap
+      assert(got == ref.toMap, s"cap=$cap trial=$trial")
+    }
+  }
+
   test("graft_freq_items: merge preserves true <= est when an item was evicted in one partial") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}

@@ -994,6 +994,40 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(colSide(3L) === Seq.empty)
   }
 
+
+  test("bpeTrain: chained merges with exact counts and tie order") {
+    val s0 = spark
+    import s0.implicits._
+    // "the" x10 + "ab" x5: step 1 pairs (t,h)=10, (h,e)=10, (a,b)=5 —
+    // the (h,e)/(t,h) tie breaks on left ASC to (h,e); applying it
+    // turns every "the" into [t, he], so step 2's best is (t,he)=10;
+    // step 3 merges (a,b)=5; nothing >= minPairCount remains -> stop
+    // early at 3 rules even though 8 were requested
+    val d = (Seq.fill(10)("the") ++ Seq.fill(5)("ab"))
+      .toDF("text")
+    val merges = Bpe.bpeTrain(d, nMerges = 8, minPairCount = 2)
+    assert(merges == Seq(("h", "e", 10L), ("t", "he", 10L), ("a", "b", 5L)))
+    // the learned table is directly consumable by both encoders
+    val enc = Bpe.encodeDocs(
+      docs(1L -> "the ab the"), merges.map(m => (m._1, m._2)))
+      .collect()
+    assert(enc.head.getSeq[String](1) == Seq("the", "ab", "the"))
+  }
+
+  test("bpeTrain: distributed regime is rule-identical to the driver loop") {
+    val s0 = spark
+    import s0.implicits._
+    val d = (Seq.fill(10)("the") ++ Seq.fill(7)("thin") ++ Seq.fill(5)("ab"))
+      .toDF("text")
+    val driver = Bpe.bpeTrain(d, nMerges = 6, minPairCount = 2)
+    val dist = {
+      sys.props("spark.graft.forceDistributed") = "true"
+      try Bpe.bpeTrain(d, nMerges = 6, minPairCount = 2)
+      finally sys.props.remove("spark.graft.forceDistributed")
+    }
+    assert(driver.nonEmpty && dist == driver)
+  }
+
   test("bigramPmi: exact rational lift on a hand-built corpus, keyed plan") {
     // corpus: "a b a b" + "a b c" -> bigrams: (a,b)x3? no:
     //   doc1 tokens a b a b -> (a,b),(b,a),(a,b); doc2 a b c -> (a,b),(b,c)
