@@ -76,6 +76,54 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: EVICTION regime recovers the planted top-4 in order") {
+    // q125's planted-gap construction at stream scale: 4 heavy tokens
+    // (80/60/40/20) + 18 singleton tail tokens, capacity 16 < 22
+    // distinct — eviction runs in every partial, and the micro-batch
+    // MERGES exercise the mergeable-summaries combine under eviction
+    // (absent-side minimum absorption), not just the exact regime.
+    // Bound: total n/m = 218/16 ≈ 13.6 < the 20-count gap between
+    // heavies, so membership AND order of the top-4 are guaranteed
+    // for ANY batch split.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.streamingHeavyHitters(
+        in.toDF().toDF("ts", "token"), capacity = 16,
+        watermarkDelay = "5 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("hh_evict")
+      .outputMode("append").start()
+    try {
+      val truth = Map("h1" -> 80, "h2" -> 60, "h3" -> 40, "h4" -> 20)
+      val items = truth.toSeq.flatMap { case (k, n) => Seq.fill(n)(k) } ++
+        (0 until 18).map(i => f"t$i%02d")
+      val stream = scala.util.Random
+        .javaRandomToRandom(new java.util.Random(7)).shuffle(items)
+        .zipWithIndex.map { case (tok, i) => (ts(i % 3000), tok) }
+      // three micro-batches: partial sketches must merge under eviction
+      stream.grouped((stream.size + 2) / 3).foreach { batch =>
+        in.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      in.addData((ts(3600 * 3), "zz"))
+      q.processAllAvailable()
+      in.addData((ts(3600 * 3 + 1), "zz"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_evict").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+      assert(rows.length === 1)
+      val top = rows.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(top.size === 16) // saturated: eviction genuinely ran
+      assert(top.take(4).map(_._1) === Seq("h1", "h2", "h3", "h4"))
+      top.take(4).foreach { case (k, est, err) =>
+        val t = truth(k).toLong
+        assert(est >= t && est - err <= t, s"$k: est=$est err=$err true=$t")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     val s = spark
     import s.implicits._
