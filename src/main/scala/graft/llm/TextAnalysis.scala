@@ -682,10 +682,20 @@ object TextAnalysis {
     * float summation order across the vocabulary, absorbed by
     * round(6) (the q50 convention).
     *
-    * Scale: counts and totals are keyed vocabulary-bounded aggregates;
-    * the dense (slice × vocab) grid joins the tiny slice list as a
-    * broadcast; the pair join is keyed on the word — no cartesian over
-    * rows, only over the slice LIST (bounded, report-sized).
+    * Scale: both statistics need only the SHARED-token join — never a
+    * dense (slice × vocab) grid. One-sided mass reaches TV through the
+    * closed form: since each distribution sums to 1,
+    * `tv = 1 + ½·Σ_shared(|pa−pb| − pa − pb)` (one-sided tokens
+    * contribute their full p to the classic sum, which the identity
+    * folds into the constant), and one-sided Hellinger terms are 0
+    * outright. So the plan is: keyed vocabulary-bounded count/total
+    * aggs, an inner self-join on the word, and a broadcast pair-
+    * universe left-join so disjoint-support pairs (no shared words at
+    * all) still emit their exact (1, 1) row. The first cut built the
+    * dense grid and paid 12 corpus scans (pruning diverged the
+    * distinct-vocab subtree from every other consumer — the q49
+    * exchange-reuse lesson); this shape reads the corpus twice and is
+    * plan-asserted.
     */
   def langDivergence(docs: DataFrame, by: String = "lang"): DataFrame = {
     val toks = docs
@@ -693,21 +703,27 @@ object TextAnalysis {
     val counts = toks.groupBy(col("slice"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("slice")).agg(sum(col("c")).as("n"))
-    // dense grid: every (slice, vocab word) — absent words carry p=0 so
-    // one-sided mass reaches the TV sum (an inner join would drop it)
-    val grid = counts.select(col("tok")).distinct()
-      .crossJoin(broadcast(totals))
-      .join(counts, Seq("slice", "tok"), "left")
+    val p = counts.join(broadcast(totals), Seq("slice"))
       .select(col("slice"), col("tok"),
-        (coalesce(col("c"), lit(0L)).cast("double") / col("n")).as("p"))
-    val a = grid.select(col("slice").as("slice_a"), col("tok"), col("p").as("pa"))
-    val b = grid.select(col("slice").as("slice_b"), col("tok"), col("p").as("pb"))
-    a.join(b, Seq("tok"))
+        (col("c").cast("double") / col("n")).as("p"))
+    val a = p.select(col("slice").as("slice_a"), col("tok"), col("p").as("pa"))
+    val b = p.select(col("slice").as("slice_b"), col("tok"), col("p").as("pb"))
+    val shared = a.join(b, Seq("tok"))
       .filter(col("slice_a") < col("slice_b"))
       .groupBy(col("slice_a"), col("slice_b"))
       .agg(
-        round(sum(abs(col("pa") - col("pb"))) * 0.5, 6).as("tv_distance"),
-        round(lit(1.0) - sum(sqrt(col("pa") * col("pb"))), 6)
+        sum(abs(col("pa") - col("pb")) - col("pa") - col("pb")).as("__s"),
+        sum(sqrt(col("pa") * col("pb"))).as("__h"))
+    // pair universe from the tiny totals frame: disjoint-support pairs
+    // have no shared rows and must still report (tv, h2) = (1, 1)
+    val pairs = totals.select(col("slice").as("slice_a"))
+      .crossJoin(totals.select(col("slice").as("slice_b")))
+      .filter(col("slice_a") < col("slice_b"))
+    pairs.join(broadcast(shared), Seq("slice_a", "slice_b"), "left")
+      .select(col("slice_a"), col("slice_b"),
+        round(lit(1.0) + coalesce(col("__s"), lit(0.0)) * 0.5, 6)
+          .as("tv_distance"),
+        round(lit(1.0) - coalesce(col("__h"), lit(0.0)), 6)
           .as("hellinger_sq"))
   }
 }

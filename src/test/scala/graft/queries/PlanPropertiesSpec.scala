@@ -133,6 +133,20 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("q127: divergence reads the corpus twice, shares the counts exchange") {
+    // the closed-form shared-token shape (tv = 1 + 0.5*sum(|pa-pb| -
+    // pa - pb)) exists precisely so no dense (slice x vocab) grid and
+    // no diverged distinct-vocab subtree multiply corpus scans — the
+    // first cut paid 12. Static planner, AQE off (the q49 convention).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = planExt("q127_lang_divergence")
+      val scans = "Scan parquet".r.findAllMatchIn(p).length
+      assert(scans == 2, s"expected 2 documents scans in q127, got $scans:\n$p")
+      assert(p.contains("ReusedExchange"), p)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("q74: stream-stream attribution twin is an equi-join with a range residual") {
     val p = planExt("q74_stream_attribution_twin")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
