@@ -119,6 +119,8 @@ object Plans {
       "bigram PMI (r13): bigrams assemble per-row with zip_with inside codegen (no posexplode self-join), both count frames are vocabulary-bounded keyed aggs with map-side partials, the unigram joins are keyed on the word, total mass rides a broadcast one-row crossJoin, and top-k is TakeOrderedAndProject — never a global sort",
     "q127_lang_divergence" ->
       "slice divergence (r13): counts/totals are keyed vocabulary-bounded aggs; the SHARED-token inner join carries both statistics via the closed form tv = 1 + 0.5*sum(|pa-pb| - pa - pb) (no dense slice x vocab grid), the pair universe is a bounded slice-list cross, and disjoint pairs left-join to their exact (1,1). Static planner: 2 corpus scans + 4 ReusedExchange (plan-asserted; the AQE-on text below predates reuse, which AQE applies at stage submission)",
+    "q129_quantile_drift" ->
+      "quantile drift (r13): the heavy stage is the L92 window-keyed value histogram (map-side partial aggs; two-phase rank at scale/forced); the lag window runs over the REPORT-sized one-row-per-window frame where a single-partition Window is the right plan, not a smell",
     "q128_bpe_train" ->
       "BPE training (r13): the plan shown is the learned table's LocalRelation tail — the training itself is the histogram trick (one corpus scan to a vocabulary-sized (word, count) agg, then an n-merge loop over the histogram, driver-side under the probe / distributed keyed pair-count aggregates above it). Nothing corpus-sized ever iterates")
 

@@ -267,11 +267,26 @@ object Bpe {
     val probe =
       if (effMax > 0) hist.limit(effMax + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
-    if (effMax > 0 && probe.length <= effMax)
+    // byte cap as well as row cap (the keepFilter/J1 convention): the
+    // driver loop holds every word EXPLODED to per-char pieces, so a
+    // corpus of pathological unbroken letter runs must route to the
+    // distributed loop rather than OOM the driver. ~64 B/char covers
+    // the piece-string and vector overhead.
+    def histBytes: Long = probe.foldLeft(0L)(
+      (acc, r) => acc + 64L * r.getString(0).length + 48L)
+    if (effMax > 0 && probe.length <= effMax &&
+        histBytes <= MaxDriverHistBytes)
       trainOnHist(probe.map(r => (r.getString(0), r.getLong(1))),
         nMerges, minPairCount)
     else trainDistributed(docs.sparkSession, hist, nMerges, minPairCount)
   }
+
+  /** Estimated in-driver footprint cap for the training histogram
+    * (chars × piece overhead): ~1 GiB of budget at the default
+    * 1M-word vocab cap means words may average ~250 chars before the
+    * byte probe routes to the distributed loop.
+    */
+  private val MaxDriverHistBytes = 1L << 30
 
   private def trainOnHist(
       hist: Array[(String, Long)],

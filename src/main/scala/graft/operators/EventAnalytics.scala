@@ -79,4 +79,38 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_sec"), col("week_offset"))
   }
+
+  /** Windowed quantile DRIFT monitor — the data-quality alarm a
+    * pipeline runs over an event stream's value distribution: exact
+    * per-window median (the L92 histogram interpolation — no group
+    * buffering, no sketch error to band away), window-over-window
+    * delta via `lag`, and a thresholded alert flag. A shifted sensor,
+    * a schema-mangled feed, or an upstream resample shows up as a
+    * drift spike long before a mean would move.
+    *
+    * Scale: the heavy stage is [[Percentiles.groupedExact]]'s
+    * window-keyed histogram (map-side partials, two-phase rank at
+    * scale / forced); the `lag` runs over the REPORT-sized one-row-
+    * per-window frame, where a single-partition window is the right
+    * plan, not a smell. p50 is rounded to 6dp BEFORE differencing so
+    * drift inherits the cross-engine parity of the rounded medians.
+    */
+  def quantileDrift(
+      events: DataFrame,
+      valueCol: String = "value",
+      windowLength: String = "1 hour",
+      threshold: Double = 0.5): DataFrame = {
+    val w = events.select(
+      window(col("ts"), windowLength).getField("start").as("win_start"),
+      col(valueCol))
+    val q = graft.operators.Percentiles
+      .groupedExact(w, "win_start", valueCol, Seq(0.5))
+      .select(col("win_start"), round(col("p50"), 6).as("p50"), col("n"))
+    val byStart = org.apache.spark.sql.expressions.Window
+      .orderBy(col("win_start"))
+    q.withColumn("drift",
+        round(abs(col("p50") - lag(col("p50"), 1).over(byStart)), 6))
+      .withColumn("drift_alert",
+        coalesce(col("drift") > threshold, lit(false)))
+  }
 }

@@ -3362,6 +3362,33 @@ object QueryPackExt {
              mleft, mright, n_pair
       FROM c ORDER BY n_pair DESC, mleft, mright LIMIT 8"""))
 
+  /** Windowed quantile drift ([[graft.operators.EventAnalytics
+    * .quantileDrift]]): exact per-hour medians (L92 histogram), lagged
+    * deltas, thresholded alerts — all hash-gated (medians rounded to
+    * 6dp before differencing, the q50 parity convention; first-window
+    * drift is NULL in both engines).
+    */
+  private val q129 = Q("q129_quantile_drift",
+    (s, dir) => graft.operators.EventAnalytics
+      .quantileDrift(QueryPack.events(s, dir), threshold = 0.5)
+      .harnessSorted(col("win_start")),
+    Some("""
+      WITH w AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, value
+        FROM events),
+      q AS (
+        SELECT win_start, round(quantile_cont(value, 0.5), 6) AS p50,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w WHERE value IS NOT NULL GROUP BY win_start),
+      d AS (
+        SELECT win_start, p50, n,
+               round(abs(p50 - lag(p50) OVER (ORDER BY win_start)), 6)
+                 AS drift
+        FROM q)
+      SELECT win_start, p50, n, drift,
+             COALESCE(drift > 0.5, FALSE) AS drift_alert
+      FROM d ORDER BY win_start"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3370,7 +3397,7 @@ object QueryPackExt {
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128)
+    q127, q128, q129)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
