@@ -113,15 +113,15 @@ case class FreqItemsAgg(
       val k = buf.cands.pollLast()
       if (k == null) {
         var m = Long.MaxValue
-        buf.foreach { case (_, (c, _)) => if (c < m) m = c }
+        buf.foreach { case (_, v) => if (v(0) < m) m = v(0) }
         val ks = buf.iterator
-          .collect { case (k2, (c, _)) if c == m => k2 }.toArray
+          .collect { case (k2, v) if v(0) == m => k2 }.toArray
         java.util.Arrays.sort(ks,
           (a: UTF8String, b: UTF8String) => a.compareTo(b))
         buf.curMin = m
         var i = 0
         while (i < ks.length) { buf.cands.addLast(ks(i)); i += 1 }
-      } else if (buf.get(k).exists(_._1 == buf.curMin)) victim = k
+      } else if (buf.get(k).exists(_(0) == buf.curMin)) victim = k
     }
     (victim, buf.curMin)
   }
@@ -132,13 +132,13 @@ case class FreqItemsAgg(
     val it = item.eval(input).asInstanceOf[UTF8String]
     if (it != null) {
       buf.get(it) match {
-        case Some((c, e)) => buf(it) = (c + 1, e)
+        case Some(v) => v(0) += 1 // in place: zero alloc on the hit path
         case None if buf.size < capacity =>
-          buf(it.clone()) = (1L, 0L) // clone: eval may reuse its buffer
+          buf(it.clone()) = Array(1L, 0L) // clone: eval may reuse its buffer
         case None =>
           val (victim, minC) = evictMin(buf)
           buf.remove(victim)
-          buf(it.clone()) = (minC + 1, minC)
+          buf(it.clone()) = Array(minC + 1, minC)
       }
     }
     buf
@@ -152,7 +152,7 @@ case class FreqItemsAgg(
   // trimmed, so absence means a true count of zero
   private def absentBound(buf: SsBuffer): Long =
     if (buf.size < capacity) 0L
-    else buf.valuesIterator.map(_._1).min
+    else buf.valuesIterator.map(_(0)).min
 
   override def merge(buf: SsBuffer, other: SsBuffer): SsBuffer = {
     val minBuf = absentBound(buf)
@@ -160,17 +160,14 @@ case class FreqItemsAgg(
     if (minOther > 0) {
       // items only in buf: `other`'s stream may have held up to its
       // minimum of this item's mass before evicting it
-      buf.keysIterator.toArray.foreach { k =>
-        if (!other.contains(k)) {
-          val (c0, e0) = buf(k)
-          buf(k) = (c0 + minOther, e0 + minOther)
-        }
+      buf.foreach { case (k, v) =>
+        if (!other.contains(k)) { v(0) += minOther; v(1) += minOther }
       }
     }
-    other.foreach { case (k, (c, e)) =>
+    other.foreach { case (k, v1) =>
       buf.get(k) match {
-        case Some((c0, e0)) => buf(k) = (c0 + c, e0 + e)
-        case None => buf(k) = (c + minBuf, e + minBuf)
+        case Some(v0) => v0(0) += v1(0); v0(1) += v1(1)
+        case None => buf(k) = Array(v1(0) + minBuf, v1(1) + minBuf)
       }
     }
     if (buf.size > capacity) {
@@ -178,8 +175,8 @@ case class FreqItemsAgg(
       // item ASC) — only items whose upper bound trails the kept tail
       // are dropped, so survivors' bounds are unchanged
       val keep = buf.toArray
-        .sortWith { case ((k1, (c1, _)), (k2, (c2, _))) =>
-          if (c1 != c2) c1 > c2 else k1.compareTo(k2) < 0
+        .sortWith { case ((k1, v1), (k2, v2)) =>
+          if (v1(0) != v2(0)) v1(0) > v2(0) else k1.compareTo(k2) < 0
         }
         .take(capacity)
       buf.clear()
@@ -193,11 +190,11 @@ case class FreqItemsAgg(
 
   override def eval(buf: SsBuffer): Any = {
     val sorted = buf.toArray
-      .sortWith { case ((k1, (c1, _)), (k2, (c2, _))) =>
-        if (c1 != c2) c1 > c2 else k1.compareTo(k2) < 0
+      .sortWith { case ((k1, v1), (k2, v2)) =>
+        if (v1(0) != v2(0)) v1(0) > v2(0) else k1.compareTo(k2) < 0
       }
-    new GenericArrayData(sorted.map { case (k, (c, e)) =>
-      InternalRow(k, c, e)
+    new GenericArrayData(sorted.map { case (k, v) =>
+      InternalRow(k, v(0), v(1))
     }.asInstanceOf[Array[Any]])
   }
 
@@ -205,10 +202,10 @@ case class FreqItemsAgg(
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (k, (c, e)) =>
+    buf.foreach { case (k, v) =>
       val kb = k.getBytes
       out.writeInt(kb.length); out.write(kb)
-      out.writeLong(c); out.writeLong(e)
+      out.writeLong(v(0)); out.writeLong(v(1))
     }
     out.flush()
     bytes.toByteArray
@@ -222,7 +219,7 @@ case class FreqItemsAgg(
     while (i < n) {
       val kb = new Array[Byte](in.readInt())
       in.readFully(kb)
-      buf(UTF8String.fromBytes(kb)) = (in.readLong(), in.readLong())
+      buf(UTF8String.fromBytes(kb)) = Array(in.readLong(), in.readLong())
       i += 1
     }
     buf
@@ -249,7 +246,7 @@ object FreqItemsAgg {
     * merge (counts move arbitrarily) and after deserialization (the
     * cache is deliberately not serialized — it is derivable state).
     */
-  final class SsBuffer extends mutable.HashMap[UTF8String, (Long, Long)] {
+  final class SsBuffer extends mutable.HashMap[UTF8String, Array[Long]] {
     private[functions] var curMin: Long = -1L
     private[functions] val cands = new java.util.ArrayDeque[UTF8String]()
     private[functions] def invalidateCands(): Unit = {

@@ -91,7 +91,7 @@ class FreqItemsAggSpec extends AnyFunSuite with SparkSpec {
             ref.remove(bestK); ref(it) = (bestC + 1, bestC)
         }
       }
-      val got = buf.map { case (k, v) => k.toString -> v }.toMap
+      val got = buf.map { case (k, v) => k.toString -> ((v(0), v(1))) }.toMap
       assert(got == ref.toMap, s"cap=$cap trial=$trial")
     }
   }
@@ -115,8 +115,8 @@ class FreqItemsAggSpec extends AnyFunSuite with SparkSpec {
     assert(!b.contains(UTF8String.fromString("h")), "setup: h must be evicted from B")
     val merged = agg.merge(a, b)
     val h = merged(UTF8String.fromString("h"))
-    assert(h._1 >= 4L, s"upper bound broken: est=${h._1} < true=4")
-    assert(h._1 - h._2 <= 4L, s"lower bound broken: est-err=${h._1 - h._2} > true=4")
+    assert(h(0) >= 4L, s"upper bound broken: est=${h(0)} < true=4")
+    assert(h(0) - h(1) <= 4L, s"lower bound broken: est-err=${h(0) - h(1)} > true=4")
   }
 
   test("graft_freq_items: per-item bounds hold across random partials and merge orders") {
@@ -143,7 +143,8 @@ class FreqItemsAggSpec extends AnyFunSuite with SparkSpec {
         buf
       }.toSeq
       val merged = rnd.shuffle(partials).reduce(agg.merge)
-      merged.foreach { case (k, (est, err)) =>
+      merged.foreach { case (k, v) =>
+        val est = v(0); val err = v(1)
         val t = truth.getOrElse(k.toString, 0L)
         assert(t <= est, s"trial $trial cap=$cap ${k.toString}: true=$t > est=$est")
         assert(est - err <= t,
@@ -151,7 +152,7 @@ class FreqItemsAggSpec extends AnyFunSuite with SparkSpec {
       }
       // absent items are bounded by the kept minimum (saturated) or 0
       if (merged.size >= cap) {
-        val minKept = merged.valuesIterator.map(_._1).min
+        val minKept = merged.valuesIterator.map(_(0)).min
         truth.foreach { case (k, t) =>
           if (!merged.contains(UTF8String.fromString(k)))
             assert(t <= minKept, s"trial $trial absent $k: true=$t > minKept=$minKept")
