@@ -142,12 +142,59 @@ object Bpe {
       .limit(topK)
   }
 
+  /** Split a word into per-CODE-POINT pieces. Splitting per UTF-16
+    * char (`w.map(_.toString)`) would cut every non-BMP character
+    * (emoji, CJK extension B) into two lone surrogates — invalid
+    * UTF-8 that Spark's UTF8String encodes as `?`, silently collapsing
+    * distinct pieces when they round-trip through the distributed
+    * regime. Code points are exactly what the column encoder's Java
+    * regex `[^¦]` wraps, so both encoders and both training regimes
+    * share one alphabet.
+    */
+  private[llm] def codePointPieces(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Code-point lexicographic comparison — identical to UTF-8 binary
+    * order, which is the order Spark's `orderBy` applies to strings.
+    * Java's `String.compareTo` is UTF-16 code-UNIT order, which ranks
+    * supplementary code points (surrogate range 0xD800–0xDFFF) BELOW
+    * [0xE000, 0xFFFF]; the two regimes' tie-breaks would diverge on
+    * exactly the inputs the code-point split exists for.
+    */
+  private[llm] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private[llm] def cpPairLess(
+      x: (String, String), y: (String, String)): Boolean = {
+    val c1 = cpCompare(x._1, y._1)
+    if (c1 != 0) c1 < 0 else cpCompare(x._2, y._2) < 0
+  }
+
   /** The classical rank-loop BPE encode of one pre-token (the merged
     * pair with the lowest rank merges everywhere, repeat to fixpoint).
     */
   private[llm] def encodeWord(
       word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var toks = word.map(_.toString).toVector
+    var toks = codePointPieces(word)
     var done = toks.length < 2
     while (!done) {
       var best = Int.MaxValue
@@ -293,7 +340,7 @@ object Bpe {
       nMerges: Int,
       minPairCount: Long): Seq[(String, String, Long)] = {
     var words: Array[(Vector[String], Long)] =
-      hist.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      hist.map { case (w, c) => (codePointPieces(w), c) }
     val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var done = false
     while (acc.length < nMerges && !done) {
@@ -308,8 +355,7 @@ object Bpe {
       var best: ((String, String), Long) = null
       counts.forEach { (k, v) =>
         if (best == null || v > best._2 ||
-            (v == best._2 &&
-              Ordering[(String, String)].lt(k, best._1))) best = (k, v)
+            (v == best._2 && cpPairLess(k, best._1))) best = (k, v)
       }
       if (best == null || best._2 < minPairCount) done = true
       else {
@@ -328,7 +374,7 @@ object Bpe {
       minPairCount: Long): Seq[(String, String, Long)] = {
     import spark.implicits._
     var words = hist.as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .map { case (w, c) => (codePointPieces(w).toArray, c) }
       .toDF("pieces", "c")
       .localCheckpoint()
     val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()

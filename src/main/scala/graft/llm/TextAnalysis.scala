@@ -631,9 +631,11 @@ object TextAnalysis {
     * word pairs co-occur far beyond chance"). PMI's log is monotone,
     * so the emitted statistic is the RATIONAL lift
     * `n_ab·N / (c_a·c_b)` (the bm25/familiarity no-`log` convention):
-    * every input is an exact integer count, the single double division
-    * of exact-below-2^53 integers is IEEE-correctly-rounded, and the
-    * result is BIT-IDENTICAL on any engine — no tolerance band needed.
+    * every input is an exact integer count and each FACTOR is cast to
+    * double before the multiply, so every step is an IEEE correctly-
+    * rounded op on the same operands in any engine — BIT-IDENTICAL
+    * results with no tolerance band, and no Long-product wrap when
+    * n_ab·N exceeds 2^63 at web-corpus scale.
     * `minCount` suppresses the unstable singleton tail (a pair seen
     * twice in a tiny corpus otherwise tops the list on noise).
     *
@@ -663,9 +665,14 @@ object TextAnalysis {
       .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
       .crossJoin(broadcast(nTotal))
+      // Each FACTOR is cast to double before multiplying: the counts are
+      // exact integers, IEEE multiplies of exact doubles are correctly
+      // rounded and cross-engine deterministic, and — unlike a Long
+      // product — there is no silent wrap when n_ab·N or c_a·c_b
+      // exceeds Long range at web-corpus scale (~1e12 bigrams).
       .select(col("w1"), col("w2"), col("n_ab"),
-        ((col("n_ab") * col("n_total")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double")).as("pmi_lift"))
+        ((col("n_ab").cast("double") * col("n_total").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))).as("pmi_lift"))
       .orderBy(col("pmi_lift").desc, col("w1"), col("w2"))
       .limit(topK)
   }

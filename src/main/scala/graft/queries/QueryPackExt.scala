@@ -778,9 +778,17 @@ object QueryPackExt {
       // frame (r8): HyperLogLog state is duplicate-insensitive by
       // construction, so the estimate over distinct keys IS the
       // estimate over the raw rows.
+      // NULL keys are dropped up front so exact counts carry SQL
+      // `count(DISTINCT c)` semantics — the same `v.isNotNull` frame
+      // q49Fused distincts over. Without the filter the NULL group
+      // would inflate the exact twin while approx_count_distinct
+      // (which skips nulls) does not, so on null-bearing inputs the
+      // file-size probe could flip the answer and the band check
+      // could spuriously fail.
       def distinctPass(c: String, alias: String, approxAlias: String,
           rsd: Double) =
-        li.groupBy(col("l_returnflag"), col(c)).agg(count(lit(1)))
+        li.filter(col(c).isNotNull)
+          .groupBy(col("l_returnflag"), col(c)).agg(count(lit(1)))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as(alias),
             approx_count_distinct(col(c), rsd).as(approxAlias))
@@ -3263,9 +3271,10 @@ object QueryPackExt {
       FROM c ORDER BY n DESC, token LIMIT 20"""))
 
   /** Bigram PMI collocations ([[TextAnalysis.bigramPmi]]): the
-    * rational lift `n_ab·N/(c_a·c_b)` is one IEEE division of exact
-    * integers, so the oracle hash-compares the doubles OUTRIGHT — no
-    * band, no rounding (see the operator's scaladoc for why).
+    * rational lift `n_ab·N/(c_a·c_b)` casts each FACTOR to double
+    * before multiplying (no Long-product wrap at corpus scale), so the
+    * oracle hash-compares the doubles OUTRIGHT — no band, no rounding
+    * (see the operator's scaladoc for why).
     */
   private val q126 = Q("q126_bigram_pmi",
     (s, dir) => TextAnalysis.bigramPmi(t(s, dir, "documents"),
@@ -3286,8 +3295,8 @@ object QueryPackExt {
              FROM uni GROUP BY tok),
       top AS (
         SELECT bgc.w1, bgc.w2, bgc.n_ab,
-               CAST(bgc.n_ab * nt.n_total AS DOUBLE) /
-                 CAST(ca.c * cb.c AS DOUBLE) AS pmi_lift
+               (CAST(bgc.n_ab AS DOUBLE) * CAST(nt.n_total AS DOUBLE)) /
+                 (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS pmi_lift
         FROM bgc CROSS JOIN nt
         JOIN uc ca ON ca.tok = bgc.w1
         JOIN uc cb ON cb.tok = bgc.w2

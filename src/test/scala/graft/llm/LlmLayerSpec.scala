@@ -1028,6 +1028,46 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(driver.nonEmpty && dist == driver)
   }
 
+  test("bpeTrain: non-BMP text splits by code point, regimes stay identical") {
+    val s0 = spark
+    import s0.implicits._
+    // Each 😀 pre-tokenizes to a SINGLE one-code-point word (the
+    // [^word\s] branch matches one code point), so it must contribute
+    // zero pairs. A UTF-16 split would cut it into two lone-surrogate
+    // pieces instead: the driver regime would learn the bogus
+    // (\uD83D, \uDE00)x8 pair while the distributed regime — where
+    // UTF8String encodes unpaired surrogates as '?' — would learn
+    // ('?', '?')x8, silently merging unrelated emoji and diverging the
+    // two regimes. The gate here: identical rules, all pure ASCII.
+    val d = (Seq.fill(10)("the") ++ Seq.fill(8)("😀") ++
+      Seq.fill(6)("thin")).toDF("text")
+    val driver = Bpe.bpeTrain(d, nMerges = 6, minPairCount = 2)
+    val dist = {
+      sys.props("spark.graft.forceDistributed") = "true"
+      try Bpe.bpeTrain(d, nMerges = 6, minPairCount = 2)
+      finally sys.props.remove("spark.graft.forceDistributed")
+    }
+    assert(driver.nonEmpty && dist == driver)
+    driver.foreach { case (a, b, _) =>
+      assert((a + b).forall(_ < 0x80), s"non-ASCII rule leaked: ($a, $b)")
+    }
+  }
+
+  test("Bpe code-point helpers: split and UTF-8-order comparator") {
+    assert(Bpe.codePointPieces("a😀b") ==
+      Vector("a", "😀", "b"))
+    assert(Bpe.codePointPieces("") == Vector.empty)
+    // U+E000 < U+1F600 in code-point (= UTF-8 binary = Spark) order,
+    // but Java's UTF-16 code-unit compareTo ranks it ABOVE the
+    // surrogate pair — the exact tie-break divergence cpCompare fixes
+    assert(Bpe.cpCompare("", "😀") < 0)
+    assert("".compareTo("😀") > 0)
+    assert(Bpe.cpCompare("abc", "abd") < 0)
+    assert(Bpe.cpCompare("ab", "abc") < 0)
+    assert(Bpe.cpCompare("abc", "abc") == 0)
+    assert(Bpe.cpPairLess(("a", "😀"), ("a", "")) === false)
+  }
+
   test("bigramPmi: exact rational lift on a hand-built corpus, keyed plan") {
     // corpus: "a b a b" + "a b c" -> bigrams: (a,b)x3? no:
     //   doc1 tokens a b a b -> (a,b),(b,a),(a,b); doc2 a b c -> (a,b),(b,c)
