@@ -8,6 +8,7 @@ Mirrors the protocol the Spark Bench uses (warm pass + best-of-N) so
 the two anchors are comparable; reports per-query best and the total.
 """
 import json
+import os
 import sys
 import time
 
@@ -22,8 +23,9 @@ def main() -> None:
     con.execute("PRAGMA threads=32")
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     # warm pass (untimed), then best-of-N
     for name, sql in sorted(oracle.items()):
         try:

@@ -11,6 +11,7 @@ columns, and compares values.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -44,8 +45,12 @@ def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata tables are plain files; locally generated
+        # scale dirs (GenSf1) are Spark-layout directories — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0

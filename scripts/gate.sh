@@ -9,6 +9,9 @@
 #
 # Usage: scripts/gate.sh [sfDir]          default /root/testdata/sf0.01
 # Fast variant while iterating: GATE_SKIP_BENCH=1 scripts/gate.sh
+# Round-stamped artifacts: GATE_ROUND=14 scripts/gate.sh writes
+# CORRECTNESS_DISTRIBUTED_r14.txt; unset rounds write *_rdev.txt so a
+# dev run can never silently overwrite a committed round artifact.
 #
 # Exists because rounds 5 and 8 both shipped non-compiling HEADs and
 # scored zero; the end-of-round habit is: run this, see GATE GREEN,
@@ -18,6 +21,7 @@ cd "$(dirname "$0")/.."
 
 SF="${1:-/root/testdata/sf0.01}"
 OUT="${GATE_OUT:-/tmp/gate_verify}"
+ROUND="${GATE_ROUND:-dev}"
 
 fail() { echo; echo "!!!!!!!! GATE RED: $1 !!!!!!!!"; exit 1; }
 
@@ -57,9 +61,9 @@ if [[ "${GATE_SKIP_DISTRIBUTED:-0}" != "1" ]]; then
   SPARK_GRAFT_FORCE_DISTRIBUTED=1 sbt -batch "runMain graft.Verify $SF $DOUT" \
     || fail "graft.Verify (forced distributed)"
   python3 scripts/check_oracle.py "$SF" "$DOUT" \
-    | tee CORRECTNESS_DISTRIBUTED_r13.txt \
+    | tee "CORRECTNESS_DISTRIBUTED_r${ROUND}.txt" \
     || fail "oracle compare (forced distributed)"
-  grep -q ", 0 fail ==" CORRECTNESS_DISTRIBUTED_r13.txt \
+  grep -q ", 0 fail ==" "CORRECTNESS_DISTRIBUTED_r${ROUND}.txt" \
     || fail "forced-distributed compare had failures"
 else
   echo "== gate 3b/4: forced-distributed compare SKIPPED =="

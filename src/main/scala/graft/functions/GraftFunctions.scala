@@ -20,6 +20,9 @@ object GraftFunctions {
   val Hash60Name = "graft_hash60"
   val Hash64Name = "graft_hash64"
   val FreqItemsName = "graft_freq_items"
+  val ApproxQuantileName = "graft_approx_quantile"
+  val ExactPercentileName = "graft_exact_percentile"
+  val ExactDistinctName = "graft_exact_distinct"
 
   private val vecDotInfo = new ExpressionInfo(
     classOf[FloatVecDot].getName, VecDotName)
@@ -70,6 +73,29 @@ object GraftFunctions {
     FreqItemsAgg(args(0), args(1))
   }
 
+  private val approxQuantileInfo = new ExpressionInfo(
+    classOf[ApproxQuantileAgg].getName, ApproxQuantileName)
+  private def approxQuantileBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"$ApproxQuantileName expects (value, percentage, k)")
+    ApproxQuantileAgg(args(0), args(1), args(2))
+  }
+
+  private val exactPercentileInfo = new ExpressionInfo(
+    classOf[ExactPercentileAgg].getName, ExactPercentileName)
+  private def exactPercentileBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"$ExactPercentileName expects (value, percentage)")
+    ExactPercentileAgg(args(0), args(1))
+  }
+
+  private val exactDistinctInfo = new ExpressionInfo(
+    classOf[ExactDistinctAgg].getName, ExactDistinctName)
+  private def exactDistinctBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$ExactDistinctName expects (key)")
+    ExactDistinctAgg(args(0))
+  }
+
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
     (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
@@ -77,7 +103,13 @@ object GraftFunctions {
     (FunctionIdentifier(NormalizeLocationName), normLocInfo, normLocBuilder _),
     (FunctionIdentifier(Hash60Name), hash60Info, hash60Builder _),
     (FunctionIdentifier(Hash64Name), hash64Info, hash64Builder _),
-    (FunctionIdentifier(FreqItemsName), freqItemsInfo, freqItemsBuilder _))
+    (FunctionIdentifier(FreqItemsName), freqItemsInfo, freqItemsBuilder _),
+    (FunctionIdentifier(ApproxQuantileName), approxQuantileInfo,
+      approxQuantileBuilder _),
+    (FunctionIdentifier(ExactPercentileName), exactPercentileInfo,
+      exactPercentileBuilder _),
+    (FunctionIdentifier(ExactDistinctName), exactDistinctInfo,
+      exactDistinctBuilder _))
 
   /** Idempotent per-session registration (the analyzer resolves
     * `call_function` names through the session's FunctionRegistry).

@@ -632,16 +632,19 @@ object QueryPackExt {
 
   // -------------------------------------------- approx sketches / quantiles
 
-  /** Sketch-family aggregates (HyperLogLog++ count-distinct, GK-sketch
-    * quantiles), with a REAL oracle gate (VERDICT r3 next-round #4):
+  /** Sketch-family aggregates (HLL count-distinct, KLL-quantile),
+    * with a REAL oracle gate (VERDICT r3 next-round #4):
     * raw sketch values are engine-specific by construction, so instead
     * of hashing them the query emits the exact group keys/counts plus
-    * boolean within-rsd-band flags comparing each sketch to its exact
+    * boolean within-band flags comparing each sketch to its exact
     * twin, all computed engine-side. The oracle supplies the exact
     * counts and expects every flag TRUE — a sketch drifting outside
-    * its band flips a flag and fails the hash compare. Bands are 3σ:
-    * 15% for the default rsd=0.05 HLL, 3% for rsd=0.01, 1% relative
-    * for the rank-bounded percentile at accuracy=10000.
+    * its band flips a flag and fails the hash compare. Bands are the
+    * original 3σ contracts (15% / 3% / 1%-of-median), now held with
+    * margin by the r14 sketches: DataSketches HLL at lgK=12 (~1.6%
+    * rse) and lgK=14 (~0.8%) for the count twins, the native KLL
+    * aggregate [[graft.functions.ApproxQuantileAgg]] at k=2048
+    * (~0.05% observed rank error) for the median twin.
     */
   /** One-scan FUSED form of q49 (r13, VERDICT r12 #2): every EXACT
     * twin rides a single (returnflag, kind, value) histogram built in
@@ -650,7 +653,7 @@ object QueryPackExt {
     * collapses them to the distinct frame, and from that one frame
     * fall out:
     *  - exact distinct counts = rows per (rf, kind)
-    *  - the HLL twins = approx_count_distinct over the distinct frame
+    *  - the HLL twins = hll_sketch_agg over the distinct frame
     *    (duplicate-insensitive, the r8 insight)
     *  - the exact median = cumulative-rank interpolation over the
     *    kind=price slice (the L92 histogram technique, fused in-query)
@@ -731,13 +734,16 @@ object QueryPackExt {
           col("v")))
       val exact = ranked.groupBy(col("l_returnflag"))
         .agg(
+          // DataSketches HLL twins (r14) — binary buffer, not the
+          // 2,731-attribute HLL++ schema; see q49Branched's
+          // distinctPass comment for the measured cliff
           count(when(col("kind") === 0, 1)).as("exact_parts"),
-          approx_count_distinct(
-            when(col("kind") === 0, col("v").cast("long")), rsd = 0.05)
+          hll_sketch_estimate(hll_sketch_agg(
+            when(col("kind") === 0, col("v").cast("long")), lit(12)))
             .as("approx_parts"),
           count(when(col("kind") === 1, 1)).as("exact_supps"),
-          approx_count_distinct(
-            when(col("kind") === 1, col("v").cast("long")), rsd = 0.01)
+          hll_sketch_estimate(hll_sketch_agg(
+            when(col("kind") === 1, col("v").cast("long")), lit(14)))
             .as("approx_supps"),
           at(floor(r)).as("__vLo"),
           at(ceil(r)).as("__vHi"),
@@ -747,86 +753,55 @@ object QueryPackExt {
             (col("__r") - floor(col("__r"))) * (col("__vHi") - col("__vLo")))
       // the percentile sketch keeps its own whole-multiset pass — a
       // rank sketch is NOT duplicate-insensitive, so it cannot ride
-      // the distinct frame. accuracy=1000 (r11): rank error 0.1% of
-      // ranks is ~10x inside the 1% band. (Fusing it via Spark's
-      // `percentile` aggregate was tried and measured 5x WORSE — its
-      // non-codegen update path; re-confirmed direction r13: the
-      // sketch pass is the cheap one, the exact twins were the cost.)
+      // the distinct frame. r14: the native KLL aggregate
+      // (graft_approx_quantile) replaces percentile_approx, whose
+      // GK-summary update path was the single 0.84 s stage flooring
+      // this query (VERDICT r13 #1); k=2048 holds rank error ~0.05%,
+      // ~15x inside the 1% band (ApproxQuantileAggSpec).
       val sketches = li.groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .agg(expr("graft_approx_quantile(l_extendedprice, 0.5, 2048)")
           .as("approx_median"))
       q49Flags(exact.join(broadcast(sketches), Seq("l_returnflag")))
   }
 
-  /** BRANCHED form of q49 (the r8 shape): four parallel branches over
-    * the corpus — one per exact/sketch family — combined by UNION +
-    * one final agg so every branch executes as a concurrent stage of
-    * ONE job. Four scans, but at bench scale the parquet scans are
-    * cheap and the three exact branches hide entirely behind the
-    * quantile-sketch pass (the 0.84 s stage that floors this query) —
-    * measured r13 at sf0.1: branched 1.36 s vs fused 1.81–1.99 s.
-    * Above the probe (or forced), the roles invert: scans dominate,
-    * and [[q49Fused]]'s two reads beat four (r13 10× lineitem A/B in
-    * BASELINE.md).
+  /** BRANCHED — historically — form of q49, now the SINGLE-SCAN form
+    * (r14): all six statistics ride one scan and one
+    * ObjectHashAggregate of mergeable primitive-state aggregates —
+    * `graft_exact_distinct` (open-address long set),
+    * `hll_sketch_agg` (DataSketches binary blob),
+    * `graft_exact_percentile` (double-array buffer + one sort), and
+    * the native KLL `graft_approx_quantile`. The r8/r13 4-branch
+    * union shape existed because Spark's own aggregates made one agg
+    * impossible to afford: two `count(DISTINCT)`s plan as an Expand
+    * (input ×3) through every update path (29.6 s), `percentile`
+    * buffers boxed `OpenHashMap` (~1.5 s), `percentile_approx`'s GK
+    * summary floored the suite's lone weak row, and
+    * `approx_count_distinct(rsd=0.01)` flattens p=14 HLL++ state into
+    * 2,731 LongType buffer attributes whose mere plan-resolution cost
+    * ~0.8 s/run at any data size. With native primitive-state twins,
+    * the 4 scans + 3 shuffles + union collapse to scan → partial agg
+    * → 3-row merge: measured r14 at sf0.1, 1.61 s → 0.25 s.
+    *
+    * SCALE CONTRACT: exact-distinct and exact-percentile state is
+    * O(distinct)/O(rows) per group — this form is only chosen under
+    * the 128 MiB file-byte probe; above it (or forced),
+    * [[q49Fused]]'s bounded-state histogram regime runs instead.
+    * NULL keys: every aggregate here skips NULLs natively, matching
+    * SQL `count(DISTINCT c)` / the fused form's `v.isNotNull` frame.
     */
-  private[graft] def q49Branched(li: DataFrame): DataFrame = {
-      // exact distinct counts via two-level aggregation: mixing two
-      // countDistinct columns with sort-based percentile aggregates in
-      // one agg forces an Expand (input ×3) through every aggregate's
-      // update path — measured 29.6 s at sf0.1 vs ~3 s in this shape.
-      // Each pass ALSO evaluates its HLL sketch over the distinct-key
-      // frame (r8): HyperLogLog state is duplicate-insensitive by
-      // construction, so the estimate over distinct keys IS the
-      // estimate over the raw rows.
-      // NULL keys are dropped up front so exact counts carry SQL
-      // `count(DISTINCT c)` semantics — the same `v.isNotNull` frame
-      // q49Fused distincts over. Without the filter the NULL group
-      // would inflate the exact twin while approx_count_distinct
-      // (which skips nulls) does not, so on null-bearing inputs the
-      // file-size probe could flip the answer and the band check
-      // could spuriously fail.
-      def distinctPass(c: String, alias: String, approxAlias: String,
-          rsd: Double) =
-        li.filter(col(c).isNotNull)
-          .groupBy(col("l_returnflag"), col(c)).agg(count(lit(1)))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as(alias),
-            approx_count_distinct(col(c), rsd).as(approxAlias))
-      val sketches = li.groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median"))
-      // exact median via histogram interpolation, single-window pinned
-      // (caller-knows convention — this regime IS the small input).
-      val exactMedian = graft.operators.Percentiles
-        .groupedExact(li, "l_returnflag", "l_extendedprice", Seq(0.5),
-          twoPhaseThreshold = Long.MaxValue)
-        .select(col("l_returnflag"), col("p50").as("exact_median"))
-      // combine the four 3-row branch results by UNION + one final agg
-      // instead of a chain of three broadcast joins: every branch then
-      // executes as a parallel stage of ONE job, and `max` over the
-      // sparse union picks each branch's value (r8: 2.8 s -> 1.79 s).
-      // Counts stay LONG through the union — a double cast is only
-      // exact below 2^53, and the medians are the only real doubles
-      val wideD = Seq("approx_median", "exact_median")
-      val wideL = Seq("exact_parts", "approx_parts",
-        "exact_supps", "approx_supps")
-      def widen(df: DataFrame): DataFrame = {
-        def c2(c: String, t: String) =
-          (if (df.columns.contains(c)) col(c) else lit(null)).cast(t).as(c)
-        df.select(col("l_returnflag") +:
-          (wideD.map(c2(_, "double")) ++ wideL.map(c2(_, "long"))): _*)
-      }
-      val wide = wideD ++ wideL
-      q49Flags(widen(sketches)
-        .unionByName(widen(exactMedian))
-        .unionByName(widen(distinctPass("l_partkey", "exact_parts",
-          "approx_parts", rsd = 0.05)))
-        .unionByName(widen(distinctPass("l_suppkey", "exact_supps",
-          "approx_supps", rsd = 0.01)))
-        .groupBy(col("l_returnflag"))
-        .agg(wide.map(c => max(col(c)).as(c)).head,
-          wide.tail.map(c => max(col(c)).as(c)): _*))
-  }
+  private[graft] def q49Branched(li: DataFrame): DataFrame =
+      q49Flags(li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("graft_exact_distinct(l_partkey)").as("exact_parts"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12)))
+            .as("approx_parts"),
+          expr("graft_exact_distinct(l_suppkey)").as("exact_supps"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"), lit(14)))
+            .as("approx_supps"),
+          expr("graft_exact_percentile(l_extendedprice, 0.5)")
+            .as("exact_median"),
+          expr("graft_approx_quantile(l_extendedprice, 0.5, 2048)")
+            .as("approx_median")))
 
   /** Shared q49 output contract: exact counts + within-band flags. */
   private def q49Flags(df: DataFrame): DataFrame =
