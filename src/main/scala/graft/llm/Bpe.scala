@@ -289,11 +289,13 @@ object Bpe {
     *    pass — exact, and at real vocabularies (~1e6 words) a few
     *    hundred MB of strings, the common case;
     *  - an open vocabulary (or [[graft.Regimes.forceDistributed]])
-    *    keeps the histogram distributed: each iteration is one
+    *    keeps the histogram distributed: each ROUND is one
     *    vocabulary-sized keyed pair-count aggregate (map-side
-    *    partials), a 1-row argmax collect, and a codegen'd-UDF merge
-    *    application, with per-round localCheckpoint + superseded-block
-    *    release (the CC loop convention).
+    *    partials), a bounded top-k collect, and one UDF pass applying
+    *    a provably-sequential BATCH of disjoint merges (see
+    *    [[trainDistributed]]), with per-round localCheckpoint +
+    *    superseded-block release (the CC loop convention) — rounds
+    *    scale as ~nMerges/256, not nMerges.
     * Both regimes share [[mergePieces]] and the tie-break, and the
     * regime-equivalence spec pins them identical on a chained-merge
     * fixture. Boundary glyphs never appear: training runs on raw
@@ -367,6 +369,49 @@ object Bpe {
     acc.toSeq
   }
 
+  /** Rounds the last [[trainDistributed]] run took — test/bench
+    * introspection for the sublinear-rounds guarantee (VERDICT r13
+    * next-round #3). Single-threaded use only.
+    */
+  private[llm] var lastDistributedRounds: Int = 0
+
+  /** Candidates fetched per distributed round (so a 50k-merge
+    * vocabulary needs ~hundreds of rounds, not 50k). The cap bounds
+    * the per-round collect and the per-round UDF closure.
+    */
+  private[llm] val DistributedBatchCap = 256
+
+  /** Distributed training loop, BATCHED (r14, VERDICT r13 #3): one
+    * Spark round per merge is a wall-clock cliff at real (50k-rule)
+    * vocabularies — ~50k driver-orchestrated aggregate+collect+
+    * checkpoint cycles. Instead each round collects the top
+    * `min(remaining, 256)+1` pairs in (count DESC, pair ASC) rank
+    * order and applies a PROVABLY-SEQUENTIAL batch of them in one
+    * pass:
+    *
+    *  - accept the contiguous prefix of candidates whose symbols are
+    *    pairwise DISJOINT (stop at the first candidate sharing a
+    *    symbol with an earlier accepted one);
+    *  - then drop any accepted tail whose count is not STRICTLY
+    *    greater than the first non-accepted candidate's count (or
+    *    the last collected count when the list may be incomplete).
+    *
+    * Why that equals one-merge-per-round exactly (tie-breaks
+    * included): applying a merge `(a,b)` never increases any existing
+    * pair's count, leaves every symbol-disjoint pair's count
+    * UNCHANGED, and only creates pairs `(x, ab)`/`(ab, y)` whose
+    * counts are bounded by the pre-merge counts of `(x,a)`/`(b,y)` —
+    * pairs that SHARE a symbol with the merge and are therefore
+    * outside the accepted (disjoint) batch, hence counted by the
+    * strict bound. So after applying the first j−1 accepted merges,
+    * the j-th accepted candidate still strictly out-counts every
+    * other surviving or created pair and remains the true argmax; the
+    * strictness makes tie-break comparisons against created pairs
+    * unreachable. The first accepted candidate is the global argmax
+    * unconditionally. [[graft.llm.LlmLayerSpec]] pins batched ≡
+    * sequential on chained (self-interacting) and tie-heavy fixtures
+    * and asserts rounds ≪ nMerges on a disjoint-rich corpus.
+    */
   private def trainDistributed(
       spark: org.apache.spark.sql.SparkSession,
       hist: DataFrame,
@@ -378,10 +423,14 @@ object Bpe {
       .toDF("pieces", "c")
       .localCheckpoint()
     val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    lastDistributedRounds = 0
     var done = false
     while (acc.length < nMerges && !done) {
+      lastDistributedRounds += 1
+      val want = math.min(nMerges - acc.length, DistributedBatchCap)
+      val k = want + 1 // +1: the first unaccepted row supplies the strict bound
       val len = greatest(size(col("pieces")) - 1, lit(0))
-      val best = words
+      val cand = words
         .select(explode(zip_with(
           slice(col("pieces"), lit(1), len),
           slice(col("pieces"), lit(2), len),
@@ -389,16 +438,39 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+        .limit(k).collect()
+      if (cand.isEmpty || cand(0).getLong(2) < minPairCount) done = true
       else {
-        val (a, b, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        acc += ((a, b, cnt))
-        val applyMerge = udf((ps: Seq[String]) =>
-          mergePieces(ps.toVector, a, b))
+        // contiguous disjoint prefix
+        val syms = scala.collection.mutable.HashSet[String]()
+        var batch = Vector.empty[(String, String, Long)]
+        var i = 0
+        var scanning = true
+        while (scanning && i < cand.length && batch.length < want) {
+          val (a, b, cnt) =
+            (cand(i).getString(0), cand(i).getString(1), cand(i).getLong(2))
+          if (cnt < minPairCount || syms.contains(a) || syms.contains(b))
+            scanning = false
+          else {
+            batch :+= ((a, b, cnt)); syms += a; syms += b; i += 1
+          }
+        }
+        // strict-count bound: the first non-accepted candidate (or the
+        // last collected row when the pair table may extend past k)
+        val bound =
+          if (i < cand.length) cand(i).getLong(2)
+          else if (cand.length == k) cand(k - 1).getLong(2)
+          else Long.MinValue
+        while (batch.length > 1 && batch.last._3 <= bound)
+          batch = batch.init
+        acc ++= batch
+        val merges = batch.map { case (a, b, _) => (a, b) }
+        val applyMerges = udf((ps: Seq[String]) =>
+          merges.foldLeft(ps.toVector) { case (p, (a, b)) =>
+            mergePieces(p, a, b)
+          })
         val next = words
-          .select(applyMerge(col("pieces")).as("pieces"), col("c"))
+          .select(applyMerges(col("pieces")).as("pieces"), col("c"))
           .localCheckpoint()
         graft.operators.Checkpoints.release(words)
         words = next

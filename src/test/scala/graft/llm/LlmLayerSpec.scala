@@ -1053,6 +1053,67 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpeTrain: batched distributed rounds are sublinear in nMerges") {
+    val s0 = spark
+    import s0.implicits._
+    // 18 two-symbol words over pairwise-DISJOINT alphabets with
+    // strictly distinct counts: all 18 first-round candidates are
+    // mutually disjoint and tie-free, so ONE batch learns all 18
+    // rules and the loop exits having hit nMerges. The sequential
+    // loop would take 18 rounds (and ≥36 jobs).
+    val syms = ('a' to 'z') ++ ('0' to '9')
+    val words = syms.grouped(2).map(g => g.mkString).toSeq // ab, cd, ..., 89
+    val d = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(50 - i)(w) }
+      .toDF("text")
+    val driver = Bpe.bpeTrain(d, nMerges = 18, minPairCount = 2)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    s0.sparkContext.addSparkListener(listener)
+    val dist =
+      try {
+        sys.props("spark.graft.forceDistributed") = "true"
+        try Bpe.bpeTrain(d, nMerges = 18, minPairCount = 2)
+        finally sys.props.remove("spark.graft.forceDistributed")
+      } finally {
+        // async listener bus: undercounting only loosens the < bound
+        s0.sparkContext.removeSparkListener(listener)
+      }
+    assert(dist == driver && driver.length == 18)
+    assert(Bpe.lastDistributedRounds == 1,
+      s"expected one full batch, got ${Bpe.lastDistributedRounds}")
+    assert(jobs < 18, s"job count must be sublinear in nMerges, got $jobs")
+  }
+
+  test("bpeTrain: batched regime survives interacting ties (strict bound)") {
+    val s0 = spark
+    import s0.implicits._
+    // (a,a)=10, (a,b)=10, (c,d)=10 all tie. Rank order (count DESC,
+    // pair ASC): (a,a), (a,b), (c,d). The batch accepts (a,a), stops
+    // at the interacting (a,b), and the strict bound (10) forces the
+    // batch down to {(a,a)} alone — because merging (a,a) creates the
+    // NEW pair (aa,b)=10 which out-ranks (c,d) lexicographically, a
+    // pick only the sequential recount can see. Driver (sequential)
+    // and batched-distributed must agree exactly.
+    val d = (Seq.fill(10)("aab") ++ Seq.fill(10)("cd")).toDF("text")
+    val driver = Bpe.bpeTrain(d, nMerges = 4, minPairCount = 2)
+    val dist = {
+      sys.props("spark.graft.forceDistributed") = "true"
+      try Bpe.bpeTrain(d, nMerges = 4, minPairCount = 2)
+      finally sys.props.remove("spark.graft.forceDistributed")
+    }
+    assert(driver == Seq(("a", "a", 10L), ("aa", "b", 10L), ("c", "d", 10L)))
+    assert(dist == driver)
+    // round 1: {(a,a)} (tie-truncated); round 2: {(aa,b),(c,d)} (now
+    // disjoint, complete table); round 3: empty pair table -> stop
+    assert(Bpe.lastDistributedRounds == 3,
+      s"got ${Bpe.lastDistributedRounds}")
+  }
+
   test("Bpe code-point helpers: split and UTF-8-order comparator") {
     assert(Bpe.codePointPieces("a😀b") ==
       Vector("a", "😀", "b"))
