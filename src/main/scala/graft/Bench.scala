@@ -200,8 +200,20 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // Persist the FULL per-query metric line as a repo artifact: the
+    // driver's BENCH_r*.json preserves only a truncated tail (31 of
+    // 129 queries in r13), blinding round-over-round comparison to
+    // three quarters of the suite (VERDICT r13 #3). Overwritten per
+    // run; the round habit is to snapshot it as BENCH_FULL_rNN.json.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+      "BENCH_FULL_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"WARNING: could not write $fullOut: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

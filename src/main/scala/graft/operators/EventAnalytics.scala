@@ -88,29 +88,103 @@ object EventAnalytics {
     * a schema-mangled feed, or an upstream resample shows up as a
     * drift spike long before a mean would move.
     *
-    * Scale: the heavy stage is [[Percentiles.groupedExact]]'s
+    * Scale — DUAL REGIME on the window COUNT (r14, VERDICT r13 #7):
+    * the heavy stage is always [[Percentiles.groupedExact]]'s
     * window-keyed histogram (map-side partials, two-phase rank at
-    * scale / forced); the `lag` runs over the REPORT-sized one-row-
-    * per-window frame, where a single-partition window is the right
-    * plan, not a smell. p50 is rounded to 6dp BEFORE differencing so
-    * drift inherits the cross-engine parity of the rounded medians.
+    * scale / forced). The lag stage then routes on a one-row min/max
+    * timestamp probe (parquet column stats make it near-free):
+    *  - span/windowLength ≤ `maxGlobalLagWindows` (report-sized, the
+    *    common monitoring case — e.g. a month of hourly windows is
+    *    720 rows): a single-partition global `lag` window, which at
+    *    that cardinality is the right plan, not a smell;
+    *  - more windows than that (multi-year fine-grained retention),
+    *    or [[graft.Regimes.forceDistributed]]: a range-partitioned
+    *    sort + `zipWithIndex` + keyed self-join on the index — the
+    *    previous PRESENT row exactly as `lag` defines it (window
+    *    starts are distinct group keys, so the total order is
+    *    unambiguous), with no single-task stage anywhere.
+    * [[graft.operators.OperatorsSpec]] pins the two forms identical
+    * on a gap-bearing fixture. p50 is rounded to 6dp BEFORE
+    * differencing so drift inherits the cross-engine parity of the
+    * rounded medians.
     */
   def quantileDrift(
       events: DataFrame,
       valueCol: String = "value",
       windowLength: String = "1 hour",
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxGlobalLagWindows: Long = 1L << 20): DataFrame = {
     val w = events.select(
       window(col("ts"), windowLength).getField("start").as("win_start"),
       col(valueCol))
     val q = graft.operators.Percentiles
       .groupedExact(w, "win_start", valueCol, Seq(0.5))
       .select(col("win_start"), round(col("p50"), 6).as("p50"), col("n"))
-    val byStart = org.apache.spark.sql.expressions.Window
-      .orderBy(col("win_start"))
-    q.withColumn("drift",
-        round(abs(col("p50") - lag(col("p50"), 1).over(byStart)), 6))
+    val global = !graft.Regimes.forceDistributed && {
+      val b = events
+        .agg(min(col("ts")).cast("timestamp").as("lo"),
+          max(col("ts")).cast("timestamp").as("hi"))
+        .head()
+      b.isNullAt(0) || {
+        val spanSec =
+          (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 1000.0
+        spanSec / durationSeconds(windowLength) + 2.0 <=
+          maxGlobalLagWindows.toDouble
+      }
+    }
+    val lagged =
+      if (global) {
+        val byStart = org.apache.spark.sql.expressions.Window
+          .orderBy(col("win_start"))
+        q.withColumn("graft_prev_p50", lag(col("p50"), 1).over(byStart))
+      } else distributedLag(q)
+    lagged
+      .withColumn("drift",
+        round(abs(col("p50") - col("graft_prev_p50")), 6))
       .withColumn("drift_alert",
         coalesce(col("drift") > threshold, lit(false)))
+      .drop("graft_prev_p50")
+  }
+
+  /** `lag(p50) over (order by win_start)` without a single global
+    * partition: range-repartition + intra-partition sort give a total
+    * order across ascending partition ids, `zipWithIndex` stamps the
+    * global rank distributively, and the previous row arrives by an
+    * equi-join on rank−1 (shuffle-keyed, AQE-splittable). Exactly
+    * `lag` because win_start is a distinct group key — no peer ties.
+    */
+  private def distributedLag(q: DataFrame): DataFrame = {
+    val spark = q.sparkSession
+    val sorted = q.repartitionByRange(col("win_start"))
+      .sortWithinPartitions(col("win_start"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "graft_idx", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    val prev = indexed.select((col("graft_idx") + 1).as("graft_idx"),
+      col("p50").as("graft_prev_p50"))
+    indexed.join(prev, Seq("graft_idx"), "left_outer").drop("graft_idx")
+  }
+
+  /** Seconds in a `window()`-style duration string ("1 hour",
+    * "90 seconds", "1 hour 30 minutes"). Unknown units fail loudly —
+    * the routing probe must never silently mis-size a regime.
+    */
+  private[operators] def durationSeconds(s: String): Double = {
+    val unit = Map("microsecond" -> 1e-6, "millisecond" -> 1e-3,
+      "second" -> 1.0, "minute" -> 60.0, "hour" -> 3600.0,
+      "day" -> 86400.0, "week" -> 604800.0)
+    val toks = s.trim.toLowerCase.split("\\s+")
+    require(toks.nonEmpty && toks.length % 2 == 0,
+      s"unparseable window duration: '$s'")
+    toks.grouped(2).map { pair =>
+      val n = pair(0).toDouble
+      val u = unit.getOrElse(pair(1).stripSuffix("s"),
+        sys.error(s"unknown duration unit '${pair(1)}' in '$s'"))
+      n * u
+    }.sum
   }
 }

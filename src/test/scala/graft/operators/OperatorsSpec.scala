@@ -280,4 +280,48 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
         r.getAs[Long]("n_users"))).toSet
     assert(out === Set((0L, 0L, 2L), (0L, 1L, 1L), (7L * day, 0L, 1L)))
   }
+
+  test("quantileDrift: distributed lag equals global lag across window gaps") {
+    val s = spark
+    import s.implicits._
+    def ts(h: Long, m: Long) = new java.sql.Timestamp((h * 3600 + m * 60) * 1000L)
+    // hours 0, 1, 3, 4 populated — hour 2 EMPTY, so lag must step over
+    // the gap to the previous PRESENT window, the case a naive
+    // win_start−1h self-join gets wrong
+    val ev = Seq(
+      (1L, ts(0, 0), 1.0), (2L, ts(0, 30), 3.0),
+      (3L, ts(1, 10), 10.0),
+      (4L, ts(3, 5), 2.0), (5L, ts(3, 50), 4.0), (6L, ts(3, 55), 6.0),
+      (7L, ts(4, 0), 2.5))
+      .toDF("user_id", "ts", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("win_start").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .toSeq
+    val global = rows(EventAnalytics.quantileDrift(ev, threshold = 1.0))
+    val dist = {
+      sys.props("spark.graft.forceDistributed") = "true"
+      try rows(EventAnalytics.quantileDrift(ev, threshold = 1.0))
+      finally sys.props.remove("spark.graft.forceDistributed")
+    }
+    assert(dist === global)
+    // value spot-check: hour-3 median 4.0 lags hour-1 median 10.0
+    assert(global.map(t => (t._2, t._4)) === Seq(
+      (2.0, None), (10.0, Some(8.0)), (4.0, Some(6.0)), (2.5, Some(1.5))))
+    assert(global.map(_._5) === Seq(false, true, true, true))
+    // a TINY maxGlobalLagWindows bound routes the default path to the
+    // distributed lag too — the loud-degradation guard, not one task
+    assert(rows(EventAnalytics.quantileDrift(ev, threshold = 1.0,
+      maxGlobalLagWindows = 2)) === global)
+  }
+
+  test("durationSeconds parses window grammar, rejects junk") {
+    assert(EventAnalytics.durationSeconds("1 hour") === 3600.0)
+    assert(EventAnalytics.durationSeconds("90 seconds") === 90.0)
+    assert(EventAnalytics.durationSeconds("1 hour 30 minutes") === 5400.0)
+    assert(EventAnalytics.durationSeconds("2 weeks") === 1209600.0)
+    intercept[RuntimeException](EventAnalytics.durationSeconds("1 fortnight"))
+    intercept[IllegalArgumentException](EventAnalytics.durationSeconds("hour"))
+  }
 }
