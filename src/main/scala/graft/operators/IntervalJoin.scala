@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   * 100× the data the bottleneck is the OUTPUT, not the plan — no
   * partitioning strategy shrinks a result that is itself quadratic.
   * When the question is "how many overlaps" rather than "which
-  * pairs", use [[countOverlaps]], which aggregates map-side and never
-  * shuffles a pair row.
+  * pairs", use [[countOverlaps]], whose rank form never FORMS a pair —
+  * its cost is linear in the inputs no matter how dense the intervals.
   */
 object IntervalJoin {
 
@@ -135,30 +135,107 @@ object IntervalJoin {
       .drop("__lb", "__rb")
   }
 
-  /** Per-left-interval overlap COUNT — the aggregate-pushdown twin of
+  /** Per-left-interval overlap COUNT — the aggregate twin of
     * [[overlapJoin]] for the "how many overlaps" question whose pair
-    * output is quadratic in interval density. The right side is pruned
-    * to its two bound columns BEFORE the bucket join (nothing wider
-    * crosses the exchange), and the count partial-aggregates map-side
-    * on `leftKey`, so the final shuffle carries one row per (key ×
-    * map partition) — pair rows are evaluated in the join's codegen
-    * loop but never materialized to an exchange or the driver.
+    * output is quadratic in interval density.
+    *
+    * RANK FORM (r14; the sf1 run caught the bucket-join form paying
+    * the full quadratic candidate loop — q64 14.2 s at sf1 where this
+    * form is sub-second): for a left window `[ws, we]` and valid
+    * right intervals (`rs <= re`),
+    *
+    *   n = #{rs <= we} − #{re < ws}
+    *
+    * — the intervals starting in time minus the ones already over
+    * (`re < ws` implies `rs <= re < ws <= we`, so the subtrahend is a
+    * subset of the minuend and the difference is exactly the overlap
+    * count; both endpoint comparisons inclusive, as [[overlapJoin]]).
+    * Each term is a cumulative-count lookup over a value histogram,
+    * computed for every DISTINCT left bound by [[cumCountAt]]'s
+    * bucketed prefix sum and joined back on the bound value — total
+    * work O(N) + two equi-joins, with NO candidate pair ever formed,
+    * so interval density cannot enter the cost at all. The final
+    * count partial-aggregates map-side on `leftKey`.
     *
     * Inner semantics: left intervals with zero overlaps are absent
     * from the result (`n_overlapping` is never 0). Needing the
     * zero-count rows or a residual predicate that reads other right
-    * columns (e.g. self-exclusion) means the pair-level
-    * [[overlapJoin]] is the right tool.
+    * columns means the pair-level [[overlapJoin]] is the right tool.
     */
   def countOverlaps(
       left: DataFrame,
       right: DataFrame,
       lStart: String, lEnd: String,
       rStart: String, rEnd: String,
-      bucketWidth: Long = DeriveWidth,
-      leftKey: String): DataFrame =
-    overlapJoin(left, right.select(col(rStart), col(rEnd)),
-        lStart, lEnd, rStart, rEnd, bucketWidth)
+      leftKey: String): DataFrame = {
+    val l = left.filter(col(lStart) <= col(lEnd))
+    val r = right.filter(col(rStart) <= col(rEnd))
+      .select(col(rStart).cast("long").as("__rs"),
+        col(rEnd).cast("long").as("__re"))
+    def hist(c: String) = r.groupBy(col(c).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val nLe = cumCountAt(hist("__rs"),
+        l.select(col(lEnd).cast("long").as("__q")).distinct(),
+        strict = false)
+      .select(col("__q").as("__qe"), col("__cnt").as("__n_le"))
+    val nLt = cumCountAt(hist("__re"),
+        l.select(col(lStart).cast("long").as("__q")).distinct(),
+        strict = true)
+      .select(col("__q").as("__qs"), col("__cnt").as("__n_lt"))
+    l.join(nLe, col(lEnd).cast("long") === col("__qe"))
+      .join(nLt, col(lStart).cast("long") === col("__qs"))
       .groupBy(col(leftKey))
-      .agg(count(lit(1)).as("n_overlapping"))
+      .agg(sum(col("__n_le") - col("__n_lt")).as("n_overlapping"))
+      .filter(col("n_overlapping") > 0)
+  }
+
+  /** For every distinct threshold `__q` in `queries`, the number of
+    * values in the `(__v, __c)` histogram with `__v <= __q` (or
+    * `__v < __q` when `strict`) — the distributed prefix-sum kernel
+    * behind [[countOverlaps]], reusing
+    * [[Percentiles.groupedExactFromHist]]'s two-phase decomposition:
+    * thresholds ride the histogram frame as zero-count rows, values
+    * are range-bucketed (order-preserving double floor — monotone
+    * even past 2^53, and only order matters), per-bucket totals
+    * cascade in a window over the 256-row bucket frame, and the
+    * within-bucket running sum is keyed by bucket — no
+    * single-partition stage ever sees a data-sized frame. Tie order
+    * at equal `__v` encodes the comparison: data before queries for
+    * `<=`, queries before data for `<`. The one-row min/max stats
+    * frame rides a broadcast cross join (the bounded one-row
+    * convention), keeping the whole plan lazy.
+    */
+  private[operators] def cumCountAt(
+      values: DataFrame,
+      queries: DataFrame,
+      strict: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nB = 256
+    val frame = values
+      .select(col("__v"), col("__c"), lit(0).as("__isq"))
+      .unionAll(queries.select(col("__q").as("__v"), lit(0L).as("__c"),
+        lit(1).as("__isq")))
+    val stats = frame.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val span = col("__mx").cast("double") - col("__mn").cast("double")
+    val fb = frame.crossJoin(broadcast(stats))
+      .withColumn("__b",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(greatest(
+            floor((col("__v").cast("double") - col("__mn").cast("double")) /
+              (span / nB)), lit(0.0)), lit(nB - 1.0)).cast("int")))
+      .drop("__mn", "__mx")
+    val bt = fb.groupBy(col("__b")).agg(sum(col("__c")).as("__bt"))
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = bt // <= 256 rows: the unpartitioned cascade is bounded
+      .withColumn("__boff", coalesce(sum(col("__bt")).over(wB), lit(0L)))
+      .select(col("__b"), col("__boff"))
+    val tie = if (strict) col("__isq").desc else col("__isq").asc
+    val inB = Window.partitionBy(col("__b")).orderBy(col("__v"), tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fb.join(broadcast(boff), Seq("__b"))
+      .withColumn("__cnt", col("__boff") + sum(col("__c")).over(inB))
+      .filter(col("__isq") === 1)
+      .select(col("__v").as("__q"), col("__cnt"))
+  }
 }

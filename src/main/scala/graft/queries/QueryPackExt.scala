@@ -1021,12 +1021,27 @@ object QueryPackExt {
         ON a.k IS NOT DISTINCT FROM b.k
       ORDER BY n_name, r_name"""))
 
-  /** Keyless interval-overlap join via the bucketized
+  /** Keyless interval-overlap join via
     * [[graft.operators.IntervalJoin]]: urgent orders' 7-day windows
     * overlapped against every order's window — no equi key, the shape
     * Spark's planner would nested-loop. The oracle is the PLAIN
-    * overlap join (bucketization is partitioning-only; results must be
-    * identical, each pair exactly once).
+    * overlap join (partitioning-only rewrites; results identical).
+    *
+    * DUAL REGIME (r14 — the sf1 run caught the pair path at 123 s
+    * against DuckDB's 11 s): pair counts here are QUADRATIC in
+    * per-day order density (every 7-day window overlaps ~15 days ×
+    * density others), so 10× the orders over the same date span is
+    * ~100× the pairs. Under the probe bound the bucketized pair join
+    * runs — the pair-level operator demo, each pair exactly once.
+    * Above it (or [[graft.Regimes.forceDistributed]], which the
+    * forced oracle leg uses to hash-certify this form) the query
+    * routes to [[graft.operators.IntervalJoin.countOverlaps]]'s rank
+    * form MINUS ONE: `a ⊆ b` row-for-row and an interval always
+    * overlaps itself, so the self-inclusive rank count − 1 is
+    * value-identical to the `a_key <> b_key` pair count, with zero
+    * pairs formed (sf1: 123 s → sub-second). Keys whose only overlap
+    * is themselves drop to 0 and are filtered, matching the inner
+    * pair join's absence.
     */
   private val q58 = Q("q58_interval_join",
     (s, dir) => {
@@ -1038,12 +1053,22 @@ object QueryPackExt {
           (day(col("o_orderdate")) + 7).as("a_e"))
       val b = o.select(col("o_orderkey").as("b_key"),
         day(col("o_orderdate")).as("b_s"), (day(col("o_orderdate")) + 7).as("b_e"))
-      graft.operators.IntervalJoin
-        .overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e") // bucketWidth derived
-        .filter(col("a_key") =!= col("b_key"))
-        .groupBy(col("a_key"))
-        .agg(count(lit(1)).as("n_overlapping"))
-        .harnessSorted(col("a_key"))
+      val pairBound = 400000
+      val usePair = !graft.Regimes.forceDistributed &&
+        o.select(col("o_orderkey")).limit(pairBound + 1).count() <= pairBound
+      val counted =
+        if (usePair)
+          graft.operators.IntervalJoin
+            .overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e") // bucketWidth derived
+            .filter(col("a_key") =!= col("b_key"))
+            .groupBy(col("a_key"))
+            .agg(count(lit(1)).as("n_overlapping"))
+        else
+          graft.operators.IntervalJoin
+            .countOverlaps(a, b, "a_s", "a_e", "b_s", "b_e", leftKey = "a_key")
+            .withColumn("n_overlapping", col("n_overlapping") - 1)
+            .filter(col("n_overlapping") > 0)
+      counted.harnessSorted(col("a_key"))
     },
     Some("""
       WITH iv AS (
@@ -1192,12 +1217,13 @@ object QueryPackExt {
                AS head_tokens
       FROM m ORDER BY doc_id"""))
 
-  /** The aggregate-pushdown twin of q58: per urgent March-1995 order
-    * window, COUNT the lineitem ship→receipt transit intervals that
-    * overlap it, via [[graft.operators.IntervalJoin.countOverlaps]] —
-    * the right side crosses the exchange as two longs and the count
-    * partial-aggregates map-side, so no pair row is ever shuffled.
-    * The oracle is the plain overlap join + GROUP BY.
+  /** The aggregate twin of q58: per urgent March-1995 order window,
+    * COUNT the lineitem ship→receipt transit intervals that overlap
+    * it, via [[graft.operators.IntervalJoin.countOverlaps]]'s rank
+    * form — two cumulative-count lookups per distinct window bound,
+    * no candidate pair ever formed, cost linear in both inputs
+    * regardless of interval density. The oracle is the plain overlap
+    * join + GROUP BY.
     */
   private val q64 = Q("q64_count_overlaps",
     (s, dir) => {
@@ -1217,7 +1243,7 @@ object QueryPackExt {
             col("l_linenumber").cast("long") * 3).as("t_e"))
       graft.operators.IntervalJoin
         .countOverlaps(w, tr, "w_s", "w_e", "t_s", "t_e",
-          leftKey = "w_key") // bucketWidth derived
+          leftKey = "w_key")
         .harnessSorted(col("w_key"))
     },
     Some("""

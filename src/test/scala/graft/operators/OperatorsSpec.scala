@@ -196,17 +196,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val right = Seq((10L, 5L, 12L), (11L, 24L, 50L), (12L, 60L, 70L),
       (13L, 25L, 25L)).toDF("rk", "rs", "re")
     val got = IntervalJoin.countOverlaps(left, right, "ls", "le", "rs", "re",
-        bucketWidth = 10, leftKey = "lk")
+        leftKey = "lk")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // pairs: 1->{10,11,13}, 2->{11}; 3 overlaps nothing -> absent
     assert(got === Map(1L -> 3L, 2L -> 1L))
     val plan = IntervalJoin.countOverlaps(left, right, "ls", "le", "rs", "re",
-        10, "lk").queryExecution.executedPlan.toString
-    // map-side partial aggregation below the final exchange: pair rows
-    // never shuffle
-    assert(plan.contains("partial_count") || plan.contains("Partial"), plan)
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan)
+        "lk").queryExecution.executedPlan.toString
+    // map-side partial aggregation below the final exchange; the only
+    // nested-loop is the broadcast ONE-ROW min/max stats frame
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("countOverlaps rank form equals pair-join brute force on random dense intervals") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // dense overlapping intervals + duplicates + boundary touches +
+    // point intervals — the regimes where an off-by-one in the
+    // <=/< rank decomposition would show
+    val left = (1 to 60).map { i =>
+      val a = rnd.nextInt(40).toLong; (i.toLong % 7, a, a + rnd.nextInt(12))
+    }.toDF("lk", "ls", "le")
+    val rightRows = (1 to 80).map { _ =>
+      val a = rnd.nextInt(40).toLong - 5; (a, a + rnd.nextInt(10))
+    }
+    val right = rightRows.toDF("rs", "re")
+    val got = IntervalJoin.countOverlaps(left, right, "ls", "le", "rs", "re",
+        leftKey = "lk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = left.collect().map(r =>
+        (r.getLong(0), rightRows.count { case (rs, re) =>
+          rs <= r.getLong(2) && r.getLong(1) <= re }))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2.toLong).sum }
+      .filter(_._2 > 0)
+    assert(got === brute)
   }
 
   test("funnel: strict first-occurrence ordering; drop-off leaves the stage") {
