@@ -21,8 +21,16 @@ object Bench {
     // clamped to the core count, which production volumes always hit.
     // A vectorized engine does the equivalent resizing per-operator
     // via morsel scheduling; this is the session-level analog.
+    // recurse into directory-layout tables: File.length on a directory
+    // is the entry size (~4 KB), which made an sf1 dir-layout run size
+    // EVERY knob to the floor (2 shuffle partitions for 360 MB of
+    // input — measured 4.8 s for a 6M-row agg that takes 0.6 s at 32)
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.map(sizeOf).sum
+      else f.length
     val totalBytes = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      .filter(_.getName.endsWith(".parquet")).map(sizeOf).sum
     def derivedParts(targetBytes: Long, minParts: Int): Int =
       math.max(minParts, math.min(cpus.toInt,
         (totalBytes / targetBytes).toInt)) // floor: fractional partitions cost a task

@@ -136,12 +136,17 @@ object QueryPack {
   private val q03 = Q("q03_revenue_by_nation",
     (s, dir) => {
       import s.implicits._
+      // dims first: the broadcast nation⨝region filter runs INSIDE the
+      // customer scan stage (free), so the two big shuffles move only
+      // the 40% of customers/orders the region predicate keeps.
+      // Catalyst won't reorder this itself without CBO stats — the
+      // written order IS the plan order for shuffle joins.
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
-        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
         .filter($"r_name".isin("ASIA", "EUROPE"))
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+        .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
         .groupBy($"r_name", $"n_name")
         .agg(sum(d12($"l_extendedprice") * (one - d4($"l_discount")))
           .cast("double").as("revenue"),
