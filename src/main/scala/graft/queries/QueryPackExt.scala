@@ -1053,9 +1053,16 @@ object QueryPackExt {
           (day(col("o_orderdate")) + 7).as("a_e"))
       val b = o.select(col("o_orderkey").as("b_key"),
         day(col("o_orderdate")).as("b_s"), (day(col("o_orderdate")) + 7).as("b_e"))
-      val pairBound = 400000
-      val usePair = !graft.Regimes.forceDistributed &&
-        o.select(col("o_orderkey")).limit(pairBound + 1).count() <= pairBound
+      // probe currency is FILE BYTES (the q49 convention — one
+      // driver-side FS stat, no probe job): 16 MiB of orders parquet
+      // ≈ 600k rows, past where the quadratic pair count outruns the
+      // rank form's fixed stage cost
+      val usePair = !graft.Regimes.forceDistributed && {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+        scala.util.Try(p.getFileSystem(s.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength).getOrElse(Long.MaxValue) <=
+          (16L << 20)
+      }
       val counted =
         if (usePair)
           graft.operators.IntervalJoin
