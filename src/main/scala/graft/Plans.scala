@@ -39,8 +39,10 @@ object Plans {
       "as-of = ONE Exchange + Window; zero join operators",
     "q54_dedup_pipeline" ->
       "all three stages equi-keyed; LSH join keyed on (band, bucket); left_anti drop — no CartesianProduct",
+    "q58_interval_join" ->
+      "interval join (r14 dual regime): this default-small plan is the pair-level bucket demo — equi-join on bucket id with the exactly-once residual, Generate only for bucket replication. The forced/large form is the RANK reshape (see q64): no Generate, no pairs, plan-asserted",
     "q64_count_overlaps" ->
-      "right side pruned to two longs before the exchange; partial (map-side) aggregation — no pair row ever materialized",
+      "overlap count, RANK FORM (r14): n = #(rs<=we) - #(re<ws) via bucketed prefix sums — 256-row cascade window, bucket-keyed running sums, one-row broadcast stats, two equi-joins back on the bound value. NO Generate anywhere (plan-asserted): no candidate pair is ever formed, so interval density cannot enter the cost",
     "q67_stream_neardedup_twin" ->
       "fingerprint evaluated in ONE Project over the concrete token-hash array; NO Filter contains the gram expression (the pushed-nullness-predicate shape that re-inlined it cost 432 s at sf0.1)",
     "q70_sequence_packing" ->
@@ -120,7 +122,7 @@ object Plans {
     "q127_lang_divergence" ->
       "slice divergence (r13): counts/totals are keyed vocabulary-bounded aggs; the SHARED-token inner join carries both statistics via the closed form tv = 1 + 0.5*sum(|pa-pb| - pa - pb) (no dense slice x vocab grid), the pair universe is a bounded slice-list cross, and disjoint pairs left-join to their exact (1,1). Static planner: 2 corpus scans + 4 ReusedExchange (plan-asserted; the AQE-on text below predates reuse, which AQE applies at stage submission)",
     "q129_quantile_drift" ->
-      "quantile drift (r13): the heavy stage is the L92 window-keyed value histogram (map-side partial aggs; two-phase rank at scale/forced); the lag window runs over the REPORT-sized one-row-per-window frame where a single-partition Window is the right plan, not a smell",
+      "quantile drift (r13; lag dual-regime r14): the heavy stage is the L92 window-keyed value histogram (map-side partial aggs; two-phase rank at scale/forced); the lag window runs over the REPORT-sized one-row-per-window frame — the right plan under the 1M-window min/max probe, while larger spans (or forced) route to the range-sort + zipWithIndex + keyed-join lag with no single-task stage",
     "q128_bpe_train" ->
       "BPE training (r13): the plan shown is the learned table's LocalRelation tail — the training itself is the histogram trick (one corpus scan to a vocabulary-sized (word, count) agg, then an n-merge loop over the histogram, driver-side under the probe / distributed keyed pair-count aggregates above it). Nothing corpus-sized ever iterates")
 

@@ -182,6 +182,28 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     val p = planExt("q64_count_overlaps")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p) // map-side partial aggregation
+    // r14 rank form: the quadratic candidate loop's signature was the
+    // bucket-replication Generate (explode over sequence). Its absence
+    // IS the scale property — no pair candidate is ever formed, so
+    // interval density cannot enter the cost.
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q58: pair-level bucket join under the probe, pair-free rank form when forced") {
+    // default at sf0.001 routes the pair-level operator demo — the
+    // bucket-replication Generate present, each pair exactly once
+    val dflt = planExt("q58_interval_join")
+    assert(dflt.contains("Generate"), dflt)
+    assert(!dflt.contains("CartesianProduct"), dflt)
+    // forced = the 100 TB form: same values (oracle-certified), ZERO
+    // pair candidates — no Generate anywhere in the plan
+    val forced = {
+      sys.props("spark.graft.forceDistributed") = "true"
+      try planExt("q58_interval_join")
+      finally sys.props.remove("spark.graft.forceDistributed")
+    }
+    assert(!forced.contains("Generate"), forced)
+    assert(!forced.contains("CartesianProduct"), forced)
   }
 
   test("q84: segments are built per-row — no Generate below the dedup window") {
