@@ -843,18 +843,45 @@ object QueryPackExt {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   private val q50 = Q("q50_exact_percentiles",
-    // exact percentiles WITHOUT buffering groups: histogram
-    // interpolation (Percentiles.groupedExact) — value-identical to
-    // percentile()/quantile_cont, state bounded by distinct values
-    (s, dir) => graft.operators.Percentiles
-      .groupedExact(t(s, dir, "lineitem"), "l_returnflag",
-        "l_extendedprice", Seq(0.5, 0.9),
-        // harness pins the small-SF single-window form (caller-knows)
-        twoPhaseThreshold = Long.MaxValue)
-      .select(col("l_returnflag"),
-        round(col("p50"), 6).as("p50"),
-        round(col("p90"), 6).as("p90"), col("n"))
-      .harnessSorted(col("l_returnflag")),
+    // exact percentiles, dual regime (r14): under the q49-convention
+    // 128 MiB file-byte probe, the native `graft_exact_percentile`
+    // aggregate — one scan, one ObjectHashAggregate whose cost IS the
+    // sort+interpolate arithmetic (primitive double-array state;
+    // 0.9 s -> ~0.3 s at sf0.1). Above it (or forced, which the gate
+    // uses to hash-certify the 100 TB plan) the histogram
+    // interpolation (Percentiles.groupedExact two-phase) — state
+    // bounded by distinct values, nothing buffers a group. Both are
+    // value-identical (n−1)p interpolation; the null filter makes the
+    // regimes agree on null-bearing groups too (all-null group absent
+    // from both).
+    (s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val li = t(s, dir, "lineitem")
+      val small = !graft.Regimes.forceDistributed && {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+        scala.util.Try(p.getFileSystem(s.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength).getOrElse(Long.MaxValue) <=
+          (128L << 20)
+      }
+      val q =
+        if (small)
+          li.filter(col("l_extendedprice").isNotNull)
+            .groupBy(col("l_returnflag"))
+            .agg(
+              expr("graft_exact_percentile(l_extendedprice, 0.5)").as("p50r"),
+              expr("graft_exact_percentile(l_extendedprice, 0.9)").as("p90r"),
+              count(lit(1)).as("n"))
+            .select(col("l_returnflag"),
+              round(col("p50r"), 6).as("p50"),
+              round(col("p90r"), 6).as("p90"), col("n"))
+        else graft.operators.Percentiles
+          .groupedExact(li, "l_returnflag", "l_extendedprice",
+            Seq(0.5, 0.9), twoPhaseThreshold = 0L)
+          .select(col("l_returnflag"),
+            round(col("p50"), 6).as("p50"),
+            round(col("p90"), 6).as("p90"), col("n"))
+      q.harnessSorted(col("l_returnflag"))
+    },
     // both engines interpolate at rank (n-1)*p; rounding absorbs the
     // differing FP forms of the interpolation expression
     Some("""

@@ -319,15 +319,25 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q50: exact percentiles histogram-interpolate — nothing buffers a group") {
-    val p = planExt("q50_exact_percentiles")
+    // r14: the default-small regime is the native ObjectHashAggregate
+    // (graft_exact_percentile, mergeable primitive-array state, one
+    // scan); Spark's boxed percentile() must appear in neither regime
+    val small = planExt("q50_exact_percentiles")
+    assert(small.contains("ObjectHashAggregate"), small)
+    assert(small.contains("graft_exact_percentile"), small)
+    assert(!small.replace("graft_exact_percentile(", "")
+      .contains("percentile("), small)
+    // the forced/100 TB regime keeps the histogram guarantees below
+    val p = {
+      sys.props("spark.graft.forceDistributed") = "true"
+      try planExt("q50_exact_percentiles")
+      finally sys.props.remove("spark.graft.forceDistributed")
+    }
     // no percentile() aggregate anywhere: exactness comes from the
     // (group, value) histogram + rank interpolation
     assert(!p.contains("percentile("), p)
+    assert(!p.contains("graft_exact_percentile"), p) // nothing buffers a group
     assert(p.contains("partial_"), p) // histogram counts partial-agg map-side
-    // r8: group totals ride a second window over the histogram's own
-    // partitioning — the plan has NO join at all (the old shape
-    // re-scanned the input for totals and broadcast them back)
-    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
