@@ -1093,7 +1093,11 @@ object QueryPackExt {
       val counted =
         if (usePair)
           graft.operators.IntervalJoin
-            .overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e") // bucketWidth derived
+            // caller-knows width: both sides are 8-day windows, so the
+            // optimal w* = sqrt(8*8) = 8 — skips the derivedWidth
+            // median probe job (derivation is value-identical,
+            // spec-pinned in OperatorsSpec)
+            .overlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", bucketWidth = 8)
             .filter(col("a_key") =!= col("b_key"))
             .groupBy(col("a_key"))
             .agg(count(lit(1)).as("n_overlapping"))
