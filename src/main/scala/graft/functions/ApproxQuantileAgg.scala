@@ -72,6 +72,13 @@ case class ApproxQuantileAgg(
     else if (!value.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a numeric value, got ${value.dataType.sql}")
+    else if (!pctExpr.dataType.isInstanceOf[NumericType] ||
+        !kExpr.dataType.isInstanceOf[NumericType])
+      // checked BEFORE numVal forces: a foldable string literal would
+      // otherwise escape to a bare MatchError instead of this failure
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName percentage and k must be numeric, got " +
+          s"${pctExpr.dataType.sql}, ${kExpr.dataType.sql}")
     else if (pctExpr.eval() == null || kExpr.eval() == null)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName percentage and k must not be null")
@@ -182,6 +189,21 @@ object ApproxQuantileAgg {
 
     def numLevels: Int = levels.length
 
+    // memo of capOf(0) for the per-row add() check: capacities only
+    // change when the ladder grows a level (a few dozen times over any
+    // stream), but add() consults cap 0 on EVERY row — recomputing the
+    // ceil/pow there was a measurable slice of the one hot path this
+    // aggregate exists to make cheap
+    private var cap0Memo: Int = MinCap
+    private var cap0ForLevels: Int = -1
+    private def cap0: Int = {
+      if (cap0ForLevels != numLevels) {
+        cap0Memo = capOf(0)
+        cap0ForLevels = numLevels
+      }
+      cap0Memo
+    }
+
     /** Capacity of level `h` given the current ladder height: top
       * level gets `k`, each level below shrinks by `c = 2/3`, floored
       * at [[MinCap]]. Adding a level on top implicitly shrinks lower
@@ -220,7 +242,7 @@ object ApproxQuantileAgg {
       levels(0)(sizes(0)) = v
       sizes(0) += 1
       n += 1
-      if (sizes(0) >= capOf(0)) compactCascade(0)
+      if (sizes(0) >= cap0) compactCascade(0)
     }
 
     /** Sort level `h`, promote every other element (alternating the

@@ -56,6 +56,11 @@ case class ExactPercentileAgg(
     else if (!value.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a numeric value, got ${value.dataType.sql}")
+    else if (!pctExpr.dataType.isInstanceOf[NumericType])
+      // checked BEFORE numVal forces: a foldable string literal would
+      // otherwise escape to a bare MatchError instead of this failure
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName percentage must be numeric, got ${pctExpr.dataType.sql}")
     else if (pctExpr.eval() == null)
       TypeCheckResult.TypeCheckFailure(s"$prettyName percentage must not be null")
     else if (pct < 0.0 || pct > 1.0)

@@ -391,7 +391,12 @@ object Bpe {
     *
     *  - accept the contiguous prefix of candidates whose symbols are
     *    pairwise DISJOINT (stop at the first candidate sharing a
-    *    symbol with an earlier accepted one);
+    *    symbol — or a batch-created or batch-creating token string —
+    *    with an earlier accepted one);
+    *  - truncate at the first member whose merged token already
+    *    exists in the vocabulary (one bounded filtered-distinct probe
+    *    per round — see the in-code note on why this should never
+    *    fire organically);
     *  - then drop any accepted tail whose count is not STRICTLY
     *    greater than the first non-accepted candidate's count (or
     *    the last collected count when the list may be incomplete).
@@ -441,24 +446,56 @@ object Bpe {
         .limit(k).collect()
       if (cand.isEmpty || cand(0).getLong(2) < minPairCount) done = true
       else {
-        // contiguous disjoint prefix
+        // contiguous disjoint prefix; `created` additionally fences
+        // candidates that reference or re-create a token another batch
+        // member creates — a batch member's merged token must be fresh
+        // in every sense, or applying earlier members could ADD count
+        // to a pair the stale rank order placed lower (the r14 review
+        // finding: symbol disjointness alone doesn't see string-level
+        // token collisions)
         val syms = scala.collection.mutable.HashSet[String]()
+        val created = scala.collection.mutable.HashSet[String]()
         var batch = Vector.empty[(String, String, Long)]
         var i = 0
         var scanning = true
         while (scanning && i < cand.length && batch.length < want) {
           val (a, b, cnt) =
             (cand(i).getString(0), cand(i).getString(1), cand(i).getLong(2))
-          if (cnt < minPairCount || syms.contains(a) || syms.contains(b))
+          if (cnt < minPairCount || syms.contains(a) || syms.contains(b) ||
+              created.contains(a) || created.contains(b) ||
+              created.contains(a + b))
             scanning = false
           else {
-            batch :+= ((a, b, cnt)); syms += a; syms += b; i += 1
+            batch :+= ((a, b, cnt)); syms += a; syms += b
+            created += (a + b); i += 1
           }
         }
-        // strict-count bound: the first non-accepted candidate (or the
-        // last collected row when the pair table may extend past k)
+        // Freshness probe: truncate the batch at the first member whose
+        // merged token ALREADY EXISTS in the vocabulary — merging onto
+        // an existing token string would boost that token's pairs above
+        // the stale ranks. (Under global-rank sequential BPE a string's
+        // creating pair appears to be unique — competing decompositions
+        // need contradictory rank orders — so this probe should never
+        // fire on organic corpora; it is one bounded filtered-distinct
+        // job per multi-merge round, cheap insurance over an unproven
+        // impossibility.) The batch head is always safe: it is the true
+        // argmax regardless, and the next round recounts.
+        if (batch.length > 1) {
+          val toks = batch.map { case (a, b, _) => a + b }
+          val existing = words
+            .select(explode(col("pieces")).as("__p"))
+            .filter(col("__p").isInCollection(toks))
+            .distinct().collect().map(_.getString(0)).toSet
+          val cut = batch.indexWhere { case (a, b, _) => existing(a + b) }
+          if (cut >= 0) batch = batch.take(math.max(cut, 1))
+        }
+        // strict-count bound: the first non-accepted candidate in rank
+        // order (the batch is always a rank-contiguous prefix, so that
+        // is cand(batch.length)), or the last collected row when the
+        // pair table may extend past k
+        val m = batch.length
         val bound =
-          if (i < cand.length) cand(i).getLong(2)
+          if (m < cand.length) cand(m).getLong(2)
           else if (cand.length == k) cand(k - 1).getLong(2)
           else Long.MinValue
         while (batch.length > 1 && batch.last._3 <= bound)

@@ -144,12 +144,16 @@ object EventAnalytics {
       } else graft.operators.Percentiles
         .groupedExact(w, "win_start", valueCol, Seq(0.5))
         .select(col("win_start"), round(col("p50"), 6).as("p50"), col("n"))
+    // a duration string this parser doesn't know (Spark's window()
+    // grammar is wider) routes to the DISTRIBUTED lag — correct at
+    // every scale, a few tiny extra stages at report size — instead
+    // of failing a query Spark itself would run
+    val winSec = scala.util.Try(durationSeconds(windowLength)).toOption
     val global = probe.exists { b =>
-      b.isNullAt(0) || {
+      b.isNullAt(0) || winSec.exists { ws =>
         val spanSec =
           (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 1000.0
-        spanSec / durationSeconds(windowLength) + 2.0 <=
-          maxGlobalLagWindows.toDouble
+        spanSec / ws + 2.0 <= maxGlobalLagWindows.toDouble
       }
     }
     val lagged =
@@ -198,14 +202,16 @@ object EventAnalytics {
   }
 
   /** Seconds in a `window()`-style duration string ("1 hour",
-    * "90 seconds", "1 hour 30 minutes"). Unknown units fail loudly —
-    * the routing probe must never silently mis-size a regime.
+    * "90 seconds", "interval 1 hour 30 minutes"). Unknown units throw
+    * — [[quantileDrift]] catches and routes to the distributed lag
+    * (scale-safe either way) rather than mis-sizing a regime.
     */
   private[operators] def durationSeconds(s: String): Double = {
     val unit = Map("microsecond" -> 1e-6, "millisecond" -> 1e-3,
       "second" -> 1.0, "minute" -> 60.0, "hour" -> 3600.0,
       "day" -> 86400.0, "week" -> 604800.0)
-    val toks = s.trim.toLowerCase.split("\\s+")
+    val toks = s.trim.toLowerCase.stripPrefix("interval")
+      .trim.split("\\s+") // window() accepts an optional interval prefix
     require(toks.nonEmpty && toks.length % 2 == 0,
       s"unparseable window duration: '$s'")
     toks.grouped(2).map { pair =>

@@ -168,22 +168,44 @@ object IntervalJoin {
       lStart: String, lEnd: String,
       rStart: String, rEnd: String,
       leftKey: String): DataFrame = {
+    // Rank values must ORDER identically to the raw bounds, exactly —
+    // a blanket long cast would truncate fractional or sub-second
+    // bounds and silently change which intervals count as overlapping
+    // (the pair-level twin compares raw values). Integral bounds rank
+    // as long (exact at any magnitude); any fractional / timestamp /
+    // decimal bound switches ALL FOUR to double seconds (exact for
+    // double inputs and micro-precision timestamps; >15-digit
+    // decimals are bounded by double precision, as everywhere else
+    // doubles are the comparison currency).
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
+      LongType, ShortType}
+    val integral = Seq(left.schema(lStart), left.schema(lEnd),
+      right.schema(rStart), right.schema(rEnd)).map(_.dataType).forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def rankOf(df: DataFrame, name: String) = {
+      val dt = df.schema(name).dataType
+      if (integral) col(name).cast("long")
+      else if (dt == DateType) col(name).cast("timestamp").cast("double")
+      else col(name).cast("double")
+    }
     val l = left.filter(col(lStart) <= col(lEnd))
     val r = right.filter(col(rStart) <= col(rEnd))
-      .select(col(rStart).cast("long").as("__rs"),
-        col(rEnd).cast("long").as("__re"))
+      .select(rankOf(right, rStart).as("__rs"),
+        rankOf(right, rEnd).as("__re"))
     def hist(c: String) = r.groupBy(col(c).as("__v"))
       .agg(count(lit(1)).as("__c"))
     val nLe = cumCountAt(hist("__rs"),
-        l.select(col(lEnd).cast("long").as("__q")).distinct(),
+        l.select(rankOf(left, lEnd).as("__q")).distinct(),
         strict = false)
       .select(col("__q").as("__qe"), col("__cnt").as("__n_le"))
     val nLt = cumCountAt(hist("__re"),
-        l.select(col(lStart).cast("long").as("__q")).distinct(),
+        l.select(rankOf(left, lStart).as("__q")).distinct(),
         strict = true)
       .select(col("__q").as("__qs"), col("__cnt").as("__n_lt"))
-    l.join(nLe, col(lEnd).cast("long") === col("__qe"))
-      .join(nLt, col(lStart).cast("long") === col("__qs"))
+    l.join(nLe, rankOf(left, lEnd) === col("__qe"))
+      .join(nLt, rankOf(left, lStart) === col("__qs"))
       .groupBy(col(leftKey))
       .agg(sum(col("__n_le") - col("__n_lt")).as("n_overlapping"))
       .filter(col("n_overlapping") > 0)
@@ -220,9 +242,12 @@ object IntervalJoin {
     val fb = frame.crossJoin(broadcast(stats))
       .withColumn("__b",
         when(col("__mx") === col("__mn"), lit(0))
-          .otherwise(least(greatest(
+          .otherwise(coalesce(least(greatest(
             floor((col("__v").cast("double") - col("__mn").cast("double")) /
-              (span / nB)), lit(0.0)), lit(nB - 1.0)).cast("int")))
+              (span / nB)), lit(0.0)), lit(nB - 1.0)).cast("int"),
+            // ±Inf bounds make (v−mn) NaN → null bucket; pin to 0
+            // (degenerate but order-safe — the in-bucket sort is exact)
+            lit(0))))
       .drop("__mn", "__mx")
     val bt = fb.groupBy(col("__b")).agg(sum(col("__c")).as("__bt"))
     val wB = Window.orderBy(col("__b"))

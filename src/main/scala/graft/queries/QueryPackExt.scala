@@ -817,6 +817,9 @@ object QueryPackExt {
 
   private val q49 = Q("q49_approx_sketches",
     (s, dir) => {
+      // both forms resolve graft_* aggregates since r14 — register
+      // for callers that didn't come through Bench/Verify
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val li = t(s, dir, "lineitem")
       // dual regime (r13): routes small inputs to the branched form
       // (everything hides behind the sketch stage) and scan-dominated

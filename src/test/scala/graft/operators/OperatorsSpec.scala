@@ -345,7 +345,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(EventAnalytics.durationSeconds("90 seconds") === 90.0)
     assert(EventAnalytics.durationSeconds("1 hour 30 minutes") === 5400.0)
     assert(EventAnalytics.durationSeconds("2 weeks") === 1209600.0)
+    // window() accepts an optional "interval" prefix — so must we
+    assert(EventAnalytics.durationSeconds("interval 1 hour") === 3600.0)
     intercept[RuntimeException](EventAnalytics.durationSeconds("1 fortnight"))
     intercept[IllegalArgumentException](EventAnalytics.durationSeconds("hour"))
+  }
+
+  test("quantileDrift accepts the interval-prefixed duration window() allows") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, new java.sql.Timestamp(0L), 1.0),
+      (2L, new java.sql.Timestamp(3700 * 1000L), 2.0))
+      .toDF("user_id", "ts", "value")
+    val plain = EventAnalytics.quantileDrift(ev, windowLength = "1 hour")
+      .orderBy("win_start").collect().toSeq
+    val prefixed = EventAnalytics
+      .quantileDrift(ev, windowLength = "interval 1 hour")
+      .orderBy("win_start").collect().toSeq
+    assert(prefixed === plain && plain.size === 2)
+  }
+
+  test("countOverlaps: fractional bounds rank exactly (no long truncation)") {
+    val s = spark
+    import s.implicits._
+    // [1.0, 2.5] vs [2.6, 3.0]: disjoint — a long-truncated rank
+    // (we=2, rs=2) would falsely count it; [2.5, 2.5] point touch DOES
+    // overlap; negative fractions exercise floor-vs-truncate
+    val left = Seq((1L, 1.0, 2.5), (2L, -1.5, -0.5)).toDF("lk", "ls", "le")
+    val right = Seq((2.6, 3.0), (2.5, 2.5), (0.5, 1.2), (-0.4, 0.1),
+      (-2.0, -1.6)).toDF("rs", "re")
+    val got = IntervalJoin.countOverlaps(left, right, "ls", "le", "rs", "re",
+        leftKey = "lk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 overlaps (2.5,2.5) and (0.5,1.2); 2 overlaps nothing in range
+    // except... (-0.4,0.1) starts after -0.5? rs=-0.4 <= le=-0.5 is
+    // FALSE -> no; (-2.0,-1.6) ends before ls=-1.5? re=-1.6 < -1.5 -> no
+    assert(got === Map(1L -> 2L))
   }
 }
