@@ -491,12 +491,13 @@ object Bpe {
         }
         // strict-count bound: the first non-accepted candidate in rank
         // order (the batch is always a rank-contiguous prefix, so that
-        // is cand(batch.length)), or the last collected row when the
-        // pair table may extend past k
+        // is cand(m)). m == cand.length only when the pair table is
+        // EXHAUSTED below k rows (batch.length < want = k-1 keeps
+        // m < k, so a full k-row collect always leaves cand(m) as the
+        // bound row) — no unseen pair exists, the bound is vacuous.
         val m = batch.length
         val bound =
           if (m < cand.length) cand(m).getLong(2)
-          else if (cand.length == k) cand(k - 1).getLong(2)
           else Long.MinValue
         while (batch.length > 1 && batch.last._3 <= bound)
           batch = batch.init

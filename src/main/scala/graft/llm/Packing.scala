@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** GPT-style sequence packing: conceptually concatenate the corpus's
@@ -44,22 +43,16 @@ object Packing {
         size(TextFns.tokens(col("text"))).cast("long").as("nt"))
       .withColumn("grp", expr(s"doc_id div $groupWidth"))
 
-    val offsets = toks.groupBy(col("grp")).agg(sum(col("nt")).as("gtot"))
-      .withColumn("goff",
-        coalesce(
-          sum(col("gtot")).over(Window.orderBy(col("grp"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .drop("gtot")
-
-    val placed = toks
-      .join(broadcast(offsets), Seq("grp"))
-      .withColumn("start",
-        col("goff") + coalesce(
-          sum(col("nt")).over(Window.partitionBy(col("grp"))
-            .orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+    // the two-phase scan is the shared [[graft.operators.PrefixSum]]
+    // kernel (r14 VERDICT #1 — one kernel, every caller): bucket =
+    // the coarse doc_id group, within-bucket order = doc_id, and the
+    // exclusive start offset is the inclusive prefix minus the row's
+    // own (non-null) token count
+    val placed = graft.operators.PrefixSum
+      .inclusive(toks, Seq.empty, "grp", Seq(col("doc_id")), col("nt"),
+        "__cum")
+      .withColumn("start", col("__cum") - col("nt"))
+      .drop("__cum")
       .filter(col("nt") > 0) // zero-token docs span no block (and an
       //  empty span would make sequence() below count DOWN, not empty)
       .withColumn("block_id", explode(sequence(

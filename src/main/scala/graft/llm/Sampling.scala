@@ -143,22 +143,16 @@ object Sampling {
     // DROP the row instead of keeping it free, contradicting the
     // contract above
     val cost = coalesce(col(tokenCol), lit(0L))
-    val grpSums = docs.groupBy(col(qualityCol))
-      .agg(sum(cost).as("__g_sum"))
-    // the only unpartitioned window runs over the distinct-quality
-    // frame (|distinct qualities| rows), mirroring Packing's
-    // group-offset phase
-    val wq = Window.orderBy(col(qualityCol).desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = grpSums
-      .withColumn("__offset", sum(col("__g_sum")).over(wq) - col("__g_sum"))
-      .select(col(qualityCol), col("__offset"))
-    val ww = Window.partitionBy(col(qualityCol)).orderBy(col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.join(broadcast(offsets), qualityCol)
-      .withColumn("__cum", col("__offset") + sum(cost).over(ww))
+    // the shared [[graft.operators.PrefixSum]] kernel (r14 VERDICT #1):
+    // bucket = the coarse quality value itself, cascaded DESC so the
+    // only unpartitioned window runs over the distinct-quality frame;
+    // rows with a NULL quality drop at the kernel's bucket join-back
+    // (the contract above)
+    graft.operators.PrefixSum
+      .inclusive(docs, Seq.empty, qualityCol, Seq(col(keyCol)), cost,
+        "__cum", bucketAsc = false)
       .filter(col("__cum") <= budget)
-      .drop("__offset", "__cum")
+      .drop("__cum")
   }
 
   /** Per-group top-fraction selection — relative quality calibration:

@@ -96,10 +96,13 @@ object EventAnalytics {
     * [[Percentiles.groupedExact]]'s window-keyed histogram (map-side
     * partials, two-phase rank, state bounded by distinct values)
     * above it or forced. The lag stage routes on the window count:
-    *  - span/windowLength ≤ `maxGlobalLagWindows` (report-sized, the
-    *    common monitoring case — e.g. a month of hourly windows is
-    *    720 rows): a single-partition global `lag` window, which at
-    *    that cardinality is the right plan, not a smell;
+    *  - ≤ `maxGlobalLagWindows` windows (report-sized, the common
+    *    monitoring case — e.g. a month of hourly windows is 720
+    *    rows): a single-partition global `lag` window, which at that
+    *    cardinality is the right plan, not a smell. The span bound
+    *    decides cheaply when it can; a sparse feed that overshoots it
+    *    re-probes the ACTUAL distinct window count (bounded
+    *    limit-count, r14 VERDICT #7) before being sent distributed;
     *  - more windows than that (multi-year fine-grained retention),
     *    or [[graft.Regimes.forceDistributed]]: a range-partitioned
     *    sort + `zipWithIndex` + keyed self-join on the index — the
@@ -144,16 +147,32 @@ object EventAnalytics {
       } else graft.operators.Percentiles
         .groupedExact(w, "win_start", valueCol, Seq(0.5))
         .select(col("win_start"), round(col("p50"), 6).as("p50"), col("n"))
-    // a duration string this parser doesn't know (Spark's window()
-    // grammar is wider) routes to the DISTRIBUTED lag — correct at
-    // every scale, a few tiny extra stages at report size — instead
-    // of failing a query Spark itself would run
+    // Lag routing, two tiers (r14 VERDICT #7): span/windowLength is an
+    // UPPER BOUND on the populated window count, so when it already
+    // fits the global bound the common monitoring case routes with the
+    // one probe job it has — but a sparse feed (years of retention,
+    // a handful of populated windows) overshoots that bound without
+    // having many windows, so the overshoot case re-checks the ACTUAL
+    // distinct win_start count under a bounded limit(n+1).count probe
+    // (the never-a-full-result convention) before paying the
+    // distributed lag's extra stages. A duration string durationSeconds
+    // doesn't know (Spark's window() grammar is wider) skips the span
+    // shortcut and goes straight to the distinct probe — window()
+    // itself already validated the duration, and counting windows
+    // needs no parse at all.
     val winSec = scala.util.Try(durationSeconds(windowLength)).toOption
     val global = probe.exists { b =>
-      b.isNullAt(0) || winSec.exists { ws =>
-        val spanSec =
-          (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 1000.0
-        spanSec / ws + 2.0 <= maxGlobalLagWindows.toDouble
+      b.isNullAt(0) || {
+        val spanFits = winSec.exists { ws =>
+          val spanSec =
+            (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 1000.0
+          spanSec / ws + 2.0 <= maxGlobalLagWindows.toDouble
+        }
+        spanFits || {
+          val cap = math.min(maxGlobalLagWindows, Int.MaxValue.toLong - 1L)
+          w.select(col("win_start")).distinct()
+            .limit(cap.toInt + 1).count() <= cap
+        }
       }
     }
     val lagged =
@@ -192,10 +211,17 @@ object EventAnalytics {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         "graft_idx", org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
+    // zipWithIndex launches its partition-size count job HERE, at
+    // construction (unavoidable — the index needs per-partition
+    // offsets). PERSIST the indexed rows so the heavy range-shuffle +
+    // sort lineage evaluates once, not once per self-join side below
+    // (r14 ADVICE); the blocks are released by Checkpoints.release on
+    // the result (its plan scans this RDD) or the harness-level
+    // releaseLeaked broom between queries.
+    val rowRdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }, schema)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = spark.createDataFrame(rowRdd, schema)
     val prev = indexed.select((col("graft_idx") + 1).as("graft_idx"),
       col("p50").as("graft_prev_p50"))
     indexed.join(prev, Seq("graft_idx"), "left_outer").drop("graft_idx")

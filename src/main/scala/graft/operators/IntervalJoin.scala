@@ -161,6 +161,18 @@ object IntervalJoin {
     * from the result (`n_overlapping` is never 0). Needing the
     * zero-count rows or a residual predicate that reads other right
     * columns means the pair-level [[overlapJoin]] is the right tool.
+    *
+    * PRECISION CONTRACT (regime equivalence with [[overlapJoin]], the
+    * pair-level twin that compares raw values exactly): integral
+    * bounds rank as exact longs at any magnitude, and decimal bounds
+    * rank as exact scaled longs whenever all four fit (every bound
+    * `DecimalType(p, s)` with `p − s + max_scale <= 18`). Outside
+    * those regimes — doubles, timestamps, or >18-significant-digit
+    * decimals — ranks compare in DOUBLE space: bounds that differ
+    * only beyond ~15 significant digits tie here while the pair form
+    * still distinguishes them. Callers needing exactness past double
+    * precision on a non-integral domain should pre-scale their bounds
+    * to integers.
     */
   def countOverlaps(
       left: DataFrame,
@@ -172,23 +184,44 @@ object IntervalJoin {
     // a blanket long cast would truncate fractional or sub-second
     // bounds and silently change which intervals count as overlapping
     // (the pair-level twin compares raw values). Integral bounds rank
-    // as long (exact at any magnitude); any fractional / timestamp /
-    // decimal bound switches ALL FOUR to double seconds (exact for
-    // double inputs and micro-precision timestamps; >15-digit
-    // decimals are bounded by double precision, as everywhere else
-    // doubles are the comparison currency).
-    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
-      LongType, ShortType}
-    val integral = Seq(left.schema(lStart), left.schema(lEnd),
-      right.schema(rStart), right.schema(rEnd)).map(_.dataType).forall {
+    // as long (exact at any magnitude); all-decimal bounds rank as
+    // the EXACT long v·10^s (s = max scale across the four) whenever
+    // every bound provably fits 18 digits scaled — closing the r14
+    // ADVICE regime gap where high-precision decimals tied in double
+    // space while the pair form distinguished them. Any other
+    // fractional / timestamp / oversized-decimal bound switches ALL
+    // FOUR to double seconds (exact for double inputs and
+    // micro-precision timestamps; see the precision contract above).
+    import org.apache.spark.sql.types.{ByteType, DateType, DecimalType,
+      IntegerType, LongType, ShortType}
+    val dts = Seq(left.schema(lStart), left.schema(lEnd),
+      right.schema(rStart), right.schema(rEnd)).map(_.dataType)
+    val integral = dts.forall {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    val decScale: Option[Int] =
+      if (!dts.forall(_.isInstanceOf[DecimalType])) None
+      else {
+        val ds = dts.collect { case d: DecimalType => d }
+        val s = ds.map(_.scale).max
+        if (ds.forall(d => d.scale >= 0 && d.precision - d.scale + s <= 18))
+          Some(s)
+        else None
+      }
     def rankOf(df: DataFrame, name: String) = {
       val dt = df.schema(name).dataType
       if (integral) col(name).cast("long")
-      else if (dt == DateType) col(name).cast("timestamp").cast("double")
-      else col(name).cast("double")
+      else decScale match {
+        case Some(s) =>
+          // v·10^s is integral (s >= every bound's own scale) and
+          // <= 18 digits, so the decimal multiply and the long cast
+          // are both exact
+          (col(name) * lit(java.math.BigDecimal.TEN.pow(s))).cast("long")
+        case None =>
+          if (dt == DateType) col(name).cast("timestamp").cast("double")
+          else col(name).cast("double")
+      }
     }
     val l = left.filter(col(lStart) <= col(lEnd))
     val r = right.filter(col(rStart) <= col(rEnd))
@@ -213,53 +246,30 @@ object IntervalJoin {
 
   /** For every distinct threshold `__q` in `queries`, the number of
     * values in the `(__v, __c)` histogram with `__v <= __q` (or
-    * `__v < __q` when `strict`) — the distributed prefix-sum kernel
-    * behind [[countOverlaps]], reusing
-    * [[Percentiles.groupedExactFromHist]]'s two-phase decomposition:
-    * thresholds ride the histogram frame as zero-count rows, values
-    * are range-bucketed (order-preserving double floor — monotone
-    * even past 2^53, and only order matters), per-bucket totals
-    * cascade in a window over the 256-row bucket frame, and the
-    * within-bucket running sum is keyed by bucket — no
-    * single-partition stage ever sees a data-sized frame. Tie order
-    * at equal `__v` encodes the comparison: data before queries for
-    * `<=`, queries before data for `<`. The one-row min/max stats
-    * frame rides a broadcast cross join (the bounded one-row
-    * convention), keeping the whole plan lazy.
+    * `__v < __q` when `strict`) — [[countOverlaps]]'s rank lookup,
+    * routed through the shared [[PrefixSum]] kernel (one kernel,
+    * every caller — r14 VERDICT #1): thresholds ride the histogram
+    * frame as zero-count rows, [[PrefixSum.withRangeBucket]] derives
+    * the order-preserving bucket (global span, one-row broadcast
+    * stats, ±Inf clamped order-safe), and [[PrefixSum.inclusive]]
+    * runs the offset cascade over the ≤256-row bucket frame plus the
+    * bucket-keyed running sum — no single-partition stage ever sees a
+    * data-sized frame. Tie order at equal `__v` encodes the
+    * comparison: data before queries for `<=`, queries before data
+    * for `<`.
     */
   private[operators] def cumCountAt(
       values: DataFrame,
       queries: DataFrame,
       strict: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nB = 256
     val frame = values
       .select(col("__v"), col("__c"), lit(0).as("__isq"))
       .unionAll(queries.select(col("__q").as("__v"), lit(0L).as("__c"),
         lit(1).as("__isq")))
-    val stats = frame.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-    val span = col("__mx").cast("double") - col("__mn").cast("double")
-    val fb = frame.crossJoin(broadcast(stats))
-      .withColumn("__b",
-        when(col("__mx") === col("__mn"), lit(0))
-          .otherwise(coalesce(least(greatest(
-            floor((col("__v").cast("double") - col("__mn").cast("double")) /
-              (span / nB)), lit(0.0)), lit(nB - 1.0)).cast("int"),
-            // ±Inf bounds make (v−mn) NaN → null bucket; pin to 0
-            // (degenerate but order-safe — the in-bucket sort is exact)
-            lit(0))))
-      .drop("__mn", "__mx")
-    val bt = fb.groupBy(col("__b")).agg(sum(col("__c")).as("__bt"))
-    val wB = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val boff = bt // <= 256 rows: the unpartitioned cascade is bounded
-      .withColumn("__boff", coalesce(sum(col("__bt")).over(wB), lit(0L)))
-      .select(col("__b"), col("__boff"))
+    val fb = PrefixSum.withRangeBucket(frame, Seq.empty, col("__v"), 256, "__b")
     val tie = if (strict) col("__isq").desc else col("__isq").asc
-    val inB = Window.partitionBy(col("__b")).orderBy(col("__v"), tie)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fb.join(broadcast(boff), Seq("__b"))
-      .withColumn("__cnt", col("__boff") + sum(col("__c")).over(inB))
+    PrefixSum.inclusive(fb, Seq.empty, "__b", Seq(col("__v"), tie),
+        col("__c"), "__cnt")
       .filter(col("__isq") === 1)
       .select(col("__v").as("__q"), col("__cnt"))
   }

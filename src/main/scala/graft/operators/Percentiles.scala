@@ -121,55 +121,16 @@ object Percentiles {
           .withColumn("__start", col("__cum") - col("__c"))
           .withColumn("__n", sum(col("__c")).over(wholeGroup))
       } else {
-        val nBuckets = 256
-        // Bucketing only has to be ORDER-PRESERVING (b(a) <= b(b)
-        // whenever a <= b under the window's sort order); the in-bucket
-        // window does the exact ordering. Non-finite inputs need
-        // explicit routing, or they silently DIVERGE from the
-        // single-window form (r8 ADVICE):
-        //  - NaN sorts LAST under Spark's ordering, so it must land in
-        //    the top bucket (a NaN-poisoned floor()/least() chain would
-        //    otherwise place it arbitrarily);
-        //  - mn/mx must exclude NaN, or one NaN makes span NaN and
-        //    every bucket id NaN for the whole group;
-        //  - __b must be NON-NULL by construction: a null bucket id
-        //    drops the row at the (group, __b) equi-join below while
-        //    its count still rides __n — rank space shifts and rows
-        //    vanish. A value whose double cast is null (non-numeric
-        //    input) pins to bucket 0 instead of dropping.
-        // ±Inf needs no special case: an infinite span collapses the
-        // group into one bucket (degenerate but order-preserving; the
-        // in-bucket sort restores exactness).
-        val v = col(valueCol).cast("double")
-        val stats = hist.groupBy(col(groupCol))
-          .agg(min(when(!isnan(v), v)).as("__mn"),
-            max(when(!isnan(v), v)).as("__mx"))
-        val span = col("__mx") - col("__mn")
-        val histB = hist.join(broadcast(stats), Seq(groupCol))
-          .withColumn("__b",
-            when(v.isNull, lit(0))
-              .when(isnan(v), lit(nBuckets - 1))
-              .when(span === 0.0, lit(0))
-              .otherwise(coalesce(
-                greatest(least(floor((v - col("__mn")) / (span / nBuckets)),
-                  lit(nBuckets - 1.0)), lit(0.0)).cast("int"),
-                lit(0))))
-          .drop("__mn", "__mx")
-        val bt = histB.groupBy(col(groupCol), col("__b"))
-          .agg(sum(col("__c")).as("__bt"))
-        val wBuckets = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wholeGroup = Window.partitionBy(col(groupCol))
-        val boff = bt
-          .withColumn("__boff",
-            coalesce(sum(col("__bt")).over(wBuckets), lit(0L)))
-          .withColumn("__n", sum(col("__bt")).over(wholeGroup))
-          .select(col(groupCol), col("__b"), col("__boff"), col("__n"))
-        val inBucket = Window.partitionBy(col(groupCol), col("__b"))
-          .orderBy(col(valueCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        histB.join(broadcast(boff), Seq(groupCol, "__b"))
-          .withColumn("__cum", col("__boff") + sum(col("__c")).over(inBucket))
+        // The bucketed decomposition is [[PrefixSum]] verbatim:
+        // [[PrefixSum.withRangeBucket]] holds the order-preserving
+        // bucket derivation and its NaN/null/±Inf routing (the r8
+        // ADVICE cases), [[PrefixSum.inclusive]] the offset cascade +
+        // in-bucket window; `__n` rides the tiny phase-2 frame.
+        val histB = PrefixSum.withRangeBucket(
+          hist, Seq(groupCol), col(valueCol), 256, "__b")
+        PrefixSum.inclusive(histB, Seq(groupCol), "__b",
+            Seq(col(valueCol)), col("__c"), "__cum",
+            totalCol = Some("__n"))
           .withColumn("__start", col("__cum") - col("__c"))
       }
     // per prob: fractional rank r = (n-1)p is constant within a group,

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 
 object EnaFilesScale {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder().master(ToolSpark.master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "false")
       // the production-shape knob under test: small files bin-pack

@@ -18,7 +18,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 object HhStateScale {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder().master(ToolSpark.master)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 object PinQ115 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(ToolSpark.master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

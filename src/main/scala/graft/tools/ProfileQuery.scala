@@ -14,7 +14,7 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(ToolSpark.master)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.files.openCostInBytes", "65536")

@@ -12,7 +12,7 @@ object Sf1xQ80 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1x")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(ToolSpark.master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.openCostInBytes", "65536")

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 
 object Sf1xR11 {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder().master(ToolSpark.master)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.files.openCostInBytes", "65536")

@@ -155,6 +155,28 @@ class NullRobustnessSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map("a" -> ((1.5, 2L))))
   }
 
+  test("Percentiles.groupedExact: null group key survives the two-phase form") {
+    val s = spark
+    import s.implicits._
+    // pre-r15 the two-phase stats/offset join-back used plain equality
+    // on the group key, silently DROPPING the null group that the
+    // single-window form kept (a window treats null as its own
+    // partition) — the PrefixSum kernel joins null-safely, so the two
+    // regimes must agree, null group included
+    val d = Seq((Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 2.0), (Option.empty[String], 4.0),
+      (Option.empty[String], 6.0)).toDF("g", "v")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => Option(r.getString(0)) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    val one = m(graft.operators.Percentiles
+      .groupedExact(d, "g", "v", Seq(0.5)))
+    val two = m(graft.operators.Percentiles
+      .groupedExact(d, "g", "v", Seq(0.5), twoPhaseThreshold = 0L))
+    assert(one === Map(Option("a") -> ((2.0, 2L)), None -> ((4.0, 3L))))
+    assert(two === one)
+  }
+
   test("topFractionPerGroup: null order values rank last, not dropped") {
     val s = spark
     import s.implicits._

@@ -340,6 +340,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       maxGlobalLagWindows = 2)) === global)
   }
 
+  test("quantileDrift: sparse span routes on actual windows, not span (r14 #7)") {
+    val s = spark
+    import s.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000L)
+    // 3 populated hourly windows spread over a 1000-hour span: the
+    // span bound (~1002) overshoots maxGlobalLagWindows=10, but the
+    // ACTUAL window count (3) fits — the bounded distinct probe must
+    // keep this on the global lag (observable as a lag() in the plan;
+    // the distributed path has no window function at all)
+    val ev = Seq((1L, ts(0), 1.0), (2L, ts(500), 2.0), (3L, ts(1000), 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventAnalytics.quantileDrift(ev, threshold = 1.0,
+      maxGlobalLagWindows = 10)
+    assert(out.queryExecution.analyzed.toString.contains("lag("),
+      "sparse feed should route to the global lag")
+    assert(out.collect().length === 3)
+    // and a genuinely window-dense feed still goes distributed: plan
+    // carries the zipWithIndex scan, not a lag window
+    val dense = EventAnalytics.quantileDrift(ev, threshold = 1.0,
+      maxGlobalLagWindows = 2)
+    assert(!dense.queryExecution.analyzed.toString.contains("lag("),
+      "3 windows over a bound of 2 must take the distributed lag")
+  }
+
   test("durationSeconds parses window grammar, rejects junk") {
     assert(EventAnalytics.durationSeconds("1 hour") === 3600.0)
     assert(EventAnalytics.durationSeconds("90 seconds") === 90.0)
@@ -381,5 +405,32 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // except... (-0.4,0.1) starts after -0.5? rs=-0.4 <= le=-0.5 is
     // FALSE -> no; (-2.0,-1.6) ends before ls=-1.5? re=-1.6 < -1.5 -> no
     assert(got === Map(1L -> 2L))
+  }
+
+  test("countOverlaps: 18-digit decimal bounds rank exactly (r14 ADVICE)") {
+    val s = spark
+    import s.implicits._
+    // le and rs differ only at the 18th significant digit: identical
+    // as doubles (the old rank currency would count the pair), but
+    // rs > le exactly — the pair-level twin never matches them, and
+    // the scaled-long rank must agree
+    val dec = (c: String) => col(c).cast("decimal(18,6)").as(c)
+    val left = Seq((1L, "100.000000", "123456789012.345678"))
+      .toDF("lk", "l_s", "l_e")
+      .select(col("lk"), dec("l_s"), dec("l_e"))
+    val right = Seq(
+      ("123456789012.345679", "999999999999.000000"), // exact: disjoint
+      ("50.000000", "100.000000")) // point-touch at ls: overlaps
+      .toDF("r_s", "r_e").select(dec("r_s"), dec("r_e"))
+    val got = IntervalJoin.countOverlaps(left, right, "l_s", "l_e",
+        "r_s", "r_e", leftKey = "lk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L))
+    // regime equivalence: the pair-level form agrees
+    val pairs = IntervalJoin.overlapJoin(left, right, "l_s", "l_e",
+        "r_s", "r_e")
+      .groupBy(col("lk")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs === got)
   }
 }
