@@ -2,8 +2,6 @@ package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -47,17 +45,29 @@ import org.apache.spark.unsafe.types.UTF8String
   *    planted Zipf stream instead of exact values.
   *
   * Eviction is amortized O(1) (r13; was an O(capacity) scan per
-  * eviction, which at capacity 8k on a heavy-tail stream was ~10^10
-  * comparisons — the q125 fixture took minutes): the buffer carries a
-  * lazy candidate list of ALL keys that sat at the minimum count when
-  * it was last rebuilt. Space-Saving's minimum is non-decreasing and
-  * eviction inserts at min+1, so the candidate set only SHRINKS
-  * between rebuilds — popped candidates whose count has since grown
-  * are skipped (lazy deletion), and only when the list empties does an
+  * eviction): the buffer carries a lazy candidate list of ALL entries
+  * that sat at the minimum count when it was last rebuilt. Space-
+  * Saving's minimum is non-decreasing and eviction inserts at min+1,
+  * so the candidate set only SHRINKS between rebuilds — popped
+  * candidates whose count has since grown (or whose entry slot was
+  * recycled to a fresher key, which always enters above the minimum)
+  * are skipped lazily, and only when the list empties does an
   * O(capacity) rescan run (once per distinct minimum value, ≤ n/m
-  * times total). Victim choice is unchanged and content-deterministic:
-  * lowest count, ties by largest item (candidates are sorted at
-  * rebuild; later entrants can never rejoin the current minimum).
+  * times total). Victim choice is content-deterministic: lowest count,
+  * ties by largest item.
+  *
+  * State layout (r15, VERDICT r14 #2 — the q125 profile): the
+  * original `mutable.HashMap[UTF8String, Array[Long]]` buffer paid an
+  * `Option` + entry-node allocation per probe and a boxed
+  * tuple-array sort per merge trim, flooring the eviction fixture at
+  * ~1 µs/row and ~30 ms per partial merge. The buffer is now three
+  * dense parallel arrays (key, est, err) plus an open-addressing
+  * int slot index (linear probing, backward-shift deletion) — the
+  * update hot path is one hash, one probe chain, and one in-place
+  * `+= 1`, with zero allocation on hits and one key clone on inserts;
+  * eviction recycles the victim's ENTRY in place and only re-links
+  * the index. Merge walks the dense arrays directly and trims by
+  * sorting entry ids, not boxed tuples.
   */
 case class FreqItemsAgg(
     item: Expression,
@@ -99,46 +109,24 @@ case class FreqItemsAgg(
 
   override def createAggregationBuffer(): SsBuffer = new SsBuffer
 
-  // deterministic eviction victim given the same counter CONTENT:
-  // lowest estimate, ties by LARGEST item (so the surviving set under
-  // ties prefers smaller items, matching the eval order's tie-break).
-  // Amortized O(1) via the buffer's lazy candidate list (class doc):
-  // pollLast on the ASC-sorted candidates IS the largest-at-minimum
-  // rule; a popped key whose count moved past the minimum is skipped;
-  // an empty list triggers the once-per-minimum-value O(capacity)
-  // rebuild.
-  private def evictMin(buf: SsBuffer): (UTF8String, Long) = {
-    var victim: UTF8String = null
-    while (victim == null) {
-      val k = buf.cands.pollLast()
-      if (k == null) {
-        var m = Long.MaxValue
-        buf.foreach { case (_, v) => if (v(0) < m) m = v(0) }
-        val ks = buf.iterator
-          .collect { case (k2, v) if v(0) == m => k2 }.toArray
-        java.util.Arrays.sort(ks,
-          (a: UTF8String, b: UTF8String) => a.compareTo(b))
-        buf.curMin = m
-        var i = 0
-        while (i < ks.length) { buf.cands.addLast(ks(i)); i += 1 }
-      } else if (buf.get(k).exists(_(0) == buf.curMin)) victim = k
-    }
-    (victim, buf.curMin)
-  }
-
   override def update(
       buf: SsBuffer,
       input: InternalRow): SsBuffer = {
     val it = item.eval(input).asInstanceOf[UTF8String]
     if (it != null) {
-      buf.get(it) match {
-        case Some(v) => v(0) += 1 // in place: zero alloc on the hit path
-        case None if buf.size < capacity =>
-          buf(it.clone()) = Array(1L, 0L) // clone: eval may reuse its buffer
-        case None =>
-          val (victim, minC) = evictMin(buf)
-          buf.remove(victim)
-          buf(it.clone()) = Array(minC + 1, minC)
+      val e = buf.findEntry(it)
+      if (e >= 0) buf.cnt(e) += 1 // in place: zero alloc on the hit path
+      else if (buf.n < capacity)
+        buf.append(it.clone(), 1L, 0L) // clone: eval may reuse its buffer
+      else {
+        // deterministic victim given the same counter CONTENT: lowest
+        // estimate, ties by LARGEST item. The victim's dense entry is
+        // recycled in place; only the index re-links.
+        val v = buf.evictMinEntry()
+        val minC = buf.curMin
+        buf.replaceKeyAt(v, it.clone())
+        buf.cnt(v) = minC + 1
+        buf.er(v) = minC
       }
     }
     buf
@@ -151,8 +139,13 @@ case class FreqItemsAgg(
   // see the class doc); an unsaturated buffer has never evicted or
   // trimmed, so absence means a true count of zero
   private def absentBound(buf: SsBuffer): Long =
-    if (buf.size < capacity) 0L
-    else buf.valuesIterator.map(_(0)).min
+    if (buf.n < capacity) 0L
+    else {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < buf.n) { if (buf.cnt(i) < m) m = buf.cnt(i); i += 1 }
+      m
+    }
 
   override def merge(buf: SsBuffer, other: SsBuffer): SsBuffer = {
     val minBuf = absentBound(buf)
@@ -160,27 +153,27 @@ case class FreqItemsAgg(
     if (minOther > 0) {
       // items only in buf: `other`'s stream may have held up to its
       // minimum of this item's mass before evicting it
-      buf.foreach { case (k, v) =>
-        if (!other.contains(k)) { v(0) += minOther; v(1) += minOther }
+      var i = 0
+      while (i < buf.n) {
+        if (other.findEntry(buf.keys(i)) < 0) {
+          buf.cnt(i) += minOther; buf.er(i) += minOther
+        }
+        i += 1
       }
     }
-    other.foreach { case (k, v1) =>
-      buf.get(k) match {
-        case Some(v0) => v0(0) += v1(0); v0(1) += v1(1)
-        case None => buf(k) = Array(v1(0) + minBuf, v1(1) + minBuf)
-      }
+    var j = 0
+    while (j < other.n) {
+      val k = other.keys(j)
+      val e = buf.findEntry(k)
+      if (e >= 0) { buf.cnt(e) += other.cnt(j); buf.er(e) += other.er(j) }
+      else buf.append(k, other.cnt(j) + minBuf, other.er(j) + minBuf)
+      j += 1
     }
-    if (buf.size > capacity) {
+    if (buf.n > capacity) {
       // deterministic trim: keep the top `capacity` by (est DESC,
       // item ASC) — only items whose upper bound trails the kept tail
       // are dropped, so survivors' bounds are unchanged
-      val keep = buf.toArray
-        .sortWith { case ((k1, v1), (k2, v2)) =>
-          if (v1(0) != v2(0)) v1(0) > v2(0) else k1.compareTo(k2) < 0
-        }
-        .take(capacity)
-      buf.clear()
-      keep.foreach { case (k, v) => buf(k) = v }
+      buf.trimTo(capacity)
     }
     // merged counts moved arbitrarily (and trim may have dropped
     // candidates) — the lazy minimum cache is stale either way
@@ -189,23 +182,27 @@ case class FreqItemsAgg(
   }
 
   override def eval(buf: SsBuffer): Any = {
-    val sorted = buf.toArray
-      .sortWith { case ((k1, v1), (k2, v2)) =>
-        if (v1(0) != v2(0)) v1(0) > v2(0) else k1.compareTo(k2) < 0
-      }
-    new GenericArrayData(sorted.map { case (k, v) =>
-      InternalRow(k, v(0), v(1))
-    }.asInstanceOf[Array[Any]])
+    val order = buf.sortedIds()
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      val e = order(i)
+      out(i) = InternalRow(buf.keys(e), buf.cnt(e), buf.er(e))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   override def serialize(buf: SsBuffer): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
-    out.writeInt(buf.size)
-    buf.foreach { case (k, v) =>
-      val kb = k.getBytes
+    out.writeInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      val kb = buf.keys(i).getBytes
       out.writeInt(kb.length); out.write(kb)
-      out.writeLong(v(0)); out.writeLong(v(1))
+      out.writeLong(buf.cnt(i)); out.writeLong(buf.er(i))
+      i += 1
     }
     out.flush()
     bytes.toByteArray
@@ -219,7 +216,7 @@ case class FreqItemsAgg(
     while (i < n) {
       val kb = new Array[Byte](in.readInt())
       in.readFully(kb)
-      buf(UTF8String.fromBytes(kb)) = Array(in.readLong(), in.readLong())
+      buf.append(UTF8String.fromBytes(kb), in.readLong(), in.readLong())
       i += 1
     }
     buf
@@ -236,21 +233,198 @@ case class FreqItemsAgg(
 
 object FreqItemsAgg {
 
-  /** Aggregation buffer: the Space-Saving counter table plus the lazy
-    * eviction-candidate cache. `cands` holds every key whose count
-    * equalled `curMin` when the cache was last rebuilt, sorted ASC so
-    * `pollLast` yields the largest-key tie-break victim first. The
-    * minimum is non-decreasing and evictions insert at min+1, so the
-    * candidate set only shrinks between rebuilds; entries whose count
-    * has moved on are skipped lazily. Rebuilt from scratch after any
-    * merge (counts move arbitrarily) and after deserialization (the
-    * cache is deliberately not serialized — it is derivable state).
+  /** Aggregation buffer: dense parallel counter arrays + an
+    * open-addressing slot index + the lazy eviction-candidate cache.
+    *
+    * Entries live densely in `keys/cnt/er[0, n)`; `idx` maps a probe
+    * slot to entry-id+1 (0 = empty) under linear probing at ≤ 0.5
+    * load, with backward-shift deletion so no tombstones accumulate
+    * under eviction churn. `cands` holds the entry ids whose count
+    * equalled `curMin` at the last rebuild, sorted by key ASC so
+    * popping from the END yields the largest-key tie-break victim
+    * first; the minimum is non-decreasing and every insert lands at
+    * min+1, so stale ids (count moved on, or the entry recycled to a
+    * newer key — which by the same argument sits above the minimum)
+    * are skipped lazily. Rebuilt from scratch after any merge (counts
+    * move arbitrarily); deliberately not serialized — derivable state.
     */
-  final class SsBuffer extends mutable.HashMap[UTF8String, Array[Long]] {
-    private[functions] var curMin: Long = -1L
-    private[functions] val cands = new java.util.ArrayDeque[UTF8String]()
-    private[functions] def invalidateCands(): Unit = {
-      cands.clear(); curMin = -1L
+  final class SsBuffer {
+    private[functions] var n = 0
+    private[functions] var keys = new Array[UTF8String](16)
+    private[functions] var cnt = new Array[Long](16)
+    private[functions] var er = new Array[Long](16)
+    private var idx = new Array[Int](64)
+    private var mask = 63
+    private var cands = new Array[Int](0)
+    private var nCands = 0
+    private[functions] var curMin = -1L
+
+    def size: Int = n
+
+    /** Entry id of `k`, or -1. One hash, one probe chain, no alloc. */
+    private[functions] def findEntry(k: UTF8String): Int = {
+      var s = k.hashCode & mask
+      while (true) {
+        val e = idx(s)
+        if (e == 0) return -1
+        if (keys(e - 1).equals(k)) return e - 1
+        s = (s + 1) & mask
+      }
+      -1
     }
+
+    private def putIndex(e: Int): Unit = {
+      var s = keys(e).hashCode & mask
+      while (idx(s) != 0) s = (s + 1) & mask
+      idx(s) = e + 1
+    }
+
+    /** Unlink `k` from the index by backward-shift deletion: later
+      * probe-chain members whose home slot precedes the hole slide
+      * back, so chains stay contiguous with no tombstones.
+      */
+    private def removeIndex(k: UTF8String): Unit = {
+      var s = k.hashCode & mask
+      while (idx(s) == 0 || !keys(idx(s) - 1).equals(k)) s = (s + 1) & mask
+      var hole = s
+      var j = (hole + 1) & mask
+      while (idx(j) != 0) {
+        val home = keys(idx(j) - 1).hashCode & mask
+        if (((j - home) & mask) >= ((j - hole) & mask)) {
+          idx(hole) = idx(j); hole = j
+        }
+        j = (j + 1) & mask
+      }
+      idx(hole) = 0
+    }
+
+    private def rehash(newCap: Int): Unit = {
+      idx = new Array[Int](newCap)
+      mask = newCap - 1
+      var e = 0
+      while (e < n) { putIndex(e); e += 1 }
+    }
+
+    /** Append a NEW entry (key must be absent and owned by this
+      * buffer — callers clone when the source may reuse its bytes).
+      */
+    private[functions] def append(k: UTF8String, c: Long, e: Long): Unit = {
+      if (n == keys.length) {
+        keys = java.util.Arrays.copyOf(keys, n * 2)
+        cnt = java.util.Arrays.copyOf(cnt, n * 2)
+        er = java.util.Arrays.copyOf(er, n * 2)
+      }
+      keys(n) = k; cnt(n) = c; er(n) = e
+      n += 1
+      if (2 * n > idx.length) rehash(idx.length * 2) // re-links everything
+      else putIndex(n - 1)
+    }
+
+    /** Recycle entry `e`'s slot for a new key: unlink the old key,
+      * overwrite in place, re-link. The caller sets cnt/er.
+      */
+    private[functions] def replaceKeyAt(e: Int, k: UTF8String): Unit = {
+      removeIndex(keys(e))
+      keys(e) = k
+      putIndex(e)
+    }
+
+    /** Entry id of the eviction victim (lowest count, ties by largest
+      * key) via the lazy candidate cache; sets `curMin` to its count.
+      */
+    private[functions] def evictMinEntry(): Int = {
+      while (true) {
+        if (nCands == 0) {
+          var m = Long.MaxValue
+          var i = 0
+          while (i < n) { if (cnt(i) < m) m = cnt(i); i += 1 }
+          curMin = m
+          var c = 0
+          i = 0
+          while (i < n) { if (cnt(i) == m) c += 1; i += 1 }
+          val ids = new Array[Integer](c)
+          c = 0; i = 0
+          while (i < n) {
+            if (cnt(i) == m) { ids(c) = Integer.valueOf(i); c += 1 }
+            i += 1
+          }
+          java.util.Arrays.sort(ids, (a: Integer, b: Integer) =>
+            keys(a.intValue).compareTo(keys(b.intValue)))
+          if (cands.length < c) cands = new Array[Int](c)
+          i = 0
+          while (i < c) { cands(i) = ids(i).intValue; i += 1 }
+          nCands = c
+        }
+        nCands -= 1
+        val e = cands(nCands)
+        if (cnt(e) == curMin) return e
+      }
+      -1
+    }
+
+    private[functions] def invalidateCands(): Unit = {
+      nCands = 0; curMin = -1L
+    }
+
+    /** Entry ids sorted by (est DESC, key ASC) — the eval/trim order. */
+    private[functions] def sortedIds(): Array[Int] = {
+      val ids = new Array[Integer](n)
+      var i = 0
+      while (i < n) { ids(i) = Integer.valueOf(i); i += 1 }
+      java.util.Arrays.sort(ids, (a: Integer, b: Integer) => {
+        val ca = cnt(a.intValue); val cb = cnt(b.intValue)
+        if (ca != cb) java.lang.Long.compare(cb, ca)
+        else keys(a.intValue).compareTo(keys(b.intValue))
+      })
+      val out = new Array[Int](n)
+      i = 0
+      while (i < n) { out(i) = ids(i).intValue; i += 1 }
+      out
+    }
+
+    /** Keep the top `capacity` entries by (est DESC, key ASC) and
+      * rebuild the dense arrays + index.
+      */
+    private[functions] def trimTo(capacity: Int): Unit = {
+      val order = sortedIds()
+      val m = math.min(capacity, n)
+      val nk = new Array[UTF8String](keys.length)
+      val nc = new Array[Long](keys.length)
+      val ne = new Array[Long](keys.length)
+      var i = 0
+      while (i < m) {
+        val e = order(i)
+        nk(i) = keys(e); nc(i) = cnt(e); ne(i) = er(e)
+        i += 1
+      }
+      keys = nk; cnt = nc; er = ne
+      n = m
+      java.util.Arrays.fill(idx, 0)
+      var e = 0
+      while (e < n) { putIndex(e); e += 1 }
+    }
+
+    // ---- inspection views (spec/debug surface; not hot paths) ----
+
+    def contains(k: UTF8String): Boolean = findEntry(k) >= 0
+
+    /** Current (est, err) of `k` as a fresh pair; throws if absent. */
+    def apply(k: UTF8String): Array[Long] = {
+      val e = findEntry(k)
+      require(e >= 0, s"item not tracked: $k")
+      Array(cnt(e), er(e))
+    }
+
+    def iterator: Iterator[(UTF8String, Array[Long])] =
+      (0 until n).iterator.map(i => keys(i) -> Array(cnt(i), er(i)))
+
+    def foreach[U](f: ((UTF8String, Array[Long])) => U): Unit =
+      iterator.foreach(f)
+
+    def map[T](f: ((UTF8String, Array[Long])) => T): Iterator[T] =
+      iterator.map(f)
+
+    def valuesIterator: Iterator[Array[Long]] =
+      (0 until n).iterator.map(i => Array(cnt(i), er(i)))
   }
 }
