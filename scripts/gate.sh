@@ -70,9 +70,10 @@ else
 fi
 
 if [[ "${GATE_SKIP_BENCH:-0}" != "1" ]]; then
-  echo "== gate 4/4: bench smoke @ $SF =="
+  echo "== gate 4/5: bench smoke @ $SF =="
   BOUT=/tmp/gate_bench.out
-  SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" | tee "$BOUT" \
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_JSON=/tmp/gate_bench_smoke.json \
+    sbt -batch "runMain graft.Bench" | tee "$BOUT" \
     || fail "bench rc"
   grep -o '{"metric":.*}' "$BOUT" | tail -1 > /tmp/gate_bench.json \
     || fail "bench printed no JSON line"
@@ -83,7 +84,30 @@ assert j.get("n_failed", 1) == 0, f"bench failures: {j.get('errors')}"
 print(f"bench ok: {j['value']} {j['unit']} over {len(j['queries'])} queries")
 EOF
 else
-  echo "== gate 4/4: bench smoke SKIPPED (GATE_SKIP_BENCH=1) =="
+  echo "== gate 4/5: bench smoke SKIPPED (GATE_SKIP_BENCH=1) =="
+fi
+
+# 5: the judge-paired bench, gate-produced (VERDICT r14 #8): graft.Bench
+# and the DuckDB anchor back-to-back at the bench SF, merged into the
+# PAIRED artifact the round report cites — no manual step between "gate
+# green" and verifiable headline numbers. The Spark side's full
+# 129-query JSON is itself the committed BENCH_FULL_rNN artifact
+# (VERDICT r14 #4: the driver-tail BENCH_rN.json fragment is truncated;
+# this file is the document of record). Skippable while iterating:
+# GATE_SKIP_PAIRED=1.
+if [[ "${GATE_SKIP_PAIRED:-0}" != "1" ]]; then
+  PSF="${GATE_PAIRED_SF:-/root/testdata/sf0.1}"
+  echo "== gate 5/5: paired bench @ $PSF =="
+  SPARK_GRAFT_SF_DIR="$PSF" SPARK_GRAFT_BENCH_JSON="BENCH_FULL_r${ROUND}.json" \
+    sbt -batch "runMain graft.Bench" || fail "paired bench (spark)"
+  python3 scripts/bench_duckdb.py "$PSF" "$OUT/oracle_sql.json" \
+    > /tmp/gate_paired_duck.json || fail "paired bench (duckdb)"
+  cp /tmp/gate_paired_duck.json "DUCK_r${ROUND}.json"
+  python3 scripts/make_paired.py "BENCH_FULL_r${ROUND}.json" \
+    "/tmp/gate_paired_duck.json" "PAIRED_r${ROUND}.json" \
+    || fail "paired merge"
+else
+  echo "== gate 5/5: paired bench SKIPPED (GATE_SKIP_PAIRED=1) =="
 fi
 
 echo
