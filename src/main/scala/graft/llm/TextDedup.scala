@@ -828,6 +828,8 @@ object TextDedup {
       smallGraphMaxEdges: Int = defaultSmallGraphMaxEdges): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     require(escalateAfter > 0, "escalateAfter must be positive")
+    lastPropRounds = 0
+    lastStarRounds = 0
     val smallMax =
       if (graft.Regimes.forceDistributed) 0 else smallGraphMaxEdges
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
@@ -905,6 +907,7 @@ object TextDedup {
       labels = next
       iter += 1
     }
+    lastPropRounds = iter
     if (converged) {
       // edges fed every round but the RETURNED plan reads only the final
       // labels checkpoint — release the edge blocks too
@@ -936,6 +939,16 @@ object TextDedup {
     */
   def defaultSmallGraphMaxEdges: Int =
     if (graft.Regimes.forceDistributed) 0 else 1 << 17
+
+  /** Diagnostics: rounds the LAST [[duplicateComponents]] /
+    * [[starComponents]] call spent — propagation rounds, and star
+    * rounds when escalated (the driver union-find regime records
+    * 0/0). Measurement surface for the q80 growth curve
+    * (tools/Q80Curve) and the log-round contraction spec; not part of
+    * the operator contract.
+    */
+  @volatile private[graft] var lastPropRounds: Int = 0
+  @volatile private[graft] var lastStarRounds: Int = 0
 
   /** Large-star/small-star connected components (the Kiveris et al.
     * "Connected Components in MapReduce and Beyond" alternation): each
@@ -1016,6 +1029,7 @@ object TextDedup {
       curCnt = nextCnt
       iter += 1
     }
+    lastStarRounds = iter
     // star forest: every edge is (member, component-min); the mins
     // label themselves
     cur.select(col("a").as("doc_id"), col("b").as("component"))

@@ -247,6 +247,28 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
     assertHolds(p, 4)
   }
 
+  test("starComponents contracts a deep path in O(log n) rounds (r14 #6)") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-…-n has diameter n: min-label propagation needs ~n
+    // rounds, so the escalation's ROUND COUNT is the scale claim —
+    // large-star/small-star must land in O(log n) alternations. The
+    // recorded-round diagnostic pins it: a regression that turns the
+    // alternation back into one-hop walking blows the bound loudly.
+    for (n <- Seq(32, 128)) {
+      val chain = (0L until n.toLong).map(i => (i, i + 1)).toDF("da", "db")
+      val out = TextDedup.duplicateComponents(chain, maxIter = 64,
+        escalateAfter = 1, smallGraphMaxEdges = 0)
+      val comp = out.collect()
+      assert(comp.length === n + 1 && comp.forall(_.getLong(1) == 0L))
+      val rounds = TextDedup.lastStarRounds
+      val log2n = 32 - Integer.numberOfLeadingZeros(n)
+      assert(rounds > 0 && rounds <= 2 * log2n + 4,
+        s"n=$n: $rounds star rounds exceeds the O(log n) bound " +
+          s"${2 * log2n + 4}")
+    }
+  }
+
   /** `clean` equals some in-order subsequence of `segs` joined by a
     * space (empty string = empty subsequence or a kept empty segment).
     */
