@@ -20,6 +20,8 @@ object GraftFunctions {
   val Hash60Name = "graft_hash60"
   val Hash64Name = "graft_hash64"
   val FreqItemsName = "graft_freq_items"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainsName = "graft_bloom_contains"
   val ApproxQuantileName = "graft_approx_quantile"
   val ExactPercentileName = "graft_exact_percentile"
   val ExactDistinctName = "graft_exact_distinct"
@@ -96,6 +98,21 @@ object GraftFunctions {
     ExactDistinctAgg(args(0))
   }
 
+  private val bloomAggInfo = new ExpressionInfo(
+    classOf[BloomAgg].getName, BloomAggName)
+  private def bloomAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"$BloomAggName expects (key, numBits, numHashes)")
+    BloomAgg(args(0), args(1), args(2))
+  }
+
+  private val bloomContainsInfo = new ExpressionInfo(
+    classOf[BloomContains].getName, BloomContainsName)
+  private def bloomContainsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$BloomContainsName expects (filter, key)")
+    BloomContains(args(0), args(1))
+  }
+
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
     (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
@@ -109,7 +126,10 @@ object GraftFunctions {
     (FunctionIdentifier(ExactPercentileName), exactPercentileInfo,
       exactPercentileBuilder _),
     (FunctionIdentifier(ExactDistinctName), exactDistinctInfo,
-      exactDistinctBuilder _))
+      exactDistinctBuilder _),
+    (FunctionIdentifier(BloomAggName), bloomAggInfo, bloomAggBuilder _),
+    (FunctionIdentifier(BloomContainsName), bloomContainsInfo,
+      bloomContainsBuilder _))
 
   /** Idempotent per-session registration (the analyzer resolves
     * `call_function` names through the session's FunctionRegistry).

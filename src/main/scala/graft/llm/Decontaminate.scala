@@ -43,6 +43,19 @@ object Decontaminate {
       maxOverlap: Double = 0.0): DataFrame = {
     require(maxOverlap >= 0.0 && maxOverlap < 1.0,
       "maxOverlap must be in [0, 1)")
+    decontaminateAudit(docs, evalDocs, shingleK)
+      .filter(col("overlap") <= maxOverlap)
+  }
+
+  /** The unfiltered form of [[decontaminate]]: the same
+    * `(doc_id, n_grams, n_hit, overlap)` row for EVERY document —
+    * what an audit/report pass wants (how contaminated is the corpus,
+    * and by how much per doc) before any keep rule is chosen.
+    */
+  def decontaminateAudit(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      shingleK: Int = 3): DataFrame = {
     val evalGrams = TextDedup.gramHashes(evalDocs, shingleK)
       .select(col("gh")).distinct()
     val docGrams = TextDedup.gramHashes(docs, shingleK).distinct()
@@ -61,7 +74,71 @@ object Decontaminate {
           .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") /
             col("n_grams"))
           .as("overlap"))
+  }
+
+  /** [[decontaminate]] with the eval side compressed to a Bloom filter
+    * ([[graft.functions.BloomAgg]]) — the form for a "held-out set"
+    * that is NOT broadcast-sized: decontaminating against an entire
+    * prior training corpus, or hundreds of benchmark suites plus their
+    * sampled generations. The exact form's equi-join needs the eval
+    * gram set materialized per executor (or a corpus-side shuffle when
+    * it outgrows broadcast); this form aggregates the eval grams into
+    * ONE `numBits`-bit array (fixed size irrespective of eval
+    * cardinality — ~120 MB covers 10⁹ grams at 1% FP), collects that
+    * single accuracy-bounded row, and embeds it as a literal probed by
+    * a codegen'd per-row bit test: the corpus side is a plain Filter —
+    * no join operator, no corpus shuffle beyond the gram front end.
+    * The literal ships inside the stage's torrent-broadcast task
+    * binary, once per executor.
+    *
+    * Semantics vs [[decontaminate]]: `n_hit` counts BLOOM hits, so
+    * `n_hit ≥` the true hit count always (no false negatives — a
+    * contaminated doc can never slip through) and exceeds it at the
+    * filter's false-positive rate (a clean doc may be dropped — the
+    * conservative direction). Same output shape and keep rule.
+    */
+  def bloomDecontaminate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      shingleK: Int = 3,
+      maxOverlap: Double = 0.0,
+      numBits: Long = 1L << 22,
+      numHashes: Int = 5): DataFrame = {
+    require(maxOverlap >= 0.0 && maxOverlap < 1.0,
+      "maxOverlap must be in [0, 1)")
+    bloomDecontaminateAudit(docs, evalDocs, shingleK, numBits, numHashes)
       .filter(col("overlap") <= maxOverlap)
+  }
+
+  /** Unfiltered [[bloomDecontaminate]] — see [[decontaminateAudit]].
+    * `n_hit`/`overlap` here are the Bloom-side (superset) statistics.
+    */
+  def bloomDecontaminateAudit(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      shingleK: Int = 3,
+      numBits: Long = 1L << 22,
+      numHashes: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val filterBytes: Array[Byte] = TextDedup.gramHashes(evalDocs, shingleK)
+      .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
+        col("gh"), lit(numBits), lit(numHashes)).as("f"))
+      .collect()(0).getAs[Array[Byte]]("f") // ONE row, numBits/8 bytes
+    val hit = call_function(
+      graft.functions.GraftFunctions.BloomContainsName,
+      lit(filterBytes), col("gh"))
+    val perDoc = TextDedup.gramHashes(docs, shingleK).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_grams"))
+          .as("overlap"))
   }
 
   /** Surgical decontamination — strip the leaked SPANS, keep the

@@ -181,6 +181,58 @@ object Similarity {
         (col("neighbor_label") === col("true_label")).as("correct"))
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the lexical and
+    * vector rankings ([[TextAnalysis.bm25Rank]] × [[bruteForceTopK]]):
+    * `rrf = 1/(k₀+r_lex) + 1/(k₀+r_vec)`, a doc absent from one list
+    * contributing 0 for it. RRF (Cormack et al., SIGIR'09) is the
+    * standard score-free fusion — BM25 and cosine live on
+    * incommensurable scales, but their RANKS don't, and k₀ (=60
+    * classically) damps the head so one list can't dominate.
+    *
+    * Cross-engine parity: both input rankings are already bit-gated
+    * (q85's BM25 doubles, q39's cosine doubles), ranks are integers
+    * under the shared (score DESC, id ASC) total order, and the fused
+    * score is two IEEE divisions added in fixed lex-then-vec order —
+    * hash-comparable outright.
+    *
+    * Scale: the corpus-sized work is exactly the two underlying
+    * retrieval ops (each already bounded — BM25's one broadcast stats
+    * row + TakeOrdered, ANN's bounded `graft_topk` heap); fusion
+    * itself joins two ≤`topN`-row lists — driver-trivial at any corpus
+    * size, and the join key space is the candidate union, never the
+    * corpus. The doc↔vector correspondence is positional
+    * (`doc_id ≡ vec_id`), the embeddings-table convention.
+    */
+  def hybridRrf(
+      docs: DataFrame,
+      emb: DataFrame,
+      terms: Seq[String],
+      queryVecId: Long,
+      topN: Int = 50,
+      rrfK: Int = 60,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25Rank(docs, terms, topK = topN)
+    // the global window is bounded by construction: bm25Rank already
+    // limit(topN)'d its output — this never sorts the corpus
+    val wl = Window.orderBy(col("score").desc, col("doc_id"))
+    val lexRanks = lex.select(col("doc_id"),
+      row_number().over(wl).cast("long").as("r_lex"))
+    val qf = emb.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val vecRanks = bruteForceTopK(
+      emb.filter(col("vec_id") =!= queryVecId), qf, topN)
+      .select(col("vec_id").as("doc_id"), col("rnk").as("r_vec"))
+    val fused =
+      coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0))
+    lexRanks.join(vecRanks, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        fused.as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Bucketed (sign-LSH) cosine top-k — the scale path: queries only
     * meet candidates in their own sketch bucket via an equi-join, so
     * the per-query candidate set shrinks ~2^bits-fold. Approximate:

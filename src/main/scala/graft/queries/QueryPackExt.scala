@@ -3440,6 +3440,137 @@ object QueryPackExt {
              COALESCE(drift > 0.5, FALSE) AS drift_alert
       FROM d ORDER BY win_start"""))
 
+  /** Bloom-compressed decontamination ([[graft.llm.Decontaminate
+    * .bloomDecontaminate]] / [[graft.functions.BloomAgg]]) gated
+    * against the exact form: rows are the exact-CONTAMINATED docs
+    * (n_grams/n_hit/overlap are the exact-join values, cross-engine
+    * bit-identical — the q60 arithmetic), `superset_ok` asserts the
+    * Bloom hit count never undercounts (no false negatives — bitwise-
+    * OR merge is exact for set union), and `fp_band_ok` asserts the
+    * corpus-wide count of clean docs the filter would wrongly flag
+    * stays within the sizing's Poisson band (2²⁴ bits / 5 hashes vs
+    * ≤ ~10⁶ eval grams at sf1 → expected ≈ 3 FP docs; ≤ 16 allowed).
+    * The oracle can state both flags as TRUE because correctness of
+    * the filter — not its engine-specific bit layout — is what
+    * surfaces. DuckDB has no Bloom aggregate, so its side IS the
+    * exact join the Bloom form approximates.
+    */
+  private val q130 = Q("q130_bloom_decontaminate",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 20 =!= 0)
+      val ev = d.filter(col("doc_id") % 20 === 0)
+      val exact = graft.llm.Decontaminate.decontaminateAudit(corpus, ev, 3)
+      val bloom = graft.llm.Decontaminate
+        .bloomDecontaminateAudit(corpus, ev, 3,
+          numBits = 1L << 24, numHashes = 5)
+        .select(col("doc_id"), col("n_hit").as("bloom_hit"))
+      val joined = exact.join(bloom, "doc_id")
+      val fp = joined.agg(
+        sum(when(col("n_hit") === 0 && col("bloom_hit") > 0, 1L)
+          .otherwise(0L)).as("n_fp_docs"))
+      joined.crossJoin(broadcast(fp))
+        .filter(col("n_hit") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          col("overlap"),
+          (col("bloom_hit") >= col("n_hit")).as("superset_ok"),
+          (col("n_fp_docs") <= lit(16L)).as("fp_band_ok"))
+        .harnessSorted(col("doc_id"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id % 20 <> 0), ${gramCtes(3)},
+      evtoks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents WHERE doc_id % 20 = 0),
+      evtokh AS (
+        SELECT doc_id, gs AS pos, ${h60("w[gs]")} & 2147483647 AS h
+        FROM evtoks,
+             LATERAL (SELECT unnest(generate_series(1, len(w))) AS gs) g),
+      evgrams AS (
+        SELECT doc_id, ${gramSqlExpr(3, graft.llm.TextFns.shingleCoef)} AS gh
+        FROM evtokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      evg AS (SELECT DISTINCT gh FROM evgrams WHERE gh IS NOT NULL),
+      sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+      hits AS (SELECT s.doc_id, count(*) AS n_hit
+               FROM sh s JOIN evg e ON s.gh = e.gh GROUP BY s.doc_id)
+      SELECT doc_id, n_grams, n_hit, overlap,
+             TRUE AS superset_ok, TRUE AS fp_band_ok
+      FROM (
+        SELECT b.doc_id,
+               CAST(coalesce(sz.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CASE WHEN sz.n_grams IS NULL THEN 0.0
+                    ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / sz.n_grams END
+                 AS overlap
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) b
+        LEFT JOIN sizes sz USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)) z
+      WHERE n_hit > 0 ORDER BY doc_id"""))
+
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[Similarity.hybridRrf]]): BM25 ranks (q85's bit-gated doubles)
+    * fused with cosine-ANN ranks (q39's) as `1/(60+r_lex) +
+    * 1/(60+r_vec)` — two IEEE divisions summed in fixed order, so the
+    * fused doubles hash-compare outright. Absent-list docs contribute
+    * 0 via NULL-division + coalesce in both engines.
+    */
+  private val q131 = Q("q131_hybrid_rrf",
+    (s, dir) => Similarity.hybridRrf(
+      t(s, dir, "documents"), t(s, dir, "embeddings"),
+      Bm25Terms, queryVecId = 7L, topN = 50, rrfK = 60, topK = 20)
+      .harnessSorted(col("doc_id")),
+    Some(s"""
+      WITH $ToksCte,
+      d AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+               ${Bm25Terms.sorted.map(t =>
+                 s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+                 .mkString(",\n               ")}
+        FROM toks),
+      g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl,
+               ${Bm25Terms.sorted.map(t =>
+                 s"CAST(count(*) FILTER (WHERE tf_$t > 0) AS BIGINT) AS df_$t")
+                 .mkString(",\n               ")}
+        FROM d),
+      lexlist AS (
+        SELECT doc_id, score FROM (
+          SELECT d.doc_id,
+                 ${Bm25Terms.sorted.map(bm25TermSql).mkString("\n               + ")}
+                   AS score
+          FROM d, g) z
+        WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 50),
+      lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS r_lex
+        FROM lexlist),
+      ${normCte()},
+      q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 7),
+      scored AS (
+        SELECT e.vec_id,
+               ${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm) AS sim
+        FROM e CROSS JOIN q WHERE e.vec_id <> 7),
+      vec AS (
+        SELECT vec_id AS doc_id, r_vec FROM (
+          SELECT vec_id, sim,
+                 CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+                   AS BIGINT) AS r_vec
+          FROM scored) z
+        WHERE r_vec <= 50)
+      SELECT doc_id, r_lex, r_vec, rrf FROM (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               lex.r_lex, vec.r_vec,
+               COALESCE(CAST(1 AS DOUBLE) / (60 + lex.r_lex), 0.0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + vec.r_vec), 0.0)
+                 AS rrf
+        FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id) f
+      ORDER BY rrf DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3448,7 +3579,7 @@ object QueryPackExt {
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129)
+    q127, q128, q129, q130, q131)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
