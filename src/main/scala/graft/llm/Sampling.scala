@@ -231,6 +231,49 @@ object Sampling {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Exactly-k-per-group deterministic sample — the fixed-BUDGET
+    * counterpart of [[stratifiedSample]]'s fixed-fraction rule: "5
+    * eval docs per language", "1000 audit rows per source", where the
+    * quota is a count, not a rate, so a group's keep probability must
+    * adapt to its (unknown) size. Selection = the k smallest-looking
+    * docs under a seeded hash order: membership is still a pure
+    * function of (seed, key) — rerun-stable, engine-portable,
+    * independent of partitioning — but unlike a fraction filter it
+    * needs a per-group rank, which here rides the bounded
+    * [[graft.functions.TopKAgg]] heap: k rows per (group × map
+    * partition) through the one shuffle, no grouped sort, no
+    * row_number window over the corpus (the L56 skew lesson — an
+    * 80%-English corpus would funnel through one task).
+    *
+    * The hash order is `hash60 >> 8`: [[graft.functions.TopKAgg]]
+    * scores are doubles, and 52 bits is exactly the width a double
+    * represents losslessly — a raw 60-bit score would round and
+    * diverge from SQL's BIGINT ordering. Ties (2⁻⁵² per pair) break
+    * by key ASC identically in both engines. Output: one row per kept
+    * doc, `(groupCol, rnk, keyCol)` with rnk 1..k in hash order;
+    * groups smaller than k keep everything. NULL keys are ignored
+    * (never sampled); a NULL group is its own quota group.
+    */
+  def sampleKPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      k: Int,
+      seed: String,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val score = shiftright(TextFns.hash60(
+      concat_ws("|", lit(seed), col(keyCol).cast("string"))), 8)
+    docs
+      .select(col(groupCol), col(keyCol), score.cast("double").as("__h"))
+      .groupBy(col(groupCol))
+      .agg(call_function(graft.functions.GraftFunctions.TopKName,
+        col("__h"), col(keyCol), lit(k)).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as(keyCol))
+  }
+
   /** Stratified sample: an independent seeded fraction per value of
     * `strataCol` (e.g. keep 100% of rare languages, 1% of English).
     * Strata absent from `fractions` fall back to `defaultFraction`.

@@ -3571,6 +3571,85 @@ object QueryPackExt {
         FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id) f
       ORDER BY rrf DESC, doc_id LIMIT 20"""))
 
+  /** Exact-k per-group deterministic sample
+    * ([[graft.llm.Sampling.sampleKPerGroup]]): 5 docs per language
+    * under the seeded 52-bit hash order, ranked through the bounded
+    * `graft_topk` heap — the oracle is the grouped row_number over
+    * the same md5 arithmetic (q62's convention, shifted to double-
+    * exact width).
+    */
+  private val q132 = Q("q132_group_sample",
+    (s, dir) => graft.llm.Sampling
+      .sampleKPerGroup(t(s, dir, "documents"), "lang", k = 5,
+        seed = "s132")
+      .harnessSorted(col("lang"), col("rnk")),
+    Some(s"""
+      WITH h AS (
+        SELECT lang, doc_id,
+               ${h60("concat('s132', '|', CAST(doc_id AS VARCHAR))")} >> 8
+                 AS hh
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY hh DESC, doc_id)
+                 AS BIGINT) AS rnk
+        FROM h)
+      SELECT lang, rnk, doc_id FROM r WHERE rnk <= 5
+      ORDER BY lang, rnk"""))
+
+  /** Z-order key ([[graft.operators.Zorder.zkey]]): the 2-D Morton
+    * interleave of (custkey, order-day) as pure shift/or/and column
+    * arithmetic — the oracle rebuilds the identical 5-step mask
+    * cascade in SQL, so a wrong mask, shift, or clamp breaks the
+    * hash. (The layout rewrite itself — range partition + sort on
+    * this key — is file-level and spec-gated in ZorderSpec.)
+    */
+  private val q133 = Q("q133_zorder_key",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"),
+          lit(java.sql.Date.valueOf("1990-01-01")))
+          .cast("long").as("days"))
+        .withColumn("zkey", graft.operators.Zorder
+          .zkey(col("o_custkey"), col("days")))
+        .orderBy(col("zkey").desc, col("o_orderkey"))
+        .limit(20)
+        .harnessSorted(col("o_orderkey"))
+    },
+    Some {
+      def spread(pref: String): String = Seq(
+        ("v | (v << 16)", "281470681808895"),
+        ("v | (v << 8)", "71777214294589695"),
+        ("v | (v << 4)", "1085102592571150095"),
+        ("v | (v << 2)", "3689348814741910323"),
+        ("v | (v << 1)", "6148914691236517205"))
+        .zipWithIndex.map { case ((e, m), i) =>
+          s"${pref}${i + 1} AS (SELECT o_orderkey, (($e) & $m) AS v FROM ${pref}$i)"
+        }.mkString(",\n      ")
+      s"""
+      WITH base AS (
+        SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(datediff('day', DATE '1990-01-01', o_orderdate)
+                 AS BIGINT) AS days
+        FROM orders),
+      x0 AS (SELECT o_orderkey,
+                    GREATEST(0, LEAST(o_custkey, 2147483647)) AS v
+             FROM base),
+      y0 AS (SELECT o_orderkey,
+                    GREATEST(0, LEAST(days, 2147483647)) AS v
+             FROM base),
+      ${spread("x")},
+      ${spread("y")}
+      SELECT b.o_orderkey, b.o_custkey, b.days,
+             (x5.v | (y5.v << 1)) AS zkey
+      FROM base b
+      JOIN x5 ON x5.o_orderkey = b.o_orderkey
+      JOIN y5 ON y5.o_orderkey = b.o_orderkey
+      ORDER BY zkey DESC, b.o_orderkey LIMIT 20"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3579,7 +3658,7 @@ object QueryPackExt {
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131)
+    q127, q128, q129, q130, q131, q132, q133)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
