@@ -333,6 +333,107 @@ object Similarity {
       java.util.Arrays.asList(rows: _*), queries.schema)
   }
 
+  /** Product quantization (PQ, Jégou et al., TPAMI'11) — the ANN
+    * memory-compression standard next to [[quantizeInt8]]'s affine
+    * codes: the vector splits into `m` subvectors, each quantized to
+    * its nearest entry of a per-subspace codebook, so a 64-dim float
+    * vector becomes `m` small code ids (8 bytes at m=8 — 32× smaller)
+    * and distances are computed against RECONSTRUCTED centroids
+    * without ever decoding the corpus (ADC — asymmetric distance).
+    *
+    * Codebooks are label-seeded per-subspace means (the L15/ivfTrain
+    * convention — 3-decimal rounding makes partial-sum merge order
+    * and both engines agree exactly; a production build would refine
+    * them with [[kmeansStep]] Lloyd rounds, the already-certified op).
+    *
+    * Scale shape: the codebook is `m × nCodes` rows BY CONSTRUCTION
+    * (collected driver-side and inlined as literals — the bounded
+    * structural collect of the IVF convention); encoding is a map-only
+    * projection (per-sub `array_min` over literal (d2, code) structs —
+    * no explosion, no window, whole-stage codegen); ADC is one
+    * broadcast of the query set against the CODES relation — the
+    * corpus's float vectors are never read again after encode.
+    */
+  def pqTrain(emb: DataFrame, dims: Int = 64, m: Int = 8): DataFrame = {
+    require(m > 0 && dims % m == 0, "dims must split evenly into m subvectors")
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val sw = dims / m
+    val full = emb.groupBy(col("label"))
+      .agg(array((1 to dims).map(i =>
+        round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
+        .as("fullcv"))
+    val cbPlan = full.select(col("label").cast("int").as("code"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("fullcv"), s * sw + 1, sw)): _*)))
+      .select(col("pos").cast("int").as("sub"), col("code"),
+        col("col").as("cv"))
+    localizeQueries(cbPlan) // m × nCodes rows — bounded by construction
+  }
+
+  /** Per-sub code-id lookup tables from a (collected) [[pqTrain]]
+    * frame: `sub → MAP(code → cv)` literals, code-ordered.
+    */
+  private def pqMaps(cb: DataFrame, m: Int): IndexedSeq[(Column, Column)] = {
+    val rows = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    (0 until m).map { s =>
+      val entries = rows.filter(_._1 == s).sortBy(_._2)
+      require(entries.nonEmpty, s"codebook has no entries for sub $s")
+      val codes = array(entries.map(e => lit(e._2)).toIndexedSeq: _*)
+      val cvs = array(entries.map(e =>
+        array(e._3.map(lit): _*)).toIndexedSeq: _*)
+      (map_from_arrays(codes, cvs),
+        array(entries.map { e =>
+          struct(lit(e._2).as("code"), array(e._3.map(lit): _*).as("cv"))
+        }.toIndexedSeq: _*))
+    }
+  }
+
+  /** Encode the corpus: `(vec_id, codes ARRAY<INT>)`, codes[s] = the
+    * nearest sub-`s` codebook entry (ties → smaller code, the
+    * lexicographic struct-min order shared with SQL's row_number).
+    */
+  def pqEncode(emb: DataFrame, cb: DataFrame,
+      dims: Int = 64, m: Int = 8): DataFrame = {
+    val sw = dims / m
+    val maps = pqMaps(cb, m)
+    val codeCols = (0 until m).map { s =>
+      array_min(transform(maps(s)._2, e =>
+        struct(dist2(slice(col("embedding"), s * sw + 1, sw),
+          e.getField("cv")).as("d2"), e.getField("code").as("code"))))
+        .getField("code")
+    }
+    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** End-to-end PQ retrieval: train → encode → ADC top-k for the
+    * harness query set (vec_id < nQueries, self excluded). The
+    * asymmetric distance folds over the full `dims`-wide RECONSTRUCTED
+    * centroid (codebook entries concatenated by code id) in one
+    * [[dist2]] call, so the IEEE summation order is the plain
+    * j=1..dims fold both engines share — bit-comparable, no band.
+    * Ranking rides the bounded `graft_topk` heap on the negated
+    * distance (exact IEEE negation; ties by vec_id ASC).
+    */
+  def pqTopK(emb: DataFrame, dims: Int = 64, m: Int = 8,
+      nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val cb = pqTrain(emb, dims, m)
+    val enc = pqEncode(emb, cb, dims, m)
+    val maps = pqMaps(cb, m)
+    val recon = concat((0 until m).map(s =>
+      element_at(maps(s)._1, element_at(col("codes"), s + 1))): _*)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("__nad", -dist2(col("qv"), recon))
+      .groupBy(col("query_id"))
+      .agg(call_function(graft.functions.GraftFunctions.TopKName,
+        col("__nad"), col("vec_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("vec_id"), (-col("col.score")).as("adist"))
+  }
+
   /** The IVF "train" step alone: `(centroids(ccell, cv), inverted
     * file(vec_id, cell, embedding, nrm))` — the index [[ivfProbe]]
     * serves queries from, and the pair [[writeIvfIndex]] persists.
