@@ -434,6 +434,68 @@ object Similarity {
         col("col.id").as("vec_id"), (-col("col.score")).as("adist"))
   }
 
+  /** IVF-PQ — the composed large-corpus ANN serving shape (the FAISS
+    * `IVFxx,PQyy` standard): IVF cell pruning restricts each query to
+    * its `nProbe` nearest cells, and WITHIN those cells ranking is
+    * PQ asymmetric distance against the codes relation — after the
+    * one-time encode the corpus floats are never read again, so the
+    * per-query work is `nProbe/nCells` of the corpus in `m`-byte
+    * codes, the memory/IO regime that actually serves 10⁹-vector
+    * indexes.
+    *
+    * Composition of two already-certified parts: [[ivfTrain]]'s
+    * assignment (cells are disjoint, so the cell equi-join yields each
+    * candidate at most once per query — no dedup stage) and
+    * [[pqTopK]]'s ADC (codes computed straight off the inverted file:
+    * a map-only projection carrying `cell`, no join back). The
+    * asymmetric distance folds over the full reconstructed centroid in
+    * one [[dist2]] call — the j=1..dims IEEE order both engines
+    * share — and ranking rides the bounded `graft_topk` heap, so
+    * results hash-compare with no tolerance band (q135).
+    *
+    * Scale: queries broadcast (bounded by the caller), the corpus side
+    * is one codegen'd encode projection + an equi-join on `cell`; at
+    * index-build-once/serve-many scale the encode persists via the
+    * [[writeIvfIndex]] convention with `codes` in place of
+    * `embedding`.
+    */
+  def ivfPqTopK(emb: DataFrame, dims: Int = 64, m: Int = 8,
+      nProbe: Int = 2, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val (cent, cells) = ivfTrain(emb, dims)
+    val cb = pqTrain(emb, dims, m)
+    val maps = pqMaps(cb, m)
+    val sw = dims / m
+    val codeCols = (0 until m).map { s =>
+      array_min(transform(maps(s)._2, e =>
+        struct(dist2(slice(col("embedding"), s * sw + 1, sw),
+          e.getField("cv")).as("d2"), e.getField("code").as("code"))))
+        .getField("code")
+    }
+    val enc = cells.select(col("vec_id"), col("cell"),
+      array(codeCols: _*).as("codes"))
+    val recon = concat((0 until m).map(s =>
+      element_at(maps(s)._1, element_at(col("codes"), s + 1))): _*)
+    val cents = centArrayLiteral(collectCentroids(cent))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(sort_array(transform(cents,
+          c => struct(dist2(col("qv"), c.getField("cv")).as("d2"),
+            c.getField("ccell").as("cell")))), 1, nProbe)).as("__pc"))
+      .select(col("query_id"), col("qv"),
+        col("__pc").getField("cell").as("cell"))
+    enc.join(broadcast(probes),
+        enc("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("__nad", -dist2(col("qv"), recon))
+      .groupBy(col("query_id"))
+      .agg(call_function(graft.functions.GraftFunctions.TopKName,
+        col("__nad"), col("vec_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("vec_id"), (-col("col.score")).as("adist"))
+  }
+
   /** The IVF "train" step alone: `(centroids(ccell, cv), inverted
     * file(vec_id, cell, embedding, nrm))` — the index [[ivfProbe]]
     * serves queries from, and the pair [[writeIvfIndex]] persists.

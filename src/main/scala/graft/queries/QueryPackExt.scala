@@ -3704,6 +3704,72 @@ object QueryPackExt {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     })
 
+  /** IVF-PQ composed retrieval ([[graft.llm.Similarity.ivfPqTopK]]):
+    * cell-pruned candidate generation over PQ codes with ADC ranking —
+    * the `IVFxx,PQyy` serving standard. The oracle composes q91's
+    * assignment/probe blocks with q134's encode/ADC blocks on the one
+    * shared codebook CTE (IVF centroids and PQ full codebooks are the
+    * same label-seeded rounded means by construction).
+    */
+  private val q135 = Q("q135_ivfpq",
+    (s, dir) => Similarity.ivfPqTopK(t(s, dir, "embeddings"),
+      dims = 64, m = 8, nProbe = 2, nQueries = 5, k = 5)
+      .harnessSorted(col("query_id"), col("rnk")),
+    Some {
+      def sq(e: String) = s"($e) * ($e)"
+      val subD2 = sq("CAST(e.embedding[s.sub*8 + i] AS DOUBLE) " +
+        "- c.fullcv[s.sub*8 + i]")
+      val adcD2 = sq("CAST(p.qv[j] AS DOUBLE) " +
+        "- cbs.cbs[c.ca[(j-1)//8 + 1] + 1][j]")
+      s"""
+      WITH cbfull AS (
+        SELECT CAST(label AS INTEGER) AS code, $centroidList AS fullcv
+        FROM embeddings GROUP BY label),
+      subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+      encd AS (
+        SELECT e.vec_id, s.sub, c.code,
+               list_sum(list_transform(generate_series(1, 8),
+                 i -> $subD2)) AS d2
+        FROM embeddings e CROSS JOIN subs s CROSS JOIN cbfull c),
+      enc AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d2, code) AS rn
+          FROM encd) x WHERE rn = 1),
+      ca AS (SELECT vec_id, list(code ORDER BY sub) AS ca
+             FROM enc GROUP BY vec_id),
+      cbs AS (SELECT list(fullcv ORDER BY code) AS cbs FROM cbfull),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.code AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${dist2Sql("e.embedding", "c.fullcv")},
+                                             c.code) AS rn
+          FROM embeddings e, cbfull c) x WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qv,
+                 c.code AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${dist2Sql("q.embedding", "c.fullcv")},
+                                             c.code) AS crn
+          FROM embeddings q, cbfull c WHERE q.vec_id < 5) y WHERE crn <= 2),
+      ad AS (
+        SELECT p.query_id, c.vec_id,
+               list_sum(list_transform(generate_series(1, 64),
+                 j -> $adcD2)) AS adist
+        FROM ca c JOIN assign a ON c.vec_id = a.vec_id
+        JOIN probes p ON a.cell = p.cell AND c.vec_id <> p.query_id
+        CROSS JOIN cbs),
+      r AS (SELECT query_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist, vec_id) AS rnk
+            FROM ad)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, adist
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3712,7 +3778,7 @@ object QueryPackExt {
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -90,4 +90,46 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       Similarity.pqTrain(fixture, dims = 8, m = 3)
     }
   }
+
+  // ---- IVF-PQ composition (q135's mechanics) ----
+
+  test("ivfPq with nProbe = nCells reproduces plain PQ exactly") {
+    // cells partition the corpus, so probing all of them makes the
+    // candidate set identical to pqTopK's — same heap, same order,
+    // bit-identical distances
+    val key = (r: Row) => (r.getLong(0), r.getLong(1))
+    val a = Similarity.pqTopK(fixture, dims, m, nQueries = 3, k = 4)
+      .collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    val b = Similarity.ivfPqTopK(fixture, dims, m, nProbe = 4,
+        nQueries = 3, k = 4)
+      .collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(a === b)
+  }
+
+  test("ivfPq with nProbe = 1 searches only the query's own cell") {
+    // each label's vectors sit on one point, so IVF cells ARE the
+    // labels and a 1-probe search must return only same-label
+    // neighbors (self excluded): exactly the 2 co-located vectors
+    val out = Similarity.ivfPqTopK(fixture, dims, m, nProbe = 1,
+      nQueries = 6, k = 11).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 6L).toSet)
+    byQ.foreach { case (q, rows) =>
+      val label = q / 3
+      val expect = (0 until 3).map(c => label * 3 + c).filter(_ != q).toSet
+      assert(rows.map(_.getLong(2)).toSet === expect, s"q=$q")
+      rows.foreach(r => assert(r.getDouble(3) === 0.0))
+    }
+  }
+
+  test("ivfPq is invariant under partitioning") {
+    val key = (r: Row) => (r.getLong(0), r.getLong(1))
+    val a = Similarity.ivfPqTopK(
+        fixture.repartition(1), dims, m, nProbe = 2, nQueries = 4, k = 5)
+      .collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    val b = Similarity.ivfPqTopK(
+        fixture.repartition(7), dims, m, nProbe = 2, nQueries = 4, k = 5)
+      .collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(a === b)
+  }
 }
