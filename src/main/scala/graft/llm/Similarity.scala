@@ -687,6 +687,44 @@ object Similarity {
         cells("cell").as("cell"), col("sim"))
   }
 
+  /** Retrieval-quality evaluation — recall@k of the IVF probe against
+    * the exact brute-force ground truth on the same query set: the
+    * acceptance gate every ANN index deploy runs before serving
+    * traffic (raise `nProbe` until measured recall clears the bar).
+    *
+    * Emits one row per query: `(query_id, n_hit, recall)` where
+    * `n_hit = |ivf top-k ∩ exact top-k|` and `recall = n_hit / k`.
+    * Zero-overlap queries still report (left join back to the query
+    * set), and both retrievals exclude the query's own corpus row —
+    * the shared harness convention, so neither side gets a free hit.
+    *
+    * Scale shape: the heavy lifting is exactly the two
+    * already-certified retrieval ops (one corpus pass each, bounded
+    * heaps); the eval itself joins two nQueries×k result lists —
+    * report-sized by construction. `recall` is one exactly-rounded
+    * IEEE division of an integer pair, so it hash-compares (q136).
+    */
+  def ivfRecallEval(emb: DataFrame, dims: Int = 64, nProbe: Int = 2,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val (cent, cells) = ivfTrain(emb, dims)
+    val approx = ivfProbe(cent, cells,
+        localizeQueries(emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        nProbe = nProbe, k = k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = truth.join(approx, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** One full Lloyd (k-means) iteration beyond [[ivfTrain]]'s seed:
     * re-estimate centroids from the current assignment, re-assign
     * every vector, and report the resulting cell census

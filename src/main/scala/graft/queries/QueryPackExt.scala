@@ -3770,6 +3770,65 @@ object QueryPackExt {
       FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
     })
 
+  /** ANN recall@k acceptance gate
+    * ([[graft.llm.Similarity.ivfRecallEval]]): |IVF top-k ∩ exact
+    * top-k| / k per query — the deploy-time quality measurement for
+    * any approximate index. Oracle = q39's brute-force block joined
+    * against q91's IVF block on (query_id, vec_id).
+    */
+  private val q136 = Q("q136_ann_recall",
+    (s, dir) => Similarity.ivfRecallEval(t(s, dir, "embeddings"),
+      dims = 64, nProbe = 2, nQueries = 5, k = 10)
+      .harnessSorted(col("query_id")),
+    Some(s"""
+      WITH ${normCte()},
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+            FROM e WHERE vec_id < 5),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY ${dotSql("q.qv", "e.embedding")}
+                                             / (q.qn * e.nrm) DESC,
+                                             e.vec_id) AS rnk
+          FROM e JOIN q ON e.vec_id <> q.query_id) x WHERE rnk <= 10),
+      cent AS (
+        SELECT label, $centroidList AS cv FROM embeddings GROUP BY label),
+      assign AS (
+        SELECT vec_id, cell, embedding, nrm FROM (
+          SELECT e.vec_id, c.label AS cell, e.embedding, e.nrm,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${dist2Sql("e.embedding", "c.cv")},
+                                             c.label) AS rn
+          FROM e, cent c) x WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qv, qn, cell FROM (
+          SELECT q.query_id, q.qv, q.qn, c.label AS cell,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY ${dist2Sql("q.qv", "c.cv")},
+                                             c.label) AS crn
+          FROM q, cent c) y WHERE crn <= 2),
+      approx AS (
+        SELECT query_id, vec_id FROM (
+          SELECT p.query_id, a.vec_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY ${dotSql("p.qv", "a.embedding")}
+                                             / (p.qn * a.nrm) DESC,
+                                             a.vec_id) AS rnk
+          FROM assign a JOIN probes p
+            ON a.cell = p.cell AND a.vec_id <> p.query_id) z
+        WHERE rnk <= 10),
+      hits AS (
+        SELECT t.query_id, count(*) AS n_hit
+        FROM truth t JOIN approx a
+          ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+        GROUP BY t.query_id)
+      SELECT q.query_id,
+             CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall
+      FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+      ORDER BY q.query_id"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3778,7 +3837,7 @@ object QueryPackExt {
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

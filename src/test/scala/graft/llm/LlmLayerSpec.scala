@@ -532,6 +532,36 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(hit.getLong(2) === 0L && hit.getDouble(3) > 0.99)
   }
 
+  test("similarity: ivf recall eval is exactly 1.0 when every cell is probed") {
+    val s = spark
+    import s.implicits._
+    // 3 well-separated label clusters in 4 dims; nProbe = nCells makes
+    // the IVF probe exhaustive, so recall@k against brute force must
+    // be exactly 1.0 for every query — and n_hit exactly k (bounded by
+    // the available corpus: 8 non-self rows, so k=4 is satisfiable)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0.8f, 0.2f, 0f, 0f), 0), (3L, Array(0f, 1f, 0f, 0f), 1),
+      (4L, Array(0.1f, 0.9f, 0f, 0f), 1), (5L, Array(0f, 0f, 1f, 0f), 2),
+      (6L, Array(0f, 0f, 0.9f, 0.1f), 2), (7L, Array(0f, 0.1f, 0.9f, 0f), 2),
+      (8L, Array(0.2f, 0f, 0.8f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val full = Similarity.ivfRecallEval(emb, dims = 4, nProbe = 3,
+      nQueries = 3, k = 4).collect().sortBy(_.getLong(0))
+    assert(full.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    full.foreach { r =>
+      assert(r.getLong(1) === 4L, s"q=${r.getLong(0)}")
+      assert(r.getDouble(2) === 1.0)
+    }
+    // 1-probe recall can only drop, never rise, and every query still
+    // reports a row (left-join contract)
+    val one = Similarity.ivfRecallEval(emb, dims = 4, nProbe = 1,
+      nQueries = 3, k = 4).collect().sortBy(_.getLong(0))
+    assert(one.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    one.foreach(r => assert(r.getLong(1) <= 4L &&
+      r.getDouble(2) === r.getLong(1) / 4.0))
+  }
+
   test("video container round trip: generated MJPEG-AVI and MP4 parse back") {
     val s = spark
     import s.implicits._
