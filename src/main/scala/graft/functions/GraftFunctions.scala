@@ -22,6 +22,9 @@ object GraftFunctions {
   val FreqItemsName = "graft_freq_items"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
+  val HllAggName = "graft_hll_agg"
+  val HllEstName = "graft_hll_est"
+  val HllZerosName = "graft_hll_zeros"
   val ApproxQuantileName = "graft_approx_quantile"
   val ExactPercentileName = "graft_exact_percentile"
   val ExactDistinctName = "graft_exact_distinct"
@@ -113,6 +116,27 @@ object GraftFunctions {
     BloomContains(args(0), args(1))
   }
 
+  private val hllAggInfo = new ExpressionInfo(
+    classOf[HllAgg].getName, HllAggName)
+  private def hllAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$HllAggName expects (key, p)")
+    HllAgg(args(0), args(1))
+  }
+
+  private val hllEstInfo = new ExpressionInfo(
+    classOf[HllEst].getName, HllEstName)
+  private def hllEstBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$HllEstName expects (sketch)")
+    HllEst(args(0))
+  }
+
+  private val hllZerosInfo = new ExpressionInfo(
+    classOf[HllZeros].getName, HllZerosName)
+  private def hllZerosBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$HllZerosName expects (sketch)")
+    HllZeros(args(0))
+  }
+
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
     (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
@@ -129,7 +153,10 @@ object GraftFunctions {
       exactDistinctBuilder _),
     (FunctionIdentifier(BloomAggName), bloomAggInfo, bloomAggBuilder _),
     (FunctionIdentifier(BloomContainsName), bloomContainsInfo,
-      bloomContainsBuilder _))
+      bloomContainsBuilder _),
+    (FunctionIdentifier(HllAggName), hllAggInfo, hllAggBuilder _),
+    (FunctionIdentifier(HllEstName), hllEstInfo, hllEstBuilder _),
+    (FunctionIdentifier(HllZerosName), hllZerosInfo, hllZerosBuilder _))
 
   /** Idempotent per-session registration (the analyzer resolves
     * `call_function` names through the session's FunctionRegistry).

@@ -733,4 +733,34 @@ object TextAnalysis {
         round(lit(1.0) - coalesce(col("__h"), lit(0.0)), 6)
           .as("hellinger_sq"))
   }
+
+  /** Per-language vocabulary cardinality through the mergeable HLL
+    * sketch ([[graft.functions.HllAgg]]), with the EXACT count
+    * alongside as the accuracy control: `(lang, n_exact, est,
+    * n_zero)`. The demo query reports both so the sketch's error is
+    * visible in the result itself; at corpus scale the exact side is
+    * the one you drop — the sketch carries 2^p bytes per language
+    * through any merge tree while the exact count carries the
+    * vocabulary. Separate aggregates joined on the tiny language key,
+    * NOT one agg with a packed countDistinct (the q49/datasetCard
+    * Expand lesson); the exact side is the two-phase distinct→count
+    * reshape, both map-side partial.
+    */
+  def vocabSketch(docs: DataFrame, p: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    import graft.functions.GraftFunctions.{HllAggName, HllEstName, HllZerosName}
+    val toks = docs.select(col("lang"),
+      explode(TextFns.tokens(col("text"))).as("w"))
+    val exact = toks.distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+    val sk = toks
+      .groupBy(col("lang"))
+      .agg(call_function(HllAggName,
+        TextFns.hash60(col("w")), lit(p)).as("__sk"))
+      .select(col("lang"),
+        call_function(HllEstName, col("__sk")).as("est"),
+        call_function(HllZerosName, col("__sk")).as("n_zero"))
+    exact.join(broadcast(sk), Seq("lang"))
+      .select(col("lang"), col("n_exact"), col("est"), col("n_zero"))
+  }
 }

@@ -3829,6 +3829,52 @@ object QueryPackExt {
       FROM q LEFT JOIN hits h ON q.query_id = h.query_id
       ORDER BY q.query_id"""))
 
+  /** HLL vocabulary sketch ([[graft.llm.TextAnalysis.vocabSketch]]):
+    * per-language distinct-token estimate from the mergeable 2^p-byte
+    * `graft_hll_agg` state, exact count alongside as the accuracy
+    * control. The oracle rebuilds the registers in SQL from the same
+    * portable md5 hash (bucket = top p bits, rho via `bin()` length)
+    * and the integer-exact harmonic sum `S = Σ 2^{51−reg}` — the
+    * estimate is one shared-order IEEE expression over (m, S), so the
+    * doubles hash-compare with no band.
+    */
+  private val q137 = Q("q137_hll_vocab",
+    (s, dir) => graft.llm.TextAnalysis.vocabSketch(
+      t(s, dir, "documents"), p = 10)
+      .harnessSorted(col("lang")),
+    Some(s"""
+      WITH $ToksCte,
+      tw AS (SELECT lang, unnest(w) AS x FROM toks),
+      hashes AS (SELECT lang, ${h60("x")} AS h FROM tw),
+      rr AS (
+        SELECT lang, CAST(h // 1125899906842624 AS INTEGER) AS bucket,
+               CASE WHEN h % 1125899906842624 = 0 THEN 51
+                    ELSE 50 - length(bin(h % 1125899906842624)) + 1
+               END AS rho
+        FROM hashes),
+      regs AS (SELECT lang, bucket, max(rho) AS reg
+               FROM rr GROUP BY lang, bucket),
+      langs AS (SELECT DISTINCT lang FROM documents),
+      series AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
+      allregs AS (
+        SELECT l.lang, s.bucket, COALESCE(r.reg, 0) AS reg
+        FROM langs l CROSS JOIN series s
+        LEFT JOIN regs r ON r.lang = l.lang AND r.bucket = s.bucket),
+      st AS (
+        SELECT lang,
+               CAST(sum(CAST(1 AS BIGINT) << (51 - reg)) AS BIGINT) AS s,
+               CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS INTEGER)
+                 AS n_zero
+        FROM allregs GROUP BY lang),
+      ex AS (SELECT lang, count(*) AS n_exact
+             FROM (SELECT DISTINCT lang, x FROM tw) d GROUP BY lang)
+      SELECT st.lang, CAST(ex.n_exact AS BIGINT) AS n_exact,
+             0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+               * 2251799813685248.0 / CAST(st.s AS DOUBLE) AS est,
+             st.n_zero
+      FROM st JOIN ex ON st.lang = ex.lang
+      ORDER BY st.lang"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3837,7 +3883,7 @@ object QueryPackExt {
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

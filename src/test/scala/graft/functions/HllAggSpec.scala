@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** The q137 oracle gates the cross-engine register/estimate
+  * arithmetic on the real corpus; this spec pins the SKETCH CONTRACT:
+  * merge-tree invariance (the one property that makes it a sketch),
+  * duplicate insensitivity, the advertised accuracy at its standard
+  * error, and the header/bounds guardrails.
+  */
+class HllAggSpec extends AnyFunSuite with SparkSpec {
+
+  private def sketch(keys: Seq[Long], p: Int, partitions: Int): Array[Byte] = {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    keys.map(Tuple1(_)).toDF("k").repartition(partitions)
+      .agg(expr(s"graft_hll_agg(k, $p)").as("h"))
+      .collect()(0).getAs[Array[Byte]]("h")
+  }
+
+  // uniform 60-bit stand-ins for hash60 output
+  private def key60(i: Long): Long = BloomAgg.mix(i) & ((1L << 60) - 1)
+
+  test("state bytes are invariant under partitioning, row order, and duplicates") {
+    val keys = (0L until 3000L).map(key60)
+    val a = sketch(keys, p = 10, partitions = 1)
+    val shuffled = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(keys ++ keys.take(500))
+    val b = sketch(shuffled, p = 10, partitions = 11)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("estimate tracks the true cardinality within 3 standard errors") {
+    // sigma = 1.04/sqrt(m); at p=10, 3 sigma ~ 9.75%
+    for (n <- Seq(2000, 20000, 100000)) {
+      val est = HllAgg.estimate(sketch((0L until n.toLong).map(key60),
+        p = 10, partitions = 8))
+      val rel = math.abs(est - n) / n
+      assert(rel < 0.0975, s"n=$n est=$est rel=$rel")
+    }
+  }
+
+  test("zeros counts empty registers; estimate and zeros read the header p") {
+    val one = sketch(Seq(key60(42L)), p = 8, partitions = 1)
+    assert(HllAgg.readP(one) === 8)
+    assert(HllAgg.zeros(one) === 255) // 256 registers, exactly one hit
+    val est = HllAgg.estimate(one)
+    // raw estimate without small-range correction sits near alpha*m,
+    // NOT near 1 — the documented contract: the caller applies linear
+    // counting from (m, zeros) when zeros > 0 and the estimate is small
+    assert(est > 100.0 && est < 300.0, s"raw small-range estimate $est")
+    val m = 256.0
+    val linear = m * math.log(m / HllAgg.zeros(one))
+    assert(math.abs(linear - 1.0) < 0.01, s"linear counting gives $linear")
+  }
+
+  test("scalar companions agree with the kernel through SQL") {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    val row = (0L until 5000L).map(key60).map(Tuple1(_)).toDF("k")
+      .agg(expr("graft_hll_agg(k, 10)").as("h"))
+      .select(expr("graft_hll_est(h)").as("e"), expr("graft_hll_zeros(h)").as("z"),
+        col("h"))
+      .collect()(0)
+    assert(row.getDouble(0) === HllAgg.estimate(row.getAs[Array[Byte]]("h")))
+    assert(row.getInt(1) === HllAgg.zeros(row.getAs[Array[Byte]]("h")))
+  }
+
+  test("p outside [4, 18] and non-bigint keys are clean analysis failures") {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L).map(Tuple1(_)).toDF("k")
+    intercept[Exception](df.agg(expr("graft_hll_agg(k, 3)")).collect())
+    intercept[Exception](df.agg(expr("graft_hll_agg(k, 19)")).collect())
+    intercept[Exception](
+      Seq("x").map(Tuple1(_)).toDF("sk").agg(expr("graft_hll_agg(sk, 10)"))
+        .collect())
+  }
+}
