@@ -23,6 +23,8 @@ object GraftFunctions {
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
   val HllAggName = "graft_hll_agg"
+  val HllUnionAggName = "graft_hll_union_agg"
+  val HllMergeName = "graft_hll_merge"
   val HllEstName = "graft_hll_est"
   val HllZerosName = "graft_hll_zeros"
   val ApproxQuantileName = "graft_approx_quantile"
@@ -123,6 +125,20 @@ object GraftFunctions {
     HllAgg(args(0), args(1))
   }
 
+  private val hllUnionAggInfo = new ExpressionInfo(
+    classOf[HllUnionAgg].getName, HllUnionAggName)
+  private def hllUnionAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$HllUnionAggName expects (sketch)")
+    HllUnionAgg(args(0))
+  }
+
+  private val hllMergeInfo = new ExpressionInfo(
+    classOf[HllMerge].getName, HllMergeName)
+  private def hllMergeBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$HllMergeName expects (a, b)")
+    HllMerge(args(0), args(1))
+  }
+
   private val hllEstInfo = new ExpressionInfo(
     classOf[HllEst].getName, HllEstName)
   private def hllEstBuilder(args: Seq[Expression]): Expression = {
@@ -155,6 +171,9 @@ object GraftFunctions {
     (FunctionIdentifier(BloomContainsName), bloomContainsInfo,
       bloomContainsBuilder _),
     (FunctionIdentifier(HllAggName), hllAggInfo, hllAggBuilder _),
+    (FunctionIdentifier(HllUnionAggName), hllUnionAggInfo,
+      hllUnionAggBuilder _),
+    (FunctionIdentifier(HllMergeName), hllMergeInfo, hllMergeBuilder _),
     (FunctionIdentifier(HllEstName), hllEstInfo, hllEstBuilder _),
     (FunctionIdentifier(HllZerosName), hllZerosInfo, hllZerosBuilder _))
 

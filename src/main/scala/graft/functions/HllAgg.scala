@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -168,6 +168,26 @@ object HllAgg {
       java.lang.Math.pow(2.0, (shift + 1).toDouble) / s.toDouble
   }
 
+  /** In-place union of `b` into `a` (elementwise register max).
+    * An empty `a` (the union-agg's pre-first-input marker) adopts a
+    * copy of `b`; a p mismatch is a loud error, not a silent garbage
+    * estimate. Exact for HLL semantics: union-of-states ≡
+    * state-of-concatenated-inputs, bit-for-bit.
+    */
+  def union(a: Array[Byte], b: Array[Byte], caller: String): Array[Byte] = {
+    if (b.isEmpty) return a
+    if (a.isEmpty) return b.clone()
+    require(readP(a) == readP(b),
+      s"$caller: sketches built at different p (${readP(a)} vs " +
+        s"${readP(b)}) describe different bucket spaces and cannot merge")
+    var i = HeaderBytes
+    while (i < a.length) {
+      if ((b(i) & 0xFF) > (a(i) & 0xFF)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
   /** Zero-register count V — the linear-counting input the caller
     * needs to apply the small-range correction `m·ln(m/V)`.
     */
@@ -181,6 +201,94 @@ object HllAgg {
     }
     v
   }
+}
+
+/** `graft_hll_union_agg(sketch BINARY)` → BINARY: roll pre-built
+  * [[HllAgg]] sketches up by elementwise max — the persistence story:
+  * per-shard/per-day sketches land in a table once, and any later
+  * slice's cardinality is an aggregation over sketch ROWS, never a
+  * re-scan of the corpus (the Bloom/IVF persisted-index convention,
+  * for cardinality). Union is exact for HLL semantics, so the rolled
+  * state equals the sketch of the concatenated inputs bit-for-bit
+  * (spec-asserted). Mixed-p inputs are a loud error — a p mismatch
+  * means the registers describe different bucket spaces, and max-ing
+  * them silently would estimate garbage.
+  */
+case class HllUnionAgg(
+    sketch: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (sketch.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY graft_hll_agg sketches, got " +
+        sketch.dataType.sql)
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hll_union_agg"
+
+  /** Empty marker until the first input fixes p (zero-length array —
+    * never a valid wire image, so it can't be confused with a state).
+    */
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = sketch.eval(input)
+    if (v == null) buf
+    else HllAgg.union(buf, v.asInstanceOf[Array[Byte]], prettyName)
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    HllAgg.union(buf, other, prettyName)
+
+  /** An all-null/empty group still evals to a VALID empty sketch
+    * (p is unknowable — use the smallest layout) so downstream
+    * `graft_hll_est` never sees a zero-length image.
+    */
+  override def eval(buf: Array[Byte]): Any =
+    if (buf.isEmpty) HllAgg.emptyRegisters(4) else buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllUnionAgg =
+    copy(sketch = newChildren(0))
+}
+
+/** `graft_hll_merge(a BINARY, b BINARY)` → BINARY: pairwise sketch
+  * union — the scalar for sketch ALGEBRA on report-sized rows
+  * (inclusion–exclusion intersection estimates, pairwise overlap
+  * matrices between slices). Same p contract as [[HllUnionAgg]].
+  */
+case class HllMerge(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (a.dataType == BinaryType && b.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two BINARY graft_hll_agg sketches, got " +
+        s"(${a.dataType.sql}, ${b.dataType.sql})")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hll_merge"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    HllAgg.union(x.asInstanceOf[Array[Byte]].clone(),
+      y.asInstanceOf[Array[Byte]], prettyName)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.HllAgg.union($x.clone(), $y, \"$prettyName\")")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllMerge =
+    copy(a = newLeft, b = newRight)
 }
 
 /** `graft_hll_est(sketch BINARY)` → DOUBLE: the raw HLL estimate of a

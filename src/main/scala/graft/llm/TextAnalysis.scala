@@ -763,4 +763,48 @@ object TextAnalysis {
     exact.join(broadcast(sk), Seq("lang"))
       .select(col("lang"), col("n_exact"), col("est"), col("n_zero"))
   }
+
+  /** Pairwise vocabulary overlap between sources by HLL sketch
+    * algebra: one corpus pass builds a per-source sketch, then every
+    * (a, b) pair reports `est_a`, `est_b`, `est_union`
+    * (`graft_hll_merge` — exact register union) and the
+    * inclusion–exclusion `est_overlap = est_a + est_b − est_union`.
+    * The mixture diagnostic L106 answers with exact token
+    * distributions, answered here at sketch cost: after the one scan,
+    * the whole overlap matrix is arithmetic over (nSources × 2^p
+    * bytes) — at 100 TB the per-source sketch table persists once
+    * (`graft_hll_union_agg` rolls shards up) and pairwise overlap
+    * never touches the corpus again.
+    *
+    * The sketch rows land driver-side (one per source — the ivfTrain
+    * bounded-structural-collect convention) so the pair cross join is
+    * a LocalRelation, not a recompute of the corpus agg per side.
+    * `est_overlap` can go slightly negative on near-disjoint sources
+    * (estimator noise); reported raw, not clamped — a clamp would
+    * hide exactly the signal (noise magnitude) the control column
+    * pair gives.
+    */
+  def vocabOverlap(docs: DataFrame, p: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    import graft.functions.GraftFunctions.{HllAggName, HllEstName, HllMergeName}
+    val skPlan = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("source"))
+      .agg(call_function(HllAggName,
+        TextFns.hash60(col("w")), lit(p)).as("sk"))
+    val rows = skPlan.collect()
+    val local = skPlan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), skPlan.schema)
+    val a = local.select(col("source").as("source_a"), col("sk").as("__ska"))
+    val b = local.select(col("source").as("source_b"), col("sk").as("__skb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        call_function(HllEstName, col("__ska")).as("est_a"),
+        call_function(HllEstName, col("__skb")).as("est_b"),
+        call_function(HllEstName,
+          call_function(HllMergeName, col("__ska"), col("__skb")))
+          .as("est_union"))
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
 }

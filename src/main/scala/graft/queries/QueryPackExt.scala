@@ -3875,6 +3875,105 @@ object QueryPackExt {
       FROM st JOIN ex ON st.lang = ex.lang
       ORDER BY st.lang"""))
 
+  /** HLL sketch algebra ([[graft.llm.TextAnalysis.vocabOverlap]]):
+    * pairwise source-vocabulary overlap by inclusion–exclusion over
+    * register unions — after one corpus pass the whole overlap matrix
+    * is arithmetic over per-source sketches. The oracle rebuilds
+    * per-source registers AND per-pair max-union registers in SQL,
+    * with the same integer-exact harmonic sums as q137.
+    */
+  private val q138 = Q("q138_vocab_overlap",
+    (s, dir) => graft.llm.TextAnalysis.vocabOverlap(
+      t(s, dir, "documents"), p = 10)
+      .harnessSorted(col("source_a"), col("source_b")),
+    Some {
+      def est(s: String) =
+        "0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 " +
+          s"* 2251799813685248.0 / CAST($s AS DOUBLE)"
+      s"""
+      WITH $ToksCte,
+      tw AS (SELECT source, unnest(w) AS x FROM toks),
+      hashes AS (SELECT source, ${h60("x")} AS h FROM tw),
+      rr AS (
+        SELECT source, CAST(h // 1125899906842624 AS INTEGER) AS bucket,
+               CASE WHEN h % 1125899906842624 = 0 THEN 51
+                    ELSE 50 - length(bin(h % 1125899906842624)) + 1
+               END AS rho
+        FROM hashes),
+      regs AS (SELECT source, bucket, max(rho) AS reg
+               FROM rr GROUP BY source, bucket),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      series AS (SELECT unnest(generate_series(0, 1023)) AS bucket),
+      allregs AS (
+        SELECT s.source, se.bucket, COALESCE(r.reg, 0) AS reg
+        FROM srcs s CROSS JOIN series se
+        LEFT JOIN regs r ON r.source = s.source AND r.bucket = se.bucket),
+      st AS (
+        SELECT source,
+               CAST(sum(CAST(1 AS BIGINT) << (51 - reg)) AS BIGINT) AS s
+        FROM allregs GROUP BY source),
+      stu AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(sum(CAST(1 AS BIGINT) <<
+                 (51 - CASE WHEN a.reg >= b.reg THEN a.reg ELSE b.reg END))
+                 AS BIGINT) AS s
+        FROM allregs a JOIN allregs b
+          ON a.bucket = b.bucket AND a.source < b.source
+        GROUP BY a.source, b.source),
+      es AS (
+        SELECT u.source_a, u.source_b,
+               ${est("sa.s")} AS est_a, ${est("sb.s")} AS est_b,
+               ${est("u.s")} AS est_union
+        FROM stu u
+        JOIN st sa ON sa.source = u.source_a
+        JOIN st sb ON sb.source = u.source_b)
+      SELECT source_a, source_b, est_a, est_b, est_union,
+             est_a + est_b - est_union AS est_overlap
+      FROM es ORDER BY source_a, source_b"""
+    })
+
+  /** ST11's batch twin
+    * ([[graft.streaming.StreamOps.streamingDistinctUsers]] verbatim on
+    * the batch events table): per-hour distinct-user HLL estimates —
+    * the bounded-state streaming cardinality op's value semantics,
+    * register-rebuilt in SQL at p=8 (m=256, shift=52).
+    */
+  private val q139 = Q("q139_stream_distinct_twin",
+    (s, dir) => graft.streaming.StreamOps
+      .streamingDistinctUsers(QueryPack.events(s, dir), p = 8)
+      .select(unix_timestamp(col("win_start")).as("win_start"),
+        col("est_users"), col("n_zero"))
+      .harnessSorted(col("win_start")),
+    Some(s"""
+      WITH rr AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+               CAST(h // 4503599627370496 AS INTEGER) AS bucket,
+               CASE WHEN h % 4503599627370496 = 0 THEN 53
+                    ELSE 52 - length(bin(h % 4503599627370496)) + 1
+               END AS rho
+        FROM (SELECT ts, ${h60("CAST(user_id AS VARCHAR)")} AS h
+              FROM events)),
+      regs AS (SELECT win_start, bucket, max(rho) AS reg
+               FROM rr GROUP BY win_start, bucket),
+      wins AS (SELECT DISTINCT win_start FROM rr),
+      series AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+      allregs AS (
+        SELECT w.win_start, se.bucket, COALESCE(r.reg, 0) AS reg
+        FROM wins w CROSS JOIN series se
+        LEFT JOIN regs r ON r.win_start = w.win_start
+                        AND r.bucket = se.bucket),
+      st AS (
+        SELECT win_start,
+               CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS s,
+               CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS INTEGER)
+                 AS n_zero
+        FROM allregs GROUP BY win_start)
+      SELECT win_start,
+             0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+               * 9007199254740992.0 / CAST(s AS DOUBLE) AS est_users,
+             n_zero
+      FROM st ORDER BY win_start"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3883,7 +3982,8 @@ object QueryPackExt {
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
+    q138, q139)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -258,6 +258,36 @@ object StreamOps {
       .select(col("w.start").as("win_start"), col("top"))
   }
 
+  /** ST11 (r15) — streaming windowed DISTINCT counts through the
+    * mergeable HLL sketch ([[graft.functions.HllAgg]]): "distinct
+    * users per hour" with per-window state FIXED at 2^p bytes no
+    * matter how many users flow — the open-key-space regime where an
+    * exact windowed countDistinct's state is unbounded (the same
+    * bounded-state argument as ST10's heavy hitters, for
+    * cardinality). The sketch's elementwise-max merge is exactly
+    * incremental aggregation: each micro-batch folds into the window
+    * state, late data beyond the watermark drops and window state
+    * reclaims. Source-agnostic: on a batch frame this is a plain
+    * windowed aggregation — the fixpoint the incremental form
+    * converges to, oracle-gated as q139.
+    */
+  def streamingDistinctUsers(
+      events: DataFrame,
+      p: Int = 8,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"))
+      .agg(expr(
+        s"graft_hll_agg(graft_hash60(CAST(user_id AS STRING)), $p)")
+        .as("sk"))
+      .select(col("w.start").as("win_start"),
+        expr("graft_hll_est(sk)").as("est_users"),
+        expr("graft_hll_zeros(sk)").as("n_zero"))
+  }
+
   /** ST7 — online ANN serving: a stream of query vectors
     * `(query_id, qv)` probed against a STATIC (pre-trained, usually
     * [[graft.llm.Similarity.readIvfIndex]]-loaded) IVF index, each

@@ -70,6 +70,58 @@ class HllAggSpec extends AnyFunSuite with SparkSpec {
     assert(row.getInt(1) === HllAgg.zeros(row.getAs[Array[Byte]]("h")))
   }
 
+  test("union-agg over per-shard sketches equals the direct sketch bit-for-bit") {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    val keys = (0L until 8000L).map(key60)
+    // per-shard sketches (the persisted-sketch-table shape), rolled up
+    val rolled = keys.zipWithIndex.map { case (k, i) => (i % 5, k) }
+      .toDF("shard", "k")
+      .groupBy("shard").agg(expr("graft_hll_agg(k, 10)").as("h"))
+      .agg(expr("graft_hll_union_agg(h)").as("u"))
+      .collect()(0).getAs[Array[Byte]]("u")
+    val direct = sketch(keys, p = 10, partitions = 3)
+    assert(java.util.Arrays.equals(rolled, direct))
+    // pairwise scalar merge of two half-sketches agrees too
+    val halfRows = keys.zipWithIndex.map { case (k, i) => (i % 2, k) }
+      .toDF("half", "k")
+      .groupBy("half").agg(expr("graft_hll_agg(k, 10)").as("h"))
+      .collect().map(_.getAs[Array[Byte]]("h"))
+    assert(halfRows.length === 2)
+    val merged = Seq((halfRows(0), halfRows(1))).toDF("a", "b")
+      .select(expr("graft_hll_merge(a, b)").as("m"))
+      .collect()(0).getAs[Array[Byte]]("m")
+    assert(java.util.Arrays.equals(merged, direct))
+  }
+
+  test("inclusion-exclusion overlap tracks the true intersection") {
+    // A = [0, 30k), B = [20k, 50k): true overlap 10k of 40k-sized union
+    val a = sketch((0L until 30000L).map(key60), p = 12, partitions = 4)
+    val b = sketch((20000L until 50000L).map(key60), p = 12, partitions = 4)
+    val u = HllAgg.union(a.clone(), b, "spec")
+    val overlap =
+      HllAgg.estimate(a) + HllAgg.estimate(b) - HllAgg.estimate(u)
+    // three estimates, each ~1.6% sigma at p=12 — 10% of the true
+    // 10k intersection is a generous 3-sigma-ish band
+    assert(math.abs(overlap - 10000.0) < 1000.0, s"overlap=$overlap")
+  }
+
+  test("union of sketches built at different p is a loud error") {
+    val a = sketch(Seq(key60(1L)), p = 10, partitions = 1)
+    val b = sketch(Seq(key60(2L)), p = 12, partitions = 1)
+    val e = intercept[IllegalArgumentException](HllAgg.union(a, b, "spec"))
+    assert(e.getMessage.contains("different p"))
+    // empty-group union-agg still evals to a valid (tiny) sketch
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[Array[Byte]].map(Tuple1(_)).toDF("h")
+      .agg(expr("graft_hll_union_agg(h)").as("u"))
+      .select(expr("graft_hll_zeros(u)").as("z")).collect()(0).getInt(0)
+    assert(empty === 16) // p=4 placeholder, all registers zero
+  }
+
   test("p outside [4, 18] and non-bigint keys are clean analysis failures") {
     GraftFunctions.ensureRegistered(spark)
     val s = spark

@@ -76,6 +76,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming distinct-user sketch: cross-batch state equals the batch fixpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.streamingDistinctUsers(
+        in.toDF().toDF("ts", "user_id"), p = 8,
+        watermarkDelay = "5 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("du")
+      .outputMode("append").start()
+    try {
+      // hour-0 users split across TWO micro-batches, with repeats:
+      // the register max-merge must accumulate across them
+      in.addData((ts(0), 1L), (ts(10), 2L), (ts(20), 1L))
+      q.processAllAvailable()
+      in.addData((ts(60), 3L), (ts(70), 2L), (ts(80), 4L))
+      q.processAllAvailable()
+      assert(spark.table("du").count() === 0) // window not finalized
+      in.addData((ts(3600 * 3), 99L)) // advance the watermark
+      q.processAllAvailable()
+      in.addData((ts(3600 * 3 + 1), 99L))
+      q.processAllAvailable()
+      val got = spark.table("du").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+      assert(got.length === 1)
+      // the fixpoint: the SAME function over the combined batch frame
+      val expect = StreamOps.streamingDistinctUsers(
+          Seq((ts(0), 1L), (ts(10), 2L), (ts(20), 1L), (ts(60), 3L),
+            (ts(70), 2L), (ts(80), 4L)).toDF("ts", "user_id"), p = 8)
+        .collect().filter(_.getTimestamp(0).getTime == 0L)
+      assert(got.head.getDouble(1) === expect.head.getDouble(1))
+      assert(got.head.getInt(2) === expect.head.getInt(2))
+      // 4 distinct users can zero out at most 4 of the 256 registers
+      assert(got.head.getInt(2) >= 252 && got.head.getInt(2) < 256)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: EVICTION regime recovers the planted top-4 in order") {
     // q125's planted-gap construction at stream scale: 4 heavy tokens
     // (80/60/40/20) + 18 singleton tail tokens, capacity 16 < 22
