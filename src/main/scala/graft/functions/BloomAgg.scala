@@ -1,10 +1,11 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -169,22 +170,22 @@ object BloomAgg {
     * probe with the wrong hash count.
     */
   def toBytes(words: Array[Long], k: Int): Array[Byte] = {
-    val bytes = new ByteArrayOutputStream(8 + words.length * 8)
-    val out = new DataOutputStream(bytes)
-    out.writeInt(k)
-    out.writeInt(words.length)
-    var i = 0
-    while (i < words.length) { out.writeLong(words(i)); i += 1 }
-    out.flush()
-    bytes.toByteArray
+    // Bulk ByteBuffer transfer: a filter is MBs (2^24 bits = 2 MB) and
+    // every partial serializes one per shuffle — per-byte stream writes
+    // here measurably floor the whole build (r15: ~0.6 s at 2^24×32
+    // partials before this, dominated by DataOutputStream.writeLong).
+    val bb = java.nio.ByteBuffer.allocate(8 + words.length * 8)
+    bb.putInt(k)
+    bb.putInt(words.length)
+    bb.asLongBuffer().put(words)
+    bb.array()
   }
 
   def fromBytes(bytes: Array[Byte]): (Array[Long], Int) = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val k = in.readInt()
-    val words = new Array[Long](in.readInt())
-    var i = 0
-    while (i < words.length) { words(i) = in.readLong(); i += 1 }
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val k = bb.getInt()
+    val words = new Array[Long](bb.getInt())
+    bb.asLongBuffer().get(words)
     (words, k)
   }
 
@@ -216,6 +217,46 @@ object BloomAgg {
   private def readLong(b: Array[Byte], off: Int): Long =
     ((readInt(b, off) & 0xFFFFFFFFL) << 32) |
       (readInt(b, off + 4) & 0xFFFFFFFFL)
+
+  /** Register a probe function bound to a BROADCAST filter handle and
+    * return its session-unique name (`graft_bloom_probe_b<id>`), for
+    * `call_function(name, keyCol)`.
+    *
+    * Why a separate delivery path exists next to [[BloomContains]]:
+    * a filter is MBs (2 MB at 2²⁴ bits, ~120 MB at 10⁹ keys/1% FP),
+    * and the two "pass it as data" deliveries both collapse at that
+    * size — a plan `Literal` is deep-hashed by every optimizer pass
+    * (seconds of pure plan time, measured r15), and a one-row
+    * broadcast-joined COLUMN pays `UnsafeRow.getBinary`'s defensive
+    * copy of the whole filter on EVERY probed row (r15 bisect at
+    * sf0.1/2²⁴ bits: 12.3 s vs 1.3 s for the identical aggregation
+    * without the probe). A [[Broadcast]] handle inside the expression
+    * is the delivery that scales: the bytes ship torrent-broadcast
+    * once per executor, the generated code caches `bc.value()` in a
+    * mutable slot on first touch, and each row pays only the k-probe
+    * bit test. The builder closure capturing the handle is why this
+    * registers per-filter rather than living in
+    * [[GraftFunctions.allFunctions]].
+    *
+    * Registry lifetime: the entry (and through it the broadcast) lives
+    * until the session ends or the same name is re-registered; ids are
+    * unique per SparkContext so re-registration under one name is
+    * always the same filter (idempotent).
+    */
+  def registerProbe(spark: SparkSession, bc: Broadcast[Array[Byte]]): String = {
+    val name = s"graft_bloom_probe_b${bc.id}"
+    val id = FunctionIdentifier(name)
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id,
+        new ExpressionInfo(classOf[BloomProbe].getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name expects exactly 1 key argument")
+          BloomProbe(bc, args.head)
+        })
+    }
+    name
+  }
 }
 
 /** `graft_bloom_contains(filter BINARY, key BIGINT)` → BOOLEAN: per-row
@@ -251,4 +292,46 @@ case class BloomContains(filter: Expression, key: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomContains =
     copy(filter = newLeft, key = newRight)
+}
+
+/** Broadcast-handle twin of [[BloomContains]] — the probe for filters
+  * too big to travel as data (see [[BloomAgg.registerProbe]] for the
+  * delivery analysis). The filter bytes are NOT a child expression:
+  * they ride `bc`, fetched from the executor's block manager once and
+  * cached in a codegen mutable slot, so per-row cost is exactly the
+  * k-bit test regardless of filter size. Rows-level delivery of the
+  * same bytes pays a full-filter copy per row (`UnsafeRow.getBinary`)
+  * — the r15 q130 pathology.
+  */
+case class BloomProbe(bc: Broadcast[Array[Byte]], key: Expression)
+    extends UnaryExpression {
+
+  override def child: Expression = key
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT key, got ${key.dataType.sql}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+
+  // interpreted path: Broadcast.value already caches per-JVM
+  override protected def nullSafeEval(k: Any): Any =
+    BloomAgg.contains(bc.value, k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val filterVar = ctx.addMutableState("byte[]", "bloomFilterBytes")
+    nullSafeCodeGen(ctx, ev, k => s"""
+      |if ($filterVar == null) {
+      |  $filterVar = (byte[]) $bcRef.value();
+      |}
+      |${ev.value} = graft.functions.BloomAgg.contains($filterVar, $k);
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(key = newChild)
 }

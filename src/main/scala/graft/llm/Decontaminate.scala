@@ -84,12 +84,13 @@ object Decontaminate {
     * gram set materialized per executor (or a corpus-side shuffle when
     * it outgrows broadcast); this form aggregates the eval grams into
     * ONE `numBits`-bit array (fixed size irrespective of eval
-    * cardinality — ~120 MB covers 10⁹ grams at 1% FP), collects that
-    * single accuracy-bounded row, and embeds it as a literal probed by
-    * a codegen'd per-row bit test: the corpus side is a plain Filter —
-    * no join operator, no corpus shuffle beyond the gram front end.
-    * The literal ships inside the stage's torrent-broadcast task
-    * binary, once per executor.
+    * cardinality — ~120 MB covers 10⁹ grams at 1% FP), ships it as a
+    * true torrent-broadcast handle probed by a codegen'd per-row bit
+    * test ([[graft.functions.BloomProbe]]): the corpus side never
+    * shuffles beyond the gram front end and never touches the filter
+    * bytes per row. See [[buildGramBloomProbe]] for why the handle —
+    * not a plan literal, not a joined column — is the only delivery
+    * that survives the filter's size.
     *
     * Semantics vs [[decontaminate]]: `n_hit` counts BLOOM hits, so
     * `n_hit ≥` the true hit count always (no false negatives — a
@@ -110,6 +111,42 @@ object Decontaminate {
       .filter(col("overlap") <= maxOverlap)
   }
 
+  /** Build the eval-side gram Bloom filter and register a probe bound
+    * to its broadcast handle; returns the probe's function name for
+    * `call_function(name, ghCol)`. Runs ONE job now (the eval-side
+    * gram scan + bitwise-OR aggregation collapsing to a single
+    * `numBits`-bit row collected on the driver) — deliberately eager:
+    *
+    *  - the build side is the SMALL side by construction (the eval
+    *    suite / prior-corpus signature), and a real pipeline builds
+    *    the filter once then probes many corpora with it — the handle
+    *    is the reusable artifact;
+    *  - the two lazy deliveries both collapse at real filter sizes
+    *    (r15 bisect, 2²⁴ bits, sf0.1): a plan `Literal` is deep-
+    *    hashed/equality-scanned by every optimizer pass (tens of
+    *    seconds of pure plan time), and a one-row broadcast-joined
+    *    column pays `UnsafeRow.getBinary`'s defensive copy of the
+    *    FULL filter on every probed row (12.3 s vs 1.3 s for the same
+    *    aggregation without the probe). The broadcast handle ships
+    *    the bytes once per executor and the probe caches the
+    *    deserialized reference — per-row cost is the k bit tests.
+    */
+  def buildGramBloomProbe(
+      evalDocs: DataFrame,
+      shingleK: Int = 3,
+      numBits: Long = 1L << 22,
+      numHashes: Int = 5): String = {
+    val spark = evalDocs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // no distinct before the aggregate: duplicate inserts are idempotent
+    val bytes = TextDedup.gramHashes(evalDocs, shingleK)
+      .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
+        col("gh"), lit(numBits), lit(numHashes)).as("f"))
+      .collect()(0).getAs[Array[Byte]]("f") // ONE row, numBits/8 bytes
+    graft.functions.BloomAgg.registerProbe(
+      spark, spark.sparkContext.broadcast(bytes))
+  }
+
   /** Unfiltered [[bloomDecontaminate]] — see [[decontaminateAudit]].
     * `n_hit`/`overlap` here are the Bloom-side (superset) statistics.
     */
@@ -119,14 +156,8 @@ object Decontaminate {
       shingleK: Int = 3,
       numBits: Long = 1L << 22,
       numHashes: Int = 5): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val filterBytes: Array[Byte] = TextDedup.gramHashes(evalDocs, shingleK)
-      .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
-        col("gh"), lit(numBits), lit(numHashes)).as("f"))
-      .collect()(0).getAs[Array[Byte]]("f") // ONE row, numBits/8 bytes
-    val hit = call_function(
-      graft.functions.GraftFunctions.BloomContainsName,
-      lit(filterBytes), col("gh"))
+    val probe = buildGramBloomProbe(evalDocs, shingleK, numBits, numHashes)
+    val hit = call_function(probe, col("gh"))
     val perDoc = TextDedup.gramHashes(docs, shingleK).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -139,6 +170,58 @@ object Decontaminate {
         when(col("n_grams").isNull, lit(0.0))
           .otherwise(col("n_hit").cast("double") / col("n_grams"))
           .as("overlap"))
+  }
+
+  /** Calibration audit — the exact join AND the Bloom probe from ONE
+    * corpus gram scan: one row per document with the ground-truth
+    * counts ([[decontaminateAudit]]'s `n_grams`/`n_hit`/`overlap`)
+    * plus `bloom_hit`, the count the `numBits`/`numHashes` filter
+    * would report for the same doc. This is how a Bloom sizing is
+    * validated before it replaces the exact join at scale: run both
+    * forms over a SAMPLE where the exact join is still affordable,
+    * assert `bloom_hit ≥ n_hit` everywhere (no false negatives) and
+    * that docs with `n_hit = 0 ∧ bloom_hit > 0` (clean docs the
+    * filter would wrongly flag) stay inside the sizing's Poisson
+    * band — then ship the filter alone against the full corpus.
+    *
+    * Composition over [[decontaminateAudit]] + [[bloomDecontaminateAudit]]
+    * called separately: those would shingle + distinct the corpus
+    * twice; here the distinct gram frame feeds the broadcast eval
+    * join and the Bloom bit test in the SAME aggregation, so the
+    * corpus pays its gram front end exactly once. The returned frame
+    * is `localCheckpoint`ed (it is doc-count-sized — one row per doc,
+    * five scalars) because a calibration consumer always reads it at
+    * least twice (per-doc assertions + the corpus-wide FP count);
+    * release with [[graft.operators.Checkpoints.release]].
+    */
+  def bloomCalibrationAudit(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      shingleK: Int = 3,
+      numBits: Long = 1L << 22,
+      numHashes: Int = 5): DataFrame = {
+    val probe = buildGramBloomProbe(evalDocs, shingleK, numBits, numHashes)
+    val evalDistinct = TextDedup.gramHashes(evalDocs, shingleK)
+      .select(col("gh")).distinct()
+      .withColumn("ex", lit(1))
+    val hit = call_function(probe, col("gh"))
+    val perDoc = TextDedup.gramHashes(docs, shingleK).distinct()
+      .join(evalDistinct, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(hit, 1L).otherwise(0L)).as("bloom_hit"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_grams"))
+          .as("overlap"),
+        coalesce(col("bloom_hit"), lit(0L)).as("bloom_hit"))
+      .localCheckpoint()
   }
 
   /** Surgical decontamination — strip the leaked SPANS, keep the

@@ -3460,12 +3460,12 @@ object QueryPackExt {
       val d = t(s, dir, "documents")
       val corpus = d.filter(col("doc_id") % 20 =!= 0)
       val ev = d.filter(col("doc_id") % 20 === 0)
-      val exact = graft.llm.Decontaminate.decontaminateAudit(corpus, ev, 3)
-      val bloom = graft.llm.Decontaminate
-        .bloomDecontaminateAudit(corpus, ev, 3,
+      // ONE corpus gram scan for both forms (paired calibration
+      // audit, localCheckpointed) — the fp aggregate and the per-doc
+      // projection below both read it without recompute.
+      val joined = graft.llm.Decontaminate
+        .bloomCalibrationAudit(corpus, ev, 3,
           numBits = 1L << 24, numHashes = 5)
-        .select(col("doc_id"), col("n_hit").as("bloom_hit"))
-      val joined = exact.join(bloom, "doc_id")
       val fp = joined.agg(
         sum(when(col("n_hit") === 0 && col("bloom_hit") > 0, 1L)
           .otherwise(0L)).as("n_fp_docs"))

@@ -115,4 +115,41 @@ class BloomAggSpec extends AnyFunSuite with SparkSpec {
     // with a generously sized filter there are no FP drops either
     assert(bloom === exact)
   }
+
+  test("bloomCalibrationAudit matches the two single-form audits in one scan") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally unrelated clean content words here"),
+      (4L, "short")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "beta gamma delta"),
+      (101L, "three four five")).toDF("doc_id", "text")
+    val paired = graft.llm.Decontaminate
+      .bloomCalibrationAudit(docs, eval, shingleK = 3,
+        numBits = 1 << 16, numHashes = 5)
+    try {
+      val rows = paired.collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+        .toMap
+      val exact = graft.llm.Decontaminate
+        .decontaminateAudit(docs, eval, shingleK = 3).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val bloom = graft.llm.Decontaminate
+        .bloomDecontaminateAudit(docs, eval, shingleK = 3,
+          numBits = 1 << 16, numHashes = 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(rows.keySet === exact.keySet)
+      rows.foreach { case (id, (ng, nh, ov, bh)) =>
+        assert((ng, nh, ov) === exact(id),
+          s"exact columns for doc $id")
+        assert(bh === bloom(id), s"bloom_hit for doc $id")
+        assert(bh >= nh, s"no false negatives for doc $id")
+      }
+    } finally graft.operators.Checkpoints.release(paired)
+  }
 }
