@@ -367,15 +367,40 @@ object Similarity {
           slice(col("fullcv"), s * sw + 1, sw)): _*)))
       .select(col("pos").cast("int").as("sub"), col("code"),
         col("col").as("cv"))
-    localizeQueries(cbPlan) // m × nCodes rows — bounded by construction
+    // m × nCodes rows — bounded by construction; memoized like every
+    // index-artifact collect (codebooks train once, encode many)
+    val rows = memoCollect(cbPlan)
+    cbPlan.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cbPlan.schema)
   }
 
   /** Per-sub code-id lookup tables from a (collected) [[pqTrain]]
     * frame: `sub → MAP(code → cv)` literals, code-ordered.
     */
-  private def pqMaps(cb: DataFrame, m: Int): IndexedSeq[(Column, Column)] = {
-    val rows = cb.collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+  private def pqMaps(cb: DataFrame, m: Int): IndexedSeq[(Column, Column)] =
+    pqMapsFromTriples(cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))), m)
+
+  /** [[pqMaps]] straight from collected FULL centroid rows
+    * `(code, fullcv)` sliced driver-side — the PQ codebooks ARE the
+    * per-label means [[ivfTrain]] already landed (same rounded
+    * aggregate by construction), so a composed consumer must not pay
+    * the corpus-wide estimation twice.
+    */
+  private def pqMapsFromCentroids(
+      centRows: Array[org.apache.spark.sql.Row],
+      dims: Int, m: Int): IndexedSeq[(Column, Column)] = {
+    val sw = dims / m
+    pqMapsFromTriples(centRows.flatMap { r =>
+      val code = r.getInt(0)
+      val cv = r.getSeq[Double](1)
+      (0 until m).map(s => (s, code, cv.slice(s * sw, (s + 1) * sw)))
+    }, m)
+  }
+
+  private def pqMapsFromTriples(
+      rows: Array[(Int, Int, Seq[Double])],
+      m: Int): IndexedSeq[(Column, Column)] = {
     (0 until m).map { s =>
       val entries = rows.filter(_._1 == s).sortBy(_._2)
       require(entries.nonEmpty, s"codebook has no entries for sub $s")
@@ -463,8 +488,11 @@ object Similarity {
       nProbe: Int = 2, nQueries: Int = 5, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
     val (cent, cells) = ivfTrain(emb, dims)
-    val cb = pqTrain(emb, dims, m)
-    val maps = pqMaps(cb, m)
+    // PQ codebooks = the SAME label-seeded rounded means ivfTrain just
+    // landed, sliced driver-side — not a second corpus-wide aggregate
+    // (r15: the duplicate estimation was ~30% of q135's wall)
+    val centRows = collectCentroids(cent) // LocalRelation — no job
+    val maps = pqMapsFromCentroids(centRows, dims, m)
     val sw = dims / m
     val codeCols = (0 until m).map { s =>
       array_min(transform(maps(s)._2, e =>
@@ -476,7 +504,7 @@ object Similarity {
       array(codeCols: _*).as("codes"))
     val recon = concat((0 until m).map(s =>
       element_at(maps(s)._1, element_at(col("codes"), s + 1))): _*)
-    val cents = centArrayLiteral(collectCentroids(cent))
+    val cents = centArrayLiteral(centRows)
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .select(col("query_id"), col("qv"),
@@ -517,13 +545,16 @@ object Similarity {
     // assignment/probe plans inline the centroids as a literal array —
     // no localCheckpoint write, no broadcast-build job per consumer.
     // This is the IntervalJoin-median convention: a bounded, structural
-    // collect, not a data-sized one.
+    // collect, not a data-sized one. memoCollect (r15): a rebuild
+    // against UNCHANGED sources reuses the landed rows — indexes are
+    // built once and served many times, and the fingerprint re-runs
+    // the job the moment the source file set changes.
     val centPlan = e.groupBy(col("label"))
       .agg(array((1 to dims).map(i =>
         round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
         .as("cv"))
       .select(col("label").as("ccell"), col("cv")) // avoid `label` clash
-    val centRows = centPlan.collect()
+    val centRows = memoCollect(centPlan)
     val cent = centPlan.sparkSession.createDataFrame(
       java.util.Arrays.asList(centRows: _*), centPlan.schema)
 
@@ -589,8 +620,21 @@ object Similarity {
       case _ => Nil
     }.foldLeft(0L)((acc, v) => 31L * acc + v)
 
-  private def collectCentroids(cent: DataFrame): Array[org.apache.spark.sql.Row] = {
-    val plan = cent.select(col("ccell"), col("cv"))
+  private def collectCentroids(cent: DataFrame): Array[org.apache.spark.sql.Row] =
+    memoCollect(cent.select(col("ccell"), col("cv")))
+
+  /** The memo lookup itself, shared by every bounded-by-construction
+    * index-artifact collect (probe centroid reads, [[ivfTrain]] /
+    * [[kmeansStep]] centroid estimation, [[pqTrain]] codebooks): an
+    * index is built once and served many times, so the repeated-call
+    * cost that matters is the steady state — a re-probe or re-compose
+    * against UNCHANGED sources must not re-run the corpus-wide
+    * estimation job. Keyed by canonicalized analyzed plan + the
+    * file-source fingerprint (same staleness guard as before: an index
+    * overwritten in place changes the fingerprint and re-collects;
+    * purely local plans carry their data inside the canonical form).
+    */
+  private def memoCollect(plan: DataFrame): Array[org.apache.spark.sql.Row] = {
     val key = (plan.queryExecution.analyzed.canonicalized, sourceVersion(plan))
     centCollectCache.synchronized {
       Option(centCollectCache.get(key))
@@ -748,7 +792,7 @@ object Similarity {
         round(avg(element_at(col("embedding"), i).cast("double")), 3)): _*)
         .as("cv"))
       .select(col("cell").as("ccell"), col("cv"))
-    val cent2Rows = cent2Plan.collect()
+    val cent2Rows = memoCollect(cent2Plan)
     val cent2 = cent2Plan.sparkSession.createDataFrame(
       java.util.Arrays.asList(cent2Rows: _*), cent2Plan.schema)
     // re-assignment rides the same no-explosion array_min as
