@@ -27,6 +27,10 @@ object GraftFunctions {
   val HllMergeName = "graft_hll_merge"
   val HllEstName = "graft_hll_est"
   val HllZerosName = "graft_hll_zeros"
+  val CmsAggName = "graft_cms_agg"
+  val CmsUnionAggName = "graft_cms_union_agg"
+  val CmsMergeName = "graft_cms_merge"
+  val CmsQueryName = "graft_cms_query"
   val ApproxQuantileName = "graft_approx_quantile"
   val ExactPercentileName = "graft_exact_percentile"
   val ExactDistinctName = "graft_exact_distinct"
@@ -153,6 +157,34 @@ object GraftFunctions {
     HllZeros(args(0))
   }
 
+  private val cmsAggInfo = new ExpressionInfo(
+    classOf[CountMinAgg].getName, CmsAggName)
+  private def cmsAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, s"$CmsAggName expects (key, width, depth)")
+    CountMinAgg(args(0), args(1), args(2))
+  }
+
+  private val cmsUnionAggInfo = new ExpressionInfo(
+    classOf[CmsUnionAgg].getName, CmsUnionAggName)
+  private def cmsUnionAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"$CmsUnionAggName expects (sketch)")
+    CmsUnionAgg(args(0))
+  }
+
+  private val cmsMergeInfo = new ExpressionInfo(
+    classOf[CmsMerge].getName, CmsMergeName)
+  private def cmsMergeBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$CmsMergeName expects (a, b)")
+    CmsMerge(args(0), args(1))
+  }
+
+  private val cmsQueryInfo = new ExpressionInfo(
+    classOf[CmsQuery].getName, CmsQueryName)
+  private def cmsQueryBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$CmsQueryName expects (sketch, key)")
+    CmsQuery(args(0), args(1))
+  }
+
   private val allFunctions = Seq(
     (FunctionIdentifier(VecDotName), vecDotInfo, vecDotBuilder _),
     (FunctionIdentifier(VecDist2Name), vecDist2Info, vecDist2Builder _),
@@ -175,7 +207,12 @@ object GraftFunctions {
       hllUnionAggBuilder _),
     (FunctionIdentifier(HllMergeName), hllMergeInfo, hllMergeBuilder _),
     (FunctionIdentifier(HllEstName), hllEstInfo, hllEstBuilder _),
-    (FunctionIdentifier(HllZerosName), hllZerosInfo, hllZerosBuilder _))
+    (FunctionIdentifier(HllZerosName), hllZerosInfo, hllZerosBuilder _),
+    (FunctionIdentifier(CmsAggName), cmsAggInfo, cmsAggBuilder _),
+    (FunctionIdentifier(CmsUnionAggName), cmsUnionAggInfo,
+      cmsUnionAggBuilder _),
+    (FunctionIdentifier(CmsMergeName), cmsMergeInfo, cmsMergeBuilder _),
+    (FunctionIdentifier(CmsQueryName), cmsQueryInfo, cmsQueryBuilder _))
 
   /** Idempotent per-session registration (the analyzer resolves
     * `call_function` names through the session's FunctionRegistry).

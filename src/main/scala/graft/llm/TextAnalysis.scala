@@ -807,4 +807,51 @@ object TextAnalysis {
       .withColumn("est_overlap",
         col("est_a") + col("est_b") - col("est_union"))
   }
+
+  /** Token seen-counts by Count-Min sketch
+    * ([[graft.functions.CountMinAgg]]), calibrated against the exact
+    * counts: per-source grids built in one corpus pass, rolled up by
+    * `graft_cms_union_agg` (elementwise add — exact, so the rollup
+    * equals the single global grid bit-for-bit), then the global grid
+    * point-queried for the `topN` most frequent tokens. One row per
+    * probed token: `(token, n_exact, n_est, overcount)` with
+    * `n_est ≥ n_exact` always (the sketch's one-sided guarantee) and
+    * `overcount` the collision mass at the chosen geometry — the
+    * sizing evidence a deploy reads before replacing exact counts
+    * with `depth × width` longs of state.
+    *
+    * Scale shape: the exact side is the calibration CONTROL (a sample
+    * affords it; the production path is sketch-only) — one token
+    * shuffle for the counts, one for the per-source grids; the probe
+    * side is report-sized (`topN` rows against a one-row grid, the
+    * [[graft.functions.CmsQuery]] delivery contract). Estimates are
+    * integer-exact cross-engine: the bucket arithmetic is the
+    * engine-portable Carter–Wegman form over [[TextFns.hash60]], so
+    * the oracle rebuilds the grid in SQL and matches the collision
+    * overcounts exactly (q140).
+    */
+  def tokenSeenCounts(
+      docs: DataFrame,
+      width: Int = 512,
+      depth: Int = 4,
+      topN: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    import graft.functions.GraftFunctions.{CmsAggName, CmsQueryName, CmsUnionAggName}
+    val toks = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+    val grid = toks
+      .groupBy(col("source"))
+      .agg(call_function(CmsAggName,
+        TextFns.hash60(col("w")), lit(width), lit(depth)).as("__g"))
+      .agg(call_function(CmsUnionAggName, col("__g")).as("__g"))
+    val top = toks
+      .groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w"))
+      .limit(topN)
+    top.crossJoin(broadcast(grid))
+      .select(col("w").as("token"), col("n_exact"),
+        call_function(CmsQueryName, col("__g"),
+          TextFns.hash60(col("w"))).as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+  }
 }

@@ -3974,6 +3974,49 @@ object QueryPackExt {
              n_zero
       FROM st ORDER BY win_start"""))
 
+  /** Count-Min token seen-counts ([[graft.llm.TextAnalysis
+    * .tokenSeenCounts]] / [[graft.functions.CountMinAgg]]), calibrated
+    * against exact counts: per-source grids → `graft_cms_union_agg`
+    * rollup → point queries for the top-50 tokens. The geometry
+    * (512 × 4) is deliberately TIGHT so collisions occur and the
+    * overcounts are non-trivially gated: the oracle REBUILDS the grid
+    * in SQL from the same engine-portable bucket arithmetic
+    * (Carter–Wegman over the 30-bit halves of the md5 hash60, P =
+    * 2^31−1 — products < 2^35, BIGINT-safe), so `n_est` matches to
+    * the exact integer, collision mass included — no TRUE-flag or
+    * band weakening anywhere.
+    */
+  private val q140 = Q("q140_cms_token_counts",
+    (s, dir) => graft.llm.TextAnalysis.tokenSeenCounts(
+      t(s, dir, "documents"), width = 512, depth = 4, topN = 50)
+      .harnessSorted(col("token")),
+    Some {
+      def bucket(h: String, d: String) =
+        s"CAST(((($d + 1) * ($h // 1073741824) + $h % 1073741824) " +
+          s"% 2147483647) % 512 AS BIGINT)"
+      s"""
+      WITH $ToksCte,
+      tw AS (SELECT unnest(w) AS x FROM toks),
+      cnt AS (SELECT x AS token, count(*) AS n_exact FROM tw GROUP BY x),
+      top AS (SELECT token, n_exact FROM cnt
+              ORDER BY n_exact DESC, token LIMIT 50),
+      ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+      occ AS (SELECT ${h60("x")} AS h FROM tw),
+      grid AS (
+        SELECT d.d, ${bucket("o.h", "d.d")} AS b, count(*) AS c
+        FROM occ o CROSS JOIN ds d GROUP BY 1, 2),
+      probe AS (
+        SELECT t.token, t.n_exact, d.d,
+               ${bucket(h60("t.token"), "d.d")} AS b
+        FROM top t CROSS JOIN ds d),
+      est AS (
+        SELECT p.token, p.n_exact, min(g.c) AS n_est
+        FROM probe p JOIN grid g ON g.d = p.d AND g.b = p.b
+        GROUP BY 1, 2)
+      SELECT token, n_exact, n_est, n_est - n_exact AS overcount
+      FROM est ORDER BY token"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -3983,7 +4026,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139)
+    q138, q139, q140)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
