@@ -314,6 +314,70 @@ object Sampling {
     * exactly-uniform assignment for very large nShards should shard on
     * a wider hash, not this audit helper.
     */
+  /** Priority sampling (Duffield, Lund & Thorup, JACM'07) — a
+    * WEIGHTED k-sample with per-item unbiased subset-sum estimators:
+    * each item draws `u ∈ (0, 1]` from the seeded md5 hash, gets
+    * priority `q = w / u`, the `k` highest priorities are kept, and
+    * every kept item reports `w_est = max(w, τ)` with τ the
+    * (k+1)-st priority (0 when the corpus has ≤ k items — every item
+    * kept, estimates exact). `E[Σ_{kept ∩ S} w_est] = Σ_S w` for ANY
+    * item subset S — the one-pass weighted-sampling scheme whose
+    * sample supports unbiased "how many tokens does slice X hold"
+    * answers at any later time, which a plain weighted-probability
+    * sample cannot.
+    *
+    * Determinism — the samplers' shared contract, extended to
+    * weights: `u = (hash60(seed|key) + 1) / 2^60` and `q = w / u` are
+    * two exactly-rounded IEEE divisions in fixed order (the
+    * long→double cast is exactly-rounded too), so priorities, the
+    * top-k cut, τ, and the estimates are bit-identical across
+    * engines, reruns, and partitionings — q141 hash-compares with no
+    * band. This exactness is WHY the priority form was chosen over
+    * the classic exponential/a-res keys (`u^{1/w}` needs `pow`,
+    * whose last bit is libm-specific).
+    *
+    * Scale shape: one corpus pass through the bounded
+    * [[graft.functions.TopKAgg]] heap at k+1 (k+1 rows per map
+    * partition through the one global merge — no corpus sort), then
+    * a k-row broadcast joins the weights back. Non-positive and NULL
+    * weights are never sampled (the scheme is defined for w > 0).
+    * Output: `(rnk, keyCol, wt, q, w_est)`, rnk 1..k by (q DESC,
+    * key ASC).
+    */
+  def prioritySample(
+      docs: DataFrame,
+      weightCol: String,
+      k: Int,
+      seed: String,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val u = (TextFns.hash60(concat_ws("|", lit(seed),
+      col(keyCol).cast("string"))) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0) // 2^60 — u in (0, 1], never 0
+    val weighted = docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol),
+        (col(weightCol).cast("double") / u).as("__q"))
+    val top = weighted
+      .agg(call_function(graft.functions.GraftFunctions.TopKName,
+        col("__q"), col(keyCol), lit(k + 1)).as("__top"))
+      .select(col("__top"),
+        when(size(col("__top")) > k,
+          element_at(col("__top"), k + 1).getField("score"))
+          .otherwise(lit(0.0)).as("__tau"))
+    val kept = top
+      .select(col("__tau"), posexplode(col("__top")))
+      .filter(col("pos") < k)
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as(keyCol), col("col.score").as("q"),
+        col("__tau"))
+    docs.select(col(keyCol), col(weightCol).cast("double").as("wt"))
+      .join(broadcast(kept), Seq(keyCol))
+      .select(col("rnk"), col(keyCol), col("wt"), col("q"),
+        greatest(col("wt"), col("__tau")).as("w_est"))
+  }
+
   def shardStats(
       docs: DataFrame,
       nShards: Int,

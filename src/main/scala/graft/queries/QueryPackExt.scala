@@ -4017,6 +4017,34 @@ object QueryPackExt {
       FROM est ORDER BY token"""
     })
 
+  /** Priority sampling ([[graft.llm.Sampling.prioritySample]]) —
+    * weighted top-k by `q = w/u` with the (k+1)-st-priority threshold
+    * estimator `w_est = max(w, τ)`. Both engines compute u from the
+    * same seeded md5, so priorities, the cut, τ, and the estimates
+    * are exact doubles (two fixed-order IEEE divisions) — the row
+    * set AND every estimate hash-compare with no band. Weight =
+    * n_chars (docs with n_chars ≤ 0 are unsampleable by definition).
+    */
+  private val q141 = Q("q141_priority_sample",
+    (s, dir) => graft.llm.Sampling.prioritySample(
+      t(s, dir, "documents"), "n_chars", k = 20, seed = "s141")
+      .harnessSorted(col("rnk")),
+    Some(s"""
+      WITH pri AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+               CAST(n_chars AS DOUBLE) /
+                 (CAST(${h60("concat('s141', '|', CAST(doc_id AS VARCHAR))")}
+                       + 1 AS DOUBLE) / 1152921504606846976.0) AS q
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      r AS (SELECT doc_id, wt, q,
+                   CAST(row_number() OVER (ORDER BY q DESC, doc_id)
+                     AS BIGINT) AS rnk
+            FROM pri),
+      tau AS (SELECT COALESCE(max(CASE WHEN rnk = 21 THEN q END), 0.0) AS t
+              FROM r)
+      SELECT rnk, doc_id, wt, q, greatest(wt, t) AS w_est
+      FROM r, tau WHERE rnk <= 20 ORDER BY rnk"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4026,7 +4054,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140)
+    q138, q139, q140, q141)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -239,6 +239,40 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("prioritySample: deterministic cut, exact when k covers all, unbiased subset sums") {
+    val s = spark
+    import s.implicits._
+    // heavy-tailed weights so the estimator actually has work to do
+    val d = (1L to 300L).map(i => (i, 1.0 + 5000.0 / i))
+      .toDF("doc_id", "w")
+    // partition-invariant and rerun-stable
+    val a = Sampling.prioritySample(d.repartition(1), "w", 10, "sA")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    val b = Sampling.prioritySample(d.repartition(7), "w", 10, "sA")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(a.sortBy(_._1) === b.sortBy(_._1))
+    // k >= N: tau = 0, every item kept, estimates are the exact weights
+    val all = Sampling.prioritySample(d, "w", 400, "sA")
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(4)))
+    assert(all.length === 300)
+    all.foreach { case (id, (wt, est)) => assert(est === wt, s"doc $id") }
+    // zero/negative weights are never sampled
+    val withBad = d.union(Seq((900L, 0.0), (901L, -3.0)).toDF("doc_id", "w"))
+    val ids = Sampling.prioritySample(withBad, "w", 400, "sA")
+      .collect().map(_.getLong(1)).toSet
+    assert(!ids.contains(900L) && !ids.contains(901L))
+    // unbiasedness: E[sum of w_est over the sample] = total weight;
+    // average over many independent seeds converges (LLN band)
+    val total = (1L to 300L).map(i => 1.0 + 5000.0 / i).sum
+    val est = (1 to 60).map { sd =>
+      Sampling.prioritySample(d, "w", 10, s"seed$sd")
+        .agg(sum(col("w_est"))).collect()(0).getDouble(0)
+    }
+    val mean = est.sum / est.length
+    assert(math.abs(mean - total) / total < 0.15,
+      s"estimator mean $mean vs true $total")
+  }
+
   test("probeMinhashIndex: new batch meets corpus index, no re-signature, no cartesian") {
     val corpusDocs = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
