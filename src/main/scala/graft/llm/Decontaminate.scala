@@ -155,9 +155,24 @@ object Decontaminate {
       evalDocs: DataFrame,
       shingleK: Int = 3,
       numBits: Long = 1L << 22,
-      numHashes: Int = 5): DataFrame = {
-    val probe = buildGramBloomProbe(evalDocs, shingleK, numBits, numHashes)
-    val hit = call_function(probe, col("gh"))
+      numHashes: Int = 5): DataFrame =
+    bloomAuditWithProbe(docs,
+      buildGramBloomProbe(evalDocs, shingleK, numBits, numHashes), shingleK)
+
+  /** [[bloomDecontaminateAudit]] against an ALREADY-BUILT probe (a
+    * [[buildGramBloomProbe]] name): the serve-many form — one filter
+    * build amortizes over every corpus increment probed against it,
+    * including the streaming ingest gate
+    * ([[graft.streaming.StreamOps]]), which calls this per
+    * micro-batch. The probe's broadcast travels once per executor for
+    * the query's lifetime; per-doc stats are batch-local, so batch
+    * boundaries cannot change any row.
+    */
+  def bloomAuditWithProbe(
+      docs: DataFrame,
+      probeName: String,
+      shingleK: Int = 3): DataFrame = {
+    val hit = call_function(probeName, col("gh"))
     val perDoc = TextDedup.gramHashes(docs, shingleK).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -288,6 +288,39 @@ object StreamOps {
         expr("graft_hll_zeros(sk)").as("n_zero"))
   }
 
+  /** ST12 (r15) — streaming contamination gate: a document INGEST
+    * stream filtered per micro-batch against the Bloom filter built
+    * batch-side from the eval/blocklist set
+    * ([[graft.llm.Decontaminate.buildGramBloomProbe]] — build once,
+    * serve every increment). The filter rides the probe's broadcast
+    * handle, so each executor holds the bytes ONCE for the query's
+    * lifetime and per-row cost is the k bit tests; there is zero
+    * stream state — the "known contaminated" knowledge lives in the
+    * broadcast, not the state store, which is what lets the gate run
+    * at any ingest rate with flat memory. Per-doc overlap stats are
+    * batch-local (a doc's grams arrive with it), so the gate's output
+    * is byte-identical to the batch
+    * [[graft.llm.Decontaminate.bloomDecontaminate]] on the same rows
+    * regardless of batch boundaries (asserted in StreamOpsSpec); the
+    * probe's value semantics are oracle-gated through q130's
+    * calibration audit. `foreachBatch` is the same serving bridge as
+    * ST7 — gramHashes' per-doc window is a batch-plan construct.
+    */
+  def streamingContaminationGate(
+      docs: DataFrame,
+      probeName: String,
+      shingleK: Int = 3,
+      maxOverlap: Double = 0.0)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.llm.Decontaminate
+          .bloomAuditWithProbe(batch, probeName, shingleK)
+          .filter(col("overlap") <= maxOverlap), id)
+      }
+      .start()
+
   /** ST7 — online ANN serving: a stream of query vectors
     * `(query_id, qv)` probed against a STATIC (pre-trained, usually
     * [[graft.llm.Similarity.readIvfIndex]]-loaded) IVF index, each

@@ -300,6 +300,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("value"), e.getMessage)
   }
 
+  test("streaming contamination gate equals the batch bloom keep set across batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // leaks 'beta gamma delta'
+      (2L, "one two three four five six"),         // leaks 'three four five'
+      (3L, "totally unrelated clean content words here"),
+      (4L, "more clean text nothing shared at all"),
+      (5L, "short"))
+    val eval = Seq(
+      (100L, "beta gamma delta"),
+      (101L, "three four five")).toDF("doc_id", "text")
+    // the filter builds ONCE, batch-side; the stream probes it forever
+    val probe = graft.llm.Decontaminate
+      .buildGramBloomProbe(eval, shingleK = 3, numBits = 1 << 16)
+
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingContaminationGate(
+      in.toDF().toDF("doc_id", "text"), probe, shingleK = 3,
+      maxOverlap = 0.0) { (batch, _) =>
+      kept ++= batch.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("overlap")))
+    }
+    try {
+      in.addData(corpus.take(2)) // contaminated docs in batch 1
+      q.processAllAvailable()
+      in.addData(corpus.drop(2)) // clean docs in batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchKeep = graft.llm.Decontaminate
+      .bloomDecontaminate(corpus.toDF("doc_id", "text"), eval,
+        shingleK = 3, maxOverlap = 0.0, numBits = 1 << 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(kept.toSet === batchKeep)
+    assert(!kept.map(_._1).contains(1L) && !kept.map(_._1).contains(2L))
+    assert(kept.map(_._1).toSet === Set(3L, 4L, 5L))
+  }
+
   test("streaming ANN probe equals the batch probe on the same queries") {
     val s = spark
     import s.implicits._
