@@ -1,8 +1,11 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -204,6 +207,31 @@ object CountMinAgg {
     grid
   }
 
+  /** Register a probe bound to a BROADCAST grid handle and return its
+    * session-unique name (`graft_cms_probe_b<id>`) — the corpus-scale
+    * delivery, same analysis as [[BloomAgg.registerProbe]]: a grid is
+    * MBs (512 KB at 4×16k, 32 MB at the cap), and per-row column
+    * delivery pays `UnsafeRow.getBinary`'s full-image copy on every
+    * probed row while a plan literal is deep-hashed by every optimizer
+    * pass. The handle ships once per executor; generated code caches
+    * `bc.value()` in a mutable slot; each row pays `depth` counter
+    * reads. Use [[CmsQuery]] for report-sized probe sides instead.
+    */
+  def registerProbe(spark: SparkSession, bc: Broadcast[Array[Byte]]): String = {
+    val name = s"graft_cms_probe_b${bc.id}"
+    val id = FunctionIdentifier(name)
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id,
+        new ExpressionInfo(classOf[CmsProbe].getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name expects exactly 1 key argument")
+          CmsProbe(bc, args.head)
+        })
+    }
+    name
+  }
+
   /** Static probe kernel for [[CmsQuery]]'s generated code — reads the
     * serialized image directly (two header ints + `depth` counter
     * words), no deserialization allocation per row.
@@ -353,4 +381,43 @@ case class CmsQuery(sketch: Expression, key: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsQuery =
     copy(sketch = newLeft, key = newRight)
+}
+
+/** Broadcast-handle twin of [[CmsQuery]] — the probe for grids too
+  * big to travel as data (see [[CountMinAgg.registerProbe]]). The
+  * grid bytes ride `bc`, fetched from the executor's block manager
+  * once and cached in a codegen mutable slot, so per-row cost is
+  * exactly the `depth` counter reads regardless of grid size — the
+  * [[BloomProbe]] delivery, for counts.
+  */
+case class CmsProbe(bc: Broadcast[Array[Byte]], key: Expression)
+    extends UnaryExpression {
+
+  override def child: Expression = key
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT key, got ${key.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_probe"
+
+  override protected def nullSafeEval(k: Any): Any =
+    CountMinAgg.estimateBytes(bc.value, k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("cmsBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val gridVar = ctx.addMutableState("byte[]", "cmsGridBytes")
+    nullSafeCodeGen(ctx, ev, k => s"""
+      |if ($gridVar == null) {
+      |  $gridVar = (byte[]) $bcRef.value();
+      |}
+      |${ev.value} = graft.functions.CountMinAgg.estimateBytes($gridVar, $k);
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsProbe =
+    copy(key = newChild)
 }

@@ -830,6 +830,78 @@ object TextAnalysis {
     * the oracle rebuilds the grid in SQL and matches the collision
     * overcounts exactly (q140).
     */
+  /** Build a Count-Min grid over a REFERENCE corpus's k-gram stream
+    * (every occurrence, duplicates included — frequencies are the
+    * point) and register a probe bound to its broadcast handle;
+    * returns the probe's function name. Deliberately eager, exactly
+    * like [[Decontaminate.buildGramBloomProbe]]: the grid is the
+    * build-once/serve-many artifact, and lazy deliveries collapse at
+    * real grid sizes (plan-literal deep-hashing; per-row
+    * `getBinary` copies).
+    */
+  def buildGramCmsProbe(
+      refDocs: DataFrame,
+      shingleK: Int = 3,
+      width: Int = 8192,
+      depth: Int = 4): String = {
+    val spark = refDocs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import graft.functions.GraftFunctions.CmsAggName
+    val bytes = TextDedup.gramHashes(refDocs, shingleK)
+      .agg(call_function(CmsAggName,
+        cmsGramKey(col("gh")), lit(width), lit(depth)).as("g"))
+      .collect()(0).getAs[Array[Byte]]("g") // ONE row, depth·width longs
+    graft.functions.CountMinAgg.registerProbe(
+      spark, spark.sparkContext.broadcast(bytes))
+  }
+
+  /** The CMS key for a polynomial gram hash: gram hashes are 31-bit
+    * (mod MinhashP), and the grid's Carter–Wegman family needs the
+    * full md5-uniform 60 bits (a 31-bit key leaves `hHi ∈ {0, 1}` —
+    * the depth rows would collapse to near-identical bucket maps), so
+    * the gram re-hashes through the same portable
+    * `hash60(CAST(x AS STRING))` every non-string key in this engine
+    * uses. The oracle mirrors it verbatim.
+    */
+  private def cmsGramKey(gh: Column): Column =
+    TextFns.hash60(gh.cast("string"))
+
+  /** Gram familiarity per document at FIXED state — "how much of this
+    * doc has the reference corpus seen, and how often": every distinct
+    * k-gram of a doc is point-queried against a [[buildGramCmsProbe]]
+    * grid, reporting `(doc_id, n_grams, seen_sum, mean_seen)` with
+    * `seen_sum = Σ est(gram)` and one exactly-rounded IEEE division
+    * for the mean. The sketch-backed form of the exact familiarity
+    * join (L69/L83): the exact form shuffles the reference's gram
+    * table into every probe; this form compresses the reference to
+    * `depth × width` longs that ride the probe's broadcast — the only
+    * shape that serves "score this crawl increment against the last
+    * 100 TB" without touching the reference again. Estimates never
+    * undercount (collision mass only inflates), and because the
+    * bucket arithmetic is the engine-portable q140 form, the q142
+    * oracle rebuilds the grid in SQL and matches `seen_sum` /
+    * `mean_seen` exactly. Gram-less docs (< k tokens) report 0/0/0.0.
+    */
+  def cmsFamiliarity(
+      docs: DataFrame,
+      probeName: String,
+      shingleK: Int = 3): DataFrame = {
+    val est = call_function(probeName, cmsGramKey(col("gh")))
+    val perDoc = TextDedup.gramHashes(docs, shingleK).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(est).as("seen_sum"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("seen_sum"), lit(0L)).as("seen_sum"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(coalesce(col("seen_sum"), lit(0L)).cast("double") /
+            col("n_grams"))
+          .as("mean_seen"))
+  }
+
   def tokenSeenCounts(
       docs: DataFrame,
       width: Int = 512,

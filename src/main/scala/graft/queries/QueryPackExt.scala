@@ -4045,6 +4045,56 @@ object QueryPackExt {
       SELECT rnk, doc_id, wt, q, greatest(wt, t) AS w_est
       FROM r, tau WHERE rnk <= 20 ORDER BY rnk"""))
 
+  /** CMS gram familiarity ([[graft.llm.TextAnalysis.cmsFamiliarity]])
+    * — every doc's distinct 3-grams point-queried against the
+    * reference grid (here the corpus itself: self-familiarity, the
+    * DSIR/L83 shape at fixed state). Gram keys re-hash through the
+    * portable `hash60(CAST(gh AS VARCHAR))` to restore the 60 bits
+    * the bucket family needs; the oracle rebuilds the 4×4096 grid
+    * from the same arithmetic, so `seen_sum` (collision mass
+    * included) and the one-division `mean_seen` match exactly.
+    */
+  private val q142 = Q("q142_cms_familiarity",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val probe = graft.llm.TextAnalysis
+        .buildGramCmsProbe(d, shingleK = 3, width = 4096, depth = 4)
+      graft.llm.TextAnalysis.cmsFamiliarity(d, probe, shingleK = 3)
+        .harnessSorted(col("doc_id"))
+    },
+    Some {
+      def bucket(h: String, d: String) =
+        s"CAST(((($d + 1) * ($h // 1073741824) + $h % 1073741824) " +
+          s"% 2147483647) % 4096 AS BIGINT)"
+      s"""
+      WITH $ToksCte, ${gramCtes(3)},
+      ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+      occ AS (SELECT ${h60("CAST(gh AS VARCHAR)")} AS h
+              FROM grams WHERE gh IS NOT NULL),
+      grid AS (
+        SELECT d.d, ${bucket("o.h", "d.d")} AS b, count(*) AS c
+        FROM occ o CROSS JOIN ds d GROUP BY 1, 2),
+      keys AS (SELECT doc_id, ${h60("CAST(gh AS VARCHAR)")} AS h FROM sh),
+      probe AS (
+        SELECT k.doc_id, k.h, d.d, ${bucket("k.h", "d.d")} AS b
+        FROM keys k CROSS JOIN ds d),
+      est AS (
+        SELECT p.doc_id, p.h, min(g.c) AS e
+        FROM probe p JOIN grid g ON g.d = p.d AND g.b = p.b
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, count(*) AS n_grams, sum(e) AS seen_sum
+        FROM est GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(a.seen_sum, 0) AS BIGINT) AS seen_sum,
+             CASE WHEN a.n_grams IS NULL THEN 0.0
+                  ELSE CAST(COALESCE(a.seen_sum, 0) AS DOUBLE) / a.n_grams
+             END AS mean_seen
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4054,7 +4104,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141)
+    q138, q139, q140, q141, q142)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -93,6 +93,41 @@ class CountMinAggSpec extends AnyFunSuite with SparkSpec {
     assert(CountMinAgg.estimateBytes(empty, k) === 0L)
   }
 
+  test("broadcast-handle probe equals the column-delivery query on every key") {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    val keys = (0L until 3000L).map(i => key60(i % 250))
+    val bytes = grid(keys, w = 512, d = 4, partitions = 6)
+    val probe = CountMinAgg.registerProbe(
+      spark, spark.sparkContext.broadcast(bytes))
+    // registration is idempotent per broadcast
+    val bc2 = spark.sparkContext.broadcast(bytes)
+    assert(CountMinAgg.registerProbe(spark, bc2) === s"graft_cms_probe_b${bc2.id}")
+    val probed = keys.distinct.map(Tuple1(_)).toDF("k")
+      .select(col("k"), expr(s"$probe(k)").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.distinct.foreach { k =>
+      assert(probed(k) === CountMinAgg.estimateBytes(bytes, k), s"key $k")
+    }
+    // familiarity composition: self-reference => every doc's grams
+    // were all seen, so seen_sum >= n_grams and mean_seen >= 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup: grams seen twice
+      (3L, "completely different words entirely now"),
+      (4L, "xy")).toDF("doc_id", "text")
+    val fam = graft.llm.TextAnalysis.cmsFamiliarity(docs,
+      graft.llm.TextAnalysis.buildGramCmsProbe(docs, 3, width = 4096),
+      shingleK = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(fam(4L) === ((0L, 0L, 0.0))) // gram-less doc
+    assert(fam(3L)._3 >= 1.0)
+    // dup pair: each of its grams occurs twice in the reference
+    assert(fam(1L)._3 >= 2.0 && fam(1L) === fam(2L))
+  }
+
   test("geometry guardrails are clean analysis failures") {
     GraftFunctions.ensureRegistered(spark)
     val s = spark
