@@ -295,6 +295,45 @@ object Sampling {
     docs.filter(bucketOf(seed, col(keyCol)) < thresh)
   }
 
+  /** Deterministic global training order — the corpus SHUFFLE every
+    * epoch needs: each doc ranks by its seeded md5 hash (ties by key),
+    * yielding a uniform permutation that is a pure function of
+    * `(seed, key)` — rerun-stable, engine-portable, and re-derivable
+    * for any doc without materializing the order (epoch 2 is just a
+    * new seed). Output: `(keyCol, rnk)`, rnk 1..N in training order.
+    *
+    * The scale point is HOW the rank is assigned: `row_number() OVER
+    * (ORDER BY h)` is the classic single-partition funnel (one task
+    * holds the corpus). This form rides the shared two-phase
+    * [[graft.operators.PrefixSum]] kernel — the hash's top bits are
+    * the order-consistent range bucket (md5 is uniform, so buckets
+    * are balanced BY CONSTRUCTION, no stats pass needed), per-bucket
+    * counts make the offsets, and within-bucket ranks run
+    * embarrassingly parallel. Identical output to the window form,
+    * distributed execution — the q143 oracle IS the single-window
+    * statement.
+    */
+  def trainingOrder(
+      docs: DataFrame,
+      seed: String,
+      nBuckets: Int = 1024,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0 &&
+      nBuckets <= (1 << 20), "nBuckets must be a power of two <= 2^20")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val bucketWidth = (1L << 60) / nBuckets
+    val h = TextFns.hash60(concat_ws("|", lit(seed),
+      col(keyCol).cast("string")))
+    val keyed = docs
+      .select(col(keyCol))
+      .withColumn("__h", h)
+      .withColumn("__b", (col("__h") / lit(bucketWidth)).cast("long"))
+    graft.operators.PrefixSum
+      .inclusive(keyed, Nil, "__b",
+        Seq(col("__h"), col(keyCol)), lit(1L), out = "rnk")
+      .select(col(keyCol), col("rnk"))
+  }
+
   /** Deterministic training-shard assignment: every doc hash-assigned
     * to one of `nShards` shards by its seeded md5 bucket — the
     * write-side layout op for a training corpus (shard =

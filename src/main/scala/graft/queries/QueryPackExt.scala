@@ -4095,6 +4095,26 @@ object QueryPackExt {
       ORDER BY d.doc_id"""
     })
 
+  /** Deterministic training order ([[graft.llm.Sampling
+    * .trainingOrder]]): the per-epoch corpus shuffle as a seeded-hash
+    * rank. The Spark side runs the DISTRIBUTED two-phase prefix-sum
+    * form (hash-top-bits buckets + offsets — no single-task window);
+    * the oracle IS the single-window statement, so the compare
+    * certifies the decomposition's exact equivalence, ties included.
+    */
+  private val q143 = Q("q143_training_order",
+    (s, dir) => graft.llm.Sampling.trainingOrder(
+      t(s, dir, "documents"), seed = "epoch1")
+      .harnessSorted(col("rnk")),
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               ${h60("concat('epoch1', '|', CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents)
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rnk
+      FROM h ORDER BY rnk"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4104,7 +4124,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142)
+    q138, q139, q140, q141, q142, q143)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -273,6 +273,52 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       s"estimator mean $mean vs true $total")
   }
 
+  test("trainingOrder: exact permutation, partition-invariant, distributed ranks") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 5000L).map(Tuple1(_)).toDF("doc_id")
+    val ord = Sampling.trainingOrder(d, "ep1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a true permutation: ranks are exactly 1..N, each once
+    assert(ord.values.toSeq.sorted === (1L to 5000L))
+    // rank order IS the (hash, key) order — spot-check against the
+    // single-window form the q143 oracle uses
+    val winForm = d
+      .withColumn("h", graft.llm.TextFns.hash60(
+        concat_ws("|", lit("ep1"), col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ord === winForm)
+    // partition-invariant
+    val ord7 = Sampling.trainingOrder(d.repartition(7), "ep1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ord7 === ord)
+    // a new epoch (seed) is a different permutation
+    val ep2 = Sampling.trainingOrder(d, "ep2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ep2 !== ord)
+    // the distributed form never runs an UNPARTITIONED window over
+    // the CORPUS: walk the optimized plan — any Window whose partition
+    // spec is empty must sit on the bucket-count-bounded offset frame
+    // (an Aggregate child), never directly on the input rows
+    val optimized = Sampling.trainingOrder(d, "ep1")
+      .queryExecution.optimizedPlan
+    val unpartitioned = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.nonEmpty, "expected the tiny offset-frame window")
+    unpartitioned.foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window not on an aggregated (bounded) frame:\n$w")
+    }
+  }
+
   test("probeMinhashIndex: new batch meets corpus index, no re-signature, no cartesian") {
     val corpusDocs = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
