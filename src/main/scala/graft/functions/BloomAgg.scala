@@ -2,10 +2,9 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -239,24 +238,17 @@ object BloomAgg {
     * [[GraftFunctions.allFunctions]].
     *
     * Registry lifetime: the entry (and through it the broadcast) lives
-    * until the session ends or the same name is re-registered; ids are
-    * unique per SparkContext so re-registration under one name is
-    * always the same filter (idempotent).
+    * until the session ends; ids are unique per SparkContext so
+    * re-registration under one name is always the same filter
+    * (idempotent). There is deliberately NO unregister/destroy path —
+    * a live lazy plan may still reference the probe — so CALLERS that
+    * build repeatedly must memoize the built name per source
+    * fingerprint (the [[graft.llm.Decontaminate.buildGramBloomProbe]]
+    * convention) rather than re-building per call.
     */
-  def registerProbe(spark: SparkSession, bc: Broadcast[Array[Byte]]): String = {
-    val name = s"graft_bloom_probe_b${bc.id}"
-    val id = FunctionIdentifier(name)
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(id,
-        new ExpressionInfo(classOf[BloomProbe].getName, name),
-        (args: Seq[Expression]) => {
-          require(args.length == 1, s"$name expects exactly 1 key argument")
-          BloomProbe(bc, args.head)
-        })
-    }
-    name
-  }
+  def registerProbe(spark: SparkSession, bc: Broadcast[Array[Byte]]): String =
+    GraftFunctions.registerHandleProbe(spark, s"graft_bloom_probe_b${bc.id}",
+      classOf[BloomProbe], BloomProbe(bc, _))
 }
 
 /** `graft_bloom_contains(filter BINARY, key BIGINT)` → BOOLEAN: per-row

@@ -2,10 +2,9 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -217,20 +216,9 @@ object CountMinAgg {
     * `bc.value()` in a mutable slot; each row pays `depth` counter
     * reads. Use [[CmsQuery]] for report-sized probe sides instead.
     */
-  def registerProbe(spark: SparkSession, bc: Broadcast[Array[Byte]]): String = {
-    val name = s"graft_cms_probe_b${bc.id}"
-    val id = FunctionIdentifier(name)
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(id,
-        new ExpressionInfo(classOf[CmsProbe].getName, name),
-        (args: Seq[Expression]) => {
-          require(args.length == 1, s"$name expects exactly 1 key argument")
-          CmsProbe(bc, args.head)
-        })
-    }
-    name
-  }
+  def registerProbe(spark: SparkSession, bc: Broadcast[Array[Byte]]): String =
+    GraftFunctions.registerHandleProbe(spark, s"graft_cms_probe_b${bc.id}",
+      classOf[CmsProbe], CmsProbe(bc, _))
 
   /** Static probe kernel for [[CmsQuery]]'s generated code — reads the
     * serialized image directly (two header ints + `depth` counter
@@ -273,7 +261,7 @@ case class CmsUnionAgg(
         sketch.dataType.sql)
 
   override def children: Seq[Expression] = Seq(sketch)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_cms_union_agg"
 
@@ -290,12 +278,16 @@ case class CmsUnionAgg(
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
     CountMinAgg.sum(buf, other, prettyName)
 
-  /** An all-null/empty group still evals to a VALID empty grid so a
-    * downstream probe never sees a zero-length image.
+  /** An all-null/empty group evals to NULL — not a placeholder grid,
+    * whose made-up geometry would hard-fail a later merge/rollup level
+    * ("grids built at different geometry") and poison the whole query
+    * because one slice happened to be empty. NULL is the honest value
+    * (the geometry is unknowable with zero inputs) and every consumer
+    * already handles it: a higher-level union-agg's update skips NULL
+    * inputs, and [[CmsQuery]]/[[CmsMerge]] are null-propagating.
     */
   override def eval(buf: Array[Long]): Any =
-    CountMinAgg.toBytes(
-      if (buf.isEmpty) CountMinAgg.emptyGrid(2, 1) else buf)
+    if (buf.isEmpty) null else CountMinAgg.toBytes(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] =
     CountMinAgg.toBytes(buf)

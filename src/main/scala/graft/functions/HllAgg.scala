@@ -227,7 +227,7 @@ case class HllUnionAgg(
         sketch.dataType.sql)
 
   override def children: Seq[Expression] = Seq(sketch)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_hll_union_agg"
 
@@ -245,12 +245,17 @@ case class HllUnionAgg(
   override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
     HllAgg.union(buf, other, prettyName)
 
-  /** An all-null/empty group still evals to a VALID empty sketch
-    * (p is unknowable — use the smallest layout) so downstream
-    * `graft_hll_est` never sees a zero-length image.
+  /** An all-null/empty group evals to NULL — not a placeholder sketch
+    * at a made-up p, which would hard-fail a later rollup level
+    * ("different p ... cannot merge") the moment a real-p sketch met
+    * it, poisoning the whole query because one slice happened to be
+    * empty (the r15 CmsUnionAgg review finding, applied to both
+    * algebras). NULL is the honest value with zero inputs, and every
+    * consumer handles it: a higher-level union-agg skips NULL inputs,
+    * and [[HllEst]]/[[HllZeros]]/[[HllMerge]] are null-propagating.
     */
   override def eval(buf: Array[Byte]): Any =
-    if (buf.isEmpty) HllAgg.emptyRegisters(4) else buf.clone()
+    if (buf.isEmpty) null else buf.clone()
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()

@@ -30,6 +30,34 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Driver-side memo of BUILT probe-function names, keyed by the
+    * build input's canonicalized plan + file-source fingerprint +
+    * sketch parameters ([[Similarity.sourceVersion]]'s staleness
+    * guard: an eval set overwritten in place re-builds). Exists
+    * because a probe registration pins its broadcast for the session
+    * (there is deliberately no destroy path — live lazy plans may
+    * reference it), so repeated builds against UNCHANGED sources must
+    * reuse the one filter instead of accumulating a fresh broadcast +
+    * registry entry per call (r15 review). Bounded LRU: evicted
+    * entries only forget the memo (the next build registers a fresh
+    * id); the old entry stays valid for any plan still holding it.
+    */
+  private[llm] object ProbeMemo {
+    private val cache = new java.util.LinkedHashMap[Any, String](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, String]): Boolean = size > 8
+    }
+    def getOrBuild(key: Any)(build: => String): String = {
+      cache.synchronized(Option(cache.get(key))) match {
+        case Some(name) => name
+        case None =>
+          val name = build // outside the lock: the build runs a job
+          cache.synchronized(cache.put(key, name))
+          name
+      }
+    }
+  }
+
   /** Survivors of decontaminating `docs` against `evalDocs` (both need
     * `(doc_id, text)`): one row per KEPT document —
     * `(doc_id, n_grams, n_hit, overlap)` with overlap = n_hit/n_grams
@@ -139,12 +167,17 @@ object Decontaminate {
     val spark = evalDocs.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // no distinct before the aggregate: duplicate inserts are idempotent
-    val bytes = TextDedup.gramHashes(evalDocs, shingleK)
-      .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
-        col("gh"), lit(numBits), lit(numHashes)).as("f"))
-      .collect()(0).getAs[Array[Byte]]("f") // ONE row, numBits/8 bytes
-    graft.functions.BloomAgg.registerProbe(
-      spark, spark.sparkContext.broadcast(bytes))
+    val grams = TextDedup.gramHashes(evalDocs, shingleK)
+    ProbeMemo.getOrBuild(("bloom",
+        grams.queryExecution.analyzed.canonicalized,
+        Similarity.sourceVersion(grams), numBits, numHashes)) {
+      val bytes = grams
+        .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
+          col("gh"), lit(numBits), lit(numHashes)).as("f"))
+        .collect()(0).getAs[Array[Byte]]("f") // ONE row, numBits/8 bytes
+      graft.functions.BloomAgg.registerProbe(
+        spark, spark.sparkContext.broadcast(bytes))
+    }
   }
 
   /** Unfiltered [[bloomDecontaminate]] — see [[decontaminateAudit]].

@@ -334,25 +334,6 @@ object Sampling {
       .select(col(keyCol), col("rnk"))
   }
 
-  /** Deterministic training-shard assignment: every doc hash-assigned
-    * to one of `nShards` shards by its seeded md5 bucket — the
-    * write-side layout op for a training corpus (shard =
-    * `repartition(nShards, col("shard"))` + partitioned write). Same
-    * portability contract as the samplers: assignment is a pure
-    * function of (seed, key), stable across engines, runs, and
-    * cluster sizes — a resumed or re-run export produces byte-stable
-    * shard membership. Emits per-shard balance stats (the skew audit:
-    * md5 buckets spread uniformly, so shard sizes concentrate tightly
-    * around n/nShards).
-    *
-    * Shard assignment is `bucket % nShards` over the 1,000,000-value
-    * seeded-bucket space: when nShards does not divide 1e6, the low
-    * (1e6 mod nShards) shards each see one extra bucket — a relative
-    * size bias of ~nShards/1e6 (≈1e-5 at nShards=8), far below the
-    * natural binomial spread of real shard sizes. Callers needing
-    * exactly-uniform assignment for very large nShards should shard on
-    * a wider hash, not this audit helper.
-    */
   /** Priority sampling (Duffield, Lund & Thorup, JACM'07) — a
     * WEIGHTED k-sample with per-item unbiased subset-sum estimators:
     * each item draws `u ∈ (0, 1]` from the seeded md5 hash, gets
@@ -417,6 +398,25 @@ object Sampling {
         greatest(col("wt"), col("__tau")).as("w_est"))
   }
 
+  /** Deterministic training-shard assignment: every doc hash-assigned
+    * to one of `nShards` shards by its seeded md5 bucket — the
+    * write-side layout op for a training corpus (shard =
+    * `repartition(nShards, col("shard"))` + partitioned write). Same
+    * portability contract as the samplers: assignment is a pure
+    * function of (seed, key), stable across engines, runs, and
+    * cluster sizes — a resumed or re-run export produces byte-stable
+    * shard membership. Emits per-shard balance stats (the skew audit:
+    * md5 buckets spread uniformly, so shard sizes concentrate tightly
+    * around n/nShards).
+    *
+    * Shard assignment is `bucket % nShards` over the 1,000,000-value
+    * seeded-bucket space: when nShards does not divide 1e6, the low
+    * (1e6 mod nShards) shards each see one extra bucket — a relative
+    * size bias of ~nShards/1e6 (≈1e-5 at nShards=8), far below the
+    * natural binomial spread of real shard sizes. Callers needing
+    * exactly-uniform assignment for very large nShards should shard on
+    * a wider hash, not this audit helper.
+    */
   def shardStats(
       docs: DataFrame,
       nShards: Int,

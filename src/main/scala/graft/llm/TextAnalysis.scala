@@ -808,28 +808,6 @@ object TextAnalysis {
         col("est_a") + col("est_b") - col("est_union"))
   }
 
-  /** Token seen-counts by Count-Min sketch
-    * ([[graft.functions.CountMinAgg]]), calibrated against the exact
-    * counts: per-source grids built in one corpus pass, rolled up by
-    * `graft_cms_union_agg` (elementwise add — exact, so the rollup
-    * equals the single global grid bit-for-bit), then the global grid
-    * point-queried for the `topN` most frequent tokens. One row per
-    * probed token: `(token, n_exact, n_est, overcount)` with
-    * `n_est ≥ n_exact` always (the sketch's one-sided guarantee) and
-    * `overcount` the collision mass at the chosen geometry — the
-    * sizing evidence a deploy reads before replacing exact counts
-    * with `depth × width` longs of state.
-    *
-    * Scale shape: the exact side is the calibration CONTROL (a sample
-    * affords it; the production path is sketch-only) — one token
-    * shuffle for the counts, one for the per-source grids; the probe
-    * side is report-sized (`topN` rows against a one-row grid, the
-    * [[graft.functions.CmsQuery]] delivery contract). Estimates are
-    * integer-exact cross-engine: the bucket arithmetic is the
-    * engine-portable Carter–Wegman form over [[TextFns.hash60]], so
-    * the oracle rebuilds the grid in SQL and matches the collision
-    * overcounts exactly (q140).
-    */
   /** Build a Count-Min grid over a REFERENCE corpus's k-gram stream
     * (every occurrence, duplicates included — frequencies are the
     * point) and register a probe bound to its broadcast handle;
@@ -847,12 +825,20 @@ object TextAnalysis {
     val spark = refDocs.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import graft.functions.GraftFunctions.CmsAggName
-    val bytes = TextDedup.gramHashes(refDocs, shingleK)
-      .agg(call_function(CmsAggName,
-        cmsGramKey(col("gh")), lit(width), lit(depth)).as("g"))
-      .collect()(0).getAs[Array[Byte]]("g") // ONE row, depth·width longs
-    graft.functions.CountMinAgg.registerProbe(
-      spark, spark.sparkContext.broadcast(bytes))
+    // memoized per (plan, file fingerprint, geometry): a registration
+    // pins its broadcast for the session, so repeated builds against
+    // unchanged sources must reuse one grid (Decontaminate.ProbeMemo)
+    val grams = TextDedup.gramHashes(refDocs, shingleK)
+    Decontaminate.ProbeMemo.getOrBuild(("cms",
+        grams.queryExecution.analyzed.canonicalized,
+        Similarity.sourceVersion(grams), width, depth)) {
+      val bytes = grams
+        .agg(call_function(CmsAggName,
+          cmsGramKey(col("gh")), lit(width), lit(depth)).as("g"))
+        .collect()(0).getAs[Array[Byte]]("g") // ONE row, depth·width longs
+      graft.functions.CountMinAgg.registerProbe(
+        spark, spark.sparkContext.broadcast(bytes))
+    }
   }
 
   /** The CMS key for a polynomial gram hash: gram hashes are 31-bit
@@ -902,6 +888,28 @@ object TextAnalysis {
           .as("mean_seen"))
   }
 
+  /** Token seen-counts by Count-Min sketch
+    * ([[graft.functions.CountMinAgg]]), calibrated against the exact
+    * counts: per-source grids built in one corpus pass, rolled up by
+    * `graft_cms_union_agg` (elementwise add — exact, so the rollup
+    * equals the single global grid bit-for-bit), then the global grid
+    * point-queried for the `topN` most frequent tokens. One row per
+    * probed token: `(token, n_exact, n_est, overcount)` with
+    * `n_est ≥ n_exact` always (the sketch's one-sided guarantee) and
+    * `overcount` the collision mass at the chosen geometry — the
+    * sizing evidence a deploy reads before replacing exact counts
+    * with `depth × width` longs of state.
+    *
+    * Scale shape: the exact side is the calibration CONTROL (a sample
+    * affords it; the production path is sketch-only) — one token
+    * shuffle for the counts, one for the per-source grids; the probe
+    * side is report-sized (`topN` rows against a one-row grid, the
+    * [[graft.functions.CmsQuery]] delivery contract). Estimates are
+    * integer-exact cross-engine: the bucket arithmetic is the
+    * engine-portable Carter–Wegman form over [[TextFns.hash60]], so
+    * the oracle rebuilds the grid in SQL and matches the collision
+    * overcounts exactly (q140).
+    */
   def tokenSeenCounts(
       docs: DataFrame,
       width: Int = 512,

@@ -76,7 +76,7 @@ class CountMinAggSpec extends AnyFunSuite with SparkSpec {
     assert(java.util.Arrays.equals(direct, merged))
   }
 
-  test("graft_cms_query probes through SQL; empty groups yield a valid grid") {
+  test("graft_cms_query probes through SQL; empty groups roll up as NULL") {
     GraftFunctions.ensureRegistered(spark)
     val s = spark
     import s.implicits._
@@ -86,11 +86,20 @@ class CountMinAggSpec extends AnyFunSuite with SparkSpec {
       .select(expr(s"graft_cms_query(g, ${k}L)").as("c"))
       .collect()(0).getLong(0)
     assert(est === 3L)
-    // all-null input: the union-agg contract — a VALID empty grid out
-    val empty = Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("g")
+    // all-null input: the union-agg evals NULL (no made-up geometry
+    // that would poison a later rollup level)
+    val emptyRow = Seq(Tuple1(null.asInstanceOf[Array[Byte]])).toDF("g")
+      .agg(expr("graft_cms_union_agg(g)").as("g")).collect()(0)
+    assert(emptyRow.isNullAt(0))
+    // two-level rollup where one slice is all-NULL: the empty slice
+    // contributes nothing instead of erroring the geometry check
+    val real = grid(Seq(k, k), w = 1024, d = 4, partitions = 1)
+    val rolled = Seq((0, real), (1, null.asInstanceOf[Array[Byte]]))
+      .toDF("slice", "g")
+      .groupBy(col("slice")).agg(expr("graft_cms_union_agg(g)").as("g"))
       .agg(expr("graft_cms_union_agg(g)").as("g"))
       .collect()(0).getAs[Array[Byte]]("g")
-    assert(CountMinAgg.estimateBytes(empty, k) === 0L)
+    assert(java.util.Arrays.equals(rolled, real))
   }
 
   test("broadcast-handle probe equals the column-delivery query on every key") {

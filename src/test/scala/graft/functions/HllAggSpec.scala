@@ -112,14 +112,24 @@ class HllAggSpec extends AnyFunSuite with SparkSpec {
     val b = sketch(Seq(key60(2L)), p = 12, partitions = 1)
     val e = intercept[IllegalArgumentException](HllAgg.union(a, b, "spec"))
     assert(e.getMessage.contains("different p"))
-    // empty-group union-agg still evals to a valid (tiny) sketch
+    // empty-group union-agg evals to NULL (no made-up p that would
+    // poison a later rollup level), and NULL propagates cleanly
     GraftFunctions.ensureRegistered(spark)
     val s = spark
     import s.implicits._
-    val empty = Seq.empty[Array[Byte]].map(Tuple1(_)).toDF("h")
+    val emptyRow = Seq.empty[Array[Byte]].map(Tuple1(_)).toDF("h")
       .agg(expr("graft_hll_union_agg(h)").as("u"))
-      .select(expr("graft_hll_zeros(u)").as("z")).collect()(0).getInt(0)
-    assert(empty === 16) // p=4 placeholder, all registers zero
+      .select(expr("graft_hll_zeros(u)").as("z")).collect()(0)
+    assert(emptyRow.isNullAt(0))
+    // two-level rollup where one slice is all-NULL: the empty slice
+    // contributes nothing instead of erroring the merge
+    val real = sketch(Seq(key60(1L), key60(2L)), p = 10, partitions = 1)
+    val rolled = Seq((0, real), (1, null.asInstanceOf[Array[Byte]]))
+      .toDF("slice", "h")
+      .groupBy($"slice").agg(expr("graft_hll_union_agg(h)").as("u"))
+      .agg(expr("graft_hll_union_agg(u)").as("u"))
+      .collect()(0).getAs[Array[Byte]]("u")
+    assert(java.util.Arrays.equals(rolled, real))
   }
 
   test("p outside [4, 18] and non-bigint keys are clean analysis failures") {
