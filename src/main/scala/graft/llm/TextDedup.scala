@@ -1064,6 +1064,77 @@ object TextDedup {
         min(when(col("rn") === 1, col("n_chars"))).as("rep_chars"))
   }
 
+  /** Graph centrality over the near-dup pair graph — PageRank with
+    * INTEGER mass (the deterministic variant): every node starts with
+    * `initMass` units; each of `iters` rounds sends
+    * `((m · dampNum) / dampDen) / degree` units down every edge
+    * (integer multiply-then-divide, truncating — the leak is the
+    * deterministic stand-in for floating damping loss) and collects
+    * `initMass · (dampDen − dampNum) / dampDen` base mass plus its
+    * neighbors' contributions. After k rounds high-mass nodes are the
+    * hub documents of their duplicate neighborhoods — the centrality
+    * form of [[clusterRepresentatives]]' size election (a hub of many
+    * near-dups beats a long chain member even at equal length), and
+    * the standard canonical-document heuristic when templates create
+    * star-shaped dup graphs.
+    *
+    * Why integer mass instead of classical double ranks: the
+    * per-round neighbor sum is the textbook partial-aggregation
+    * shuffle, and double sums merge in partition order — integer
+    * sums are order-free, so the result is bit-stable across engines,
+    * reruns, and partitionings, and q144's oracle unrolls the same
+    * arithmetic in SQL with no tolerance band. Masses stay far from
+    * overflow: Σ mass ≤ nodes · initMass, and the per-edge multiply
+    * is bounded by that total × dampNum.
+    *
+    * Scope: nodes are the docs that appear in ≥ 1 pair (an undirected
+    * pair graph has no dangling nodes — every node has degree ≥ 1).
+    * Shape: the degree-annotated edge list is localCheckpointed once
+    * (released before return); each round is one broadcast-free
+    * equi-join + keyed sum over node-sized frames — k rounds, k
+    * bounded shuffles, no iteration ever touches the corpus.
+    * Output: `(doc_id, mass, n_neighbors)`.
+    */
+  def pairGraphCentrality(
+      pairs: DataFrame,
+      iters: Int = 3,
+      initMass: Long = 1000000000000L,
+      dampNum: Long = 17,
+      dampDen: Long = 20): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    require(dampNum > 0 && dampDen > dampNum, "damping must be in (0, 1)")
+    val edges0 = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .distinct()
+    val deg = edges0.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val edges = edges0.join(deg, Seq("a")).localCheckpoint()
+    val base = initMass * (dampDen - dampNum) / dampDen
+    var mass = deg.select(col("a").as("id"), lit(initMass).as("m"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val next = edges
+        .join(mass, edges("a") === mass("id"))
+        .select(col("b"),
+          expr(s"(m * $dampNum div $dampDen) div deg").as("c"))
+        .groupBy(col("b"))
+        .agg((sum(col("c")) + lit(base)).as("m"))
+        .select(col("b").as("id"), col("m"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.release(mass)
+      mass = next
+      i += 1
+    }
+    val out = mass
+      .join(deg.select(col("a").as("id"), col("deg")), Seq("id"))
+      .select(col("id").as("doc_id"), col("m").as("mass"),
+        col("deg").as("n_neighbors"))
+      .localCheckpoint()
+    graft.operators.Checkpoints.release(mass)
+    graft.operators.Checkpoints.release(edges)
+    out
+  }
+
   /** The full dedup PIPELINE a training-data build runs, composed from
     * the stage operators: exact (content hash, keep min id) → prefix
     * (first-k-token key, keep min id) → MinHash-LSH near-dup, with the

@@ -4115,6 +4115,44 @@ object QueryPackExt {
              CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rnk
       FROM h ORDER BY rnk"""))
 
+  /** Integer-mass PageRank over the MinHash-LSH dup graph
+    * ([[TextDedup.pairGraphCentrality]]) — hub documents of duplicate
+    * neighborhoods after 3 rounds. All arithmetic is integer
+    * (multiply-then-truncating-divide mass propagation), so the
+    * oracle unrolls the exact same three rounds over the shared pair
+    * CTEs and the masses hash-compare with no band — the
+    * deterministic-variant contract documented on the operator.
+    */
+  private val q144 = Q("q144_dup_pagerank",
+    (s, dir) => TextDedup.pairGraphCentrality(
+      TextDedup.minhashLshPairs(t(s, dir, "documents"),
+        shingleK = 3, nHashes = 12, bands = 4, threshold = 0.5),
+      iters = 3)
+      .harnessSorted(col("doc_id")),
+    Some {
+      def round(prev: String, it: String) = s"""
+      $it AS (
+        SELECT e.b AS id,
+               CAST(150000000000 + sum((m.m * 17 // 20) // e.deg)
+                 AS BIGINT) AS m
+        FROM edges e JOIN $prev m ON m.id = e.a GROUP BY e.b)"""
+      s"""
+      WITH $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
+      edges0 AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION
+        SELECT db AS a, da AS b FROM pairs),
+      degs AS (SELECT a, count(*) AS deg FROM edges0 GROUP BY a),
+      edges AS (SELECT e.a, e.b, d.deg FROM edges0 e
+                JOIN degs d ON d.a = e.a),
+      m0 AS (SELECT a AS id, CAST(1000000000000 AS BIGINT) AS m
+             FROM degs),${round("m0", "m1")},${round("m1", "m2")},${round("m2", "m3")}
+      SELECT m.id AS doc_id, m.m AS mass,
+             CAST(d.deg AS BIGINT) AS n_neighbors
+      FROM m3 m JOIN degs d ON d.a = m.id
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4124,7 +4162,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143)
+    q138, q139, q140, q141, q142, q143, q144)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -273,6 +273,35 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       s"estimator mean $mean vs true $total")
   }
 
+  test("pairGraphCentrality: hub out-masses leaves, integer-deterministic, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // star: hub 1 paired with leaves 2..9, plus an isolated pair (20, 21)
+    val pairs = ((2L to 9L).map(l => (1L, l)) :+ ((20L, 21L)))
+      .toDF("da", "db")
+    val out = TextDedup.pairGraphCentrality(pairs, iters = 3)
+    try {
+      val m = out.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(m.size === 11) // hub + 8 leaves + the isolated pair
+      assert(m(1L)._2 === 8L) // hub degree
+      val hub = m(1L)._1
+      (2L to 9L).foreach(l => assert(hub > m(l)._1, s"hub vs leaf $l"))
+      // the isolated pair is symmetric: identical masses
+      assert(m(20L) === m(21L))
+      // total mass never exceeds the injected total (truncation only leaks)
+      val total = m.values.map(_._1).sum
+      assert(total <= 11L * 1000000000000L)
+      // integer arithmetic => bit-stable across partitionings
+      val out7 = TextDedup.pairGraphCentrality(pairs.repartition(7), iters = 3)
+      try {
+        val m7 = out7.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(m7 === m)
+      } finally graft.operators.Checkpoints.release(out7)
+    } finally graft.operators.Checkpoints.release(out)
+  }
+
   test("trainingOrder: exact permutation, partition-invariant, distributed ranks") {
     val s = spark
     import s.implicits._
