@@ -4153,6 +4153,55 @@ object QueryPackExt {
       ORDER BY doc_id"""
     })
 
+  /** Schema-validated JSONL ingest with corrupt-record quarantine
+    * ([[graft.llm.Ingest.parseJsonlQuarantine]]): documents rendered
+    * to JSONL (every 23rd line truncated — the classic cut-off-feed
+    * corruption), parsed permissively, each row keeping its raw line
+    * + validity + parsed fields. The oracle re-judges every line with
+    * DuckDB's INDEPENDENT JSON parser (`json_valid` /
+    * `json_extract_string`), so the accept/reject verdicts and the
+    * extracted values of two unrelated parsers must agree row by row.
+    */
+  private val q145 = Q("q145_jsonl_quarantine",
+    (s, dir) => {
+      val j = concat(lit("{\"doc_id\":"), col("doc_id"),
+        lit(",\"lang\":\""), col("lang"),
+        lit("\",\"n_chars\":"), col("n_chars"), lit("}"))
+      val lines = t(s, dir, "documents")
+        .select(when(col("doc_id") % 23 === 0,
+          j.substr(lit(1), length(j) - 1))
+          .otherwise(j).as("line"))
+      graft.llm.Ingest.parseJsonlQuarantine(lines,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+        .harnessSorted(col("line"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT CASE WHEN did % 23 = 0 THEN substr(l, 1, length(l) - 1)
+                    ELSE l END AS line
+        FROM (SELECT doc_id AS did,
+                     concat('{"doc_id":', CAST(doc_id AS VARCHAR),
+                            ',"lang":"', lang,
+                            '","n_chars":', CAST(n_chars AS VARCHAR),
+                            '}') AS l
+              FROM documents))
+      SELECT line, json_valid(line) AS is_valid,
+             CAST(CASE WHEN json_valid(line)
+                  THEN json_extract_string(line, '$.doc_id') END
+               AS BIGINT) AS doc_id,
+             CASE WHEN json_valid(line)
+                  THEN json_extract_string(line, '$.lang') END AS lang,
+             CAST(CASE WHEN json_valid(line)
+                  THEN json_extract_string(line, '$.n_chars') END
+               AS BIGINT) AS n_chars
+      FROM j ORDER BY line"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4162,7 +4211,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144)
+    q138, q139, q140, q141, q142, q143, q144, q145)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

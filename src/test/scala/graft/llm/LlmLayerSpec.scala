@@ -273,6 +273,40 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       s"estimator mean $mean vs true $total")
   }
 
+  test("jsonl quarantine: valid rows parse, corrupt rows keep their raw line, audit counts") {
+    val s = spark
+    import s.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val lines = Seq(
+      """{"id":1,"v":"ok"}""",
+      """{"id":2,"v":"fine"}""",
+      """{"id":3,"v":"trunc""", // cut-off feed
+      """not json at all""",
+      """{"id":5}""" // valid JSON, missing field -> null v, still valid
+    ).toDF("line")
+    val out = graft.llm.Ingest.parseJsonlQuarantine(lines, schema)
+      .collect().map(r => (r.getString(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    assert(out.count(_._2) === 3)
+    assert(out.filter(_._2).map(_._3).sorted === Seq(1L, 2L, 5L))
+    // quarantined rows preserve the raw bytes for replay
+    val bad = out.filterNot(_._2).map(_._1).toSet
+    assert(bad === Set("""{"id":3,"v":"trunc""", "not json at all"))
+    // parse is a pure projection: no exchange in the plan
+    val plan = graft.llm.Ingest.parseJsonlQuarantine(lines, schema)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val audit = graft.llm.Ingest.ingestAudit(lines, schema).collect()(0)
+    assert((audit.getLong(0), audit.getLong(1), audit.getLong(2)) ===
+      ((5L, 3L, 2L)))
+    assert(audit.getDouble(3) === 0.6)
+  }
+
   test("pairGraphCentrality: hub out-masses leaves, integer-deterministic, partition-invariant") {
     val s = spark
     import s.implicits._
