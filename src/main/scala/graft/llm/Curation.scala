@@ -282,4 +282,93 @@ object Curation {
       .withColumn("release_ok",
         col("pass_dup") && col("pass_pii") && col("pass_contamination"))
   }
+
+  /** The INCREMENT flagship — the serve-many counterpart of the
+    * build-once [[curationPipeline]]: a NEW batch of documents gated
+    * against an existing corpus's artifacts, the shape every
+    * continuously-crawling pipeline runs per arrival. One row per
+    * increment doc carrying every verdict and the evidence behind it:
+    *
+    *  - `is_dup` — near-dup of HISTORY ([[TextDedup.probeMinhashIndex]]
+    *    against the history index: the increment is signed once and
+    *    meets pre-bucketed posting lists — history is never
+    *    re-signed);
+    *  - `n_grams`/`overlap` — benchmark contamination
+    *    ([[Decontaminate.decontaminateAudit]] against the eval slice);
+    *  - `n_tokens`/`quality_ok` — the length gate;
+    *  - `mean_seen` — document-frequency familiarity: the mean, over
+    *    the doc's distinct k-grams, of how many HISTORY docs contain
+    *    each gram (integer sum, one final IEEE division — the exact
+    *    control of q142's sketch form);
+    *  - `keep` = ¬dup ∧ overlap ≤ maxOverlap ∧ quality;
+    *  - `rnk` — the kept docs' deterministic training order
+    *    ([[Sampling.trainingOrder]], seeded), NULL for dropped docs.
+    *
+    * Scale shape: every stage is equi-keyed (banded probe join, gram
+    * joins, keyed aggregations); the only pair generation is the
+    * capped banded probe; order assignment rides the two-phase prefix
+    * sum. All arithmetic is integer until the two final divisions, so
+    * the whole composition hash-compares (q146).
+    */
+  def incrementGate(
+      history: DataFrame,
+      evalDocs: DataFrame,
+      increment: DataFrame,
+      shingleK: Int = 3,
+      maxOverlap: Double = 0.2,
+      minTokens: Int = 5,
+      seed: String = "inc1"): DataFrame = {
+    // each slice pays its gram front end ONCE: the history grams live
+    // in the index's own posting arrays (document frequency = explode
+    // + count over `sets` — history text is never re-shingled), and
+    // the increment's distinct gram frame is checkpointed and shared
+    // by the contamination join and the familiarity join (released by
+    // the harness's Checkpoints.releaseLeaked between queries, the
+    // minhashIndex convention)
+    val (buckets, sets) = TextDedup.minhashIndex(history, shingleK)
+    val dupIds = TextDedup
+      .probeMinhashIndex(increment, buckets, sets, shingleK)
+      .select(col("new_id").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    val incG = TextDedup.gramHashes(increment, shingleK).distinct()
+      .localCheckpoint()
+    val evalG = TextDedup.gramHashes(evalDocs, shingleK)
+      .select(col("gh")).distinct()
+    val isizes = incG.groupBy(col("doc_id")).agg(count(lit(1)).as("__ng"))
+    val hits = incG.join(evalG, Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nh"))
+    val histDf = sets.select(explode(col("sh")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+    val fam = incG.join(histDf, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__fng"),
+        sum(coalesce(col("__df"), lit(0L))).as("__seen"))
+      .select(col("doc_id"),
+        (col("__seen").cast("double") / col("__fng")).as("mean_seen"))
+    val flags = increment
+      .select(col("doc_id"),
+        greatest(size(TextFns.tokens(col("text"))).cast("long"), lit(0L))
+          .as("n_tokens"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .join(isizes, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .join(fam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        when(col("__ng").isNull, lit(0.0))
+          .otherwise(coalesce(col("__nh"), lit(0L)).cast("double") /
+            col("__ng"))
+          .as("overlap"),
+        col("n_tokens"),
+        (col("n_tokens") >= minTokens).as("quality_ok"),
+        coalesce(col("mean_seen"), lit(0.0)).as("mean_seen"))
+      .withColumn("keep",
+        !col("is_dup") && col("overlap") <= maxOverlap && col("quality_ok"))
+    val order = Sampling.trainingOrder(flags.filter(col("keep")), seed)
+    flags.join(order, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_dup"), col("n_grams"),
+        col("overlap"), col("n_tokens"), col("quality_ok"),
+        col("mean_seen"), col("keep"), col("rnk"))
+  }
 }

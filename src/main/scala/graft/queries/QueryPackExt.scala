@@ -4202,6 +4202,79 @@ object QueryPackExt {
                AS BIGINT) AS n_chars
       FROM j ORDER BY line"""))
 
+  /** The increment flagship ([[graft.llm.Curation.incrementGate]]):
+    * a new batch (doc_id % 10 = 7) gated against history (the rest,
+    * eval slice excluded) — index-probe dedup, exact decontamination
+    * vs the eval slice (doc_id % 20 = 0), document-frequency
+    * familiarity, length gate, and the kept docs' deterministic
+    * training order, all in one row per increment doc. The oracle
+    * composes the SAME shared CTEs the per-pillar oracles use (one
+    * gram chain sliced by predicates, the pair CTEs with a cross-slice
+    * candCond, the window form of the training order) — the whole
+    * five-pillar composition hash-compares with no band.
+    */
+  private val q146 = Q("q146_increment_flagship",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.Curation.incrementGate(
+        history = d.filter(col("doc_id") % 20 =!= 0 &&
+          col("doc_id") % 10 =!= 7),
+        evalDocs = d.filter(col("doc_id") % 20 === 0),
+        increment = d.filter(col("doc_id") % 10 === 7))
+        .harnessSorted(col("doc_id"))
+    },
+    Some {
+      val histPred = "doc_id % 20 <> 0 AND doc_id % 10 <> 7"
+      val incPred = "doc_id % 10 = 7"
+      s"""
+      WITH $ToksCte, ${gramCtes(3)},
+      ${minhashPairCtes(0.5, None,
+        candCond = "a.doc_id % 20 <> 0 AND a.doc_id % 10 <> 7 " +
+          "AND b.doc_id % 10 = 7")},
+      dups AS (SELECT DISTINCT db AS doc_id FROM pairs),
+      evg AS (SELECT DISTINCT gh FROM sh WHERE doc_id % 20 = 0),
+      incsh AS (SELECT doc_id, gh FROM sh WHERE $incPred),
+      isizes AS (SELECT doc_id, count(*) AS n_grams
+                 FROM incsh GROUP BY doc_id),
+      hits AS (SELECT i.doc_id, count(*) AS n_hit
+               FROM incsh i JOIN evg e ON i.gh = e.gh GROUP BY i.doc_id),
+      histdf AS (SELECT gh, count(*) AS df FROM sh
+                 WHERE $histPred GROUP BY gh),
+      fam AS (SELECT i.doc_id,
+                     CAST(sum(coalesce(d.df, 0)) AS DOUBLE) / count(*)
+                       AS mean_seen
+              FROM incsh i LEFT JOIN histdf d ON i.gh = d.gh
+              GROUP BY i.doc_id),
+      flags AS (
+        SELECT t.doc_id,
+               coalesce(dp.doc_id IS NOT NULL, FALSE) AS is_dup,
+               CAST(coalesce(sz.n_grams, 0) AS BIGINT) AS n_grams,
+               CASE WHEN sz.n_grams IS NULL THEN 0.0
+                    ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / sz.n_grams
+               END AS overlap,
+               CAST(len(t.w) AS BIGINT) AS n_tokens,
+               len(t.w) >= 5 AS quality_ok,
+               coalesce(f.mean_seen, 0.0) AS mean_seen
+        FROM (SELECT doc_id, w FROM toks WHERE $incPred) t
+        LEFT JOIN dups dp USING (doc_id)
+        LEFT JOIN isizes sz USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
+        LEFT JOIN fam f USING (doc_id)),
+      withkeep AS (
+        SELECT *, (NOT is_dup) AND overlap <= 0.2 AND quality_ok AS keep
+        FROM flags),
+      ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY ${h60("concat('inc1', '|', CAST(doc_id AS VARCHAR))")},
+                          doc_id) AS BIGINT) AS rnk
+        FROM withkeep WHERE keep)
+      SELECT k.doc_id, k.is_dup, k.n_grams, k.overlap, k.n_tokens,
+             k.quality_ok, k.mean_seen, k.keep, r.rnk
+      FROM withkeep k LEFT JOIN ranked r USING (doc_id)
+      ORDER BY k.doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4211,7 +4284,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

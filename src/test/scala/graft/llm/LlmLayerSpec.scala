@@ -273,6 +273,40 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       s"estimator mean $mean vs true $total")
   }
 
+  test("incrementGate: dup/contaminated/short dropped, clean kept with contiguous order") {
+    val s = spark
+    import s.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different historical content about engines here today"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "secret benchmark answer phrase goes here"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (11L, "secret benchmark answer phrase goes here verbatim leak"), // contaminated
+      (12L, "too short"), // quality fail
+      (13L, "fresh clean novel writing about completely new topics one"),
+      (14L, "another fresh clean novel document with brand new words two"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Curation
+      .incrementGate(history, eval, inc, minTokens = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getDouble(3),
+        r.getBoolean(5), r.getBoolean(7),
+        if (r.isNullAt(8)) -1L else r.getLong(8)))).toMap
+    assert(out.size === 5)
+    assert(out(10L)._1, "near-dup flagged")          // is_dup
+    assert(out(11L)._2 > 0.2, "contamination overlap")
+    assert(!out(12L)._3, "short doc fails quality")
+    assert(!out(10L)._4 && !out(11L)._4 && !out(12L)._4)
+    assert(out(13L)._4 && out(14L)._4, "clean docs kept")
+    // kept docs get contiguous deterministic order 1..k; dropped get NULL
+    assert(Set(out(13L)._5, out(14L)._5) === Set(1L, 2L))
+    assert(out(10L)._5 === -1L && out(11L)._5 === -1L && out(12L)._5 === -1L)
+  }
+
   test("jsonl quarantine: valid rows parse, corrupt rows keep their raw line, audit counts") {
     val s = spark
     import s.implicits._
