@@ -398,6 +398,55 @@ object Sampling {
         greatest(col("wt"), col("__tau")).as("w_est"))
   }
 
+  /** Per-GROUP priority sampling — [[prioritySample]]'s quota form:
+    * an independent weighted k-sample with subset-sum estimators
+    * WITHIN each value of `groupCol` ("k docs per language, weighted
+    * by length, still answering how many tokens each language slice
+    * holds"). Same determinism contract (two fixed-order IEEE
+    * divisions per row — cut, τ, and estimates hash-compare), same
+    * scale shape: the k+1 heap rides the grouped
+    * [[graft.functions.TopKAgg]] — k+1 rows per (group × map
+    * partition) through the one shuffle, never a grouped row_number
+    * over the corpus (the L56 skew funnel). Per-group τ is the
+    * group's own (k+1)-st priority (0 where the group has ≤ k
+    * sampleable rows). Output: `(groupCol, rnk, keyCol, wt, q,
+    * w_est)`, rnk 1..k per group.
+    */
+  def prioritySamplePerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val u = (TextFns.hash60(concat_ws("|", lit(seed),
+      col(keyCol).cast("string"))) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0) // 2^60 — u in (0, 1], never 0
+    val top = docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol), col(keyCol),
+        (col(weightCol).cast("double") / u).as("__q"))
+      .groupBy(col(groupCol))
+      .agg(call_function(graft.functions.GraftFunctions.TopKName,
+        col("__q"), col(keyCol), lit(k + 1)).as("__top"))
+      .select(col(groupCol), col("__top"),
+        when(size(col("__top")) > k,
+          element_at(col("__top"), k + 1).getField("score"))
+          .otherwise(lit(0.0)).as("__tau"))
+    val kept = top
+      .select(col(groupCol), col("__tau"), posexplode(col("__top")))
+      .filter(col("pos") < k)
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as(keyCol), col("col.score").as("q"),
+        col("__tau"))
+    docs.select(col(keyCol), col(weightCol).cast("double").as("wt"))
+      .join(broadcast(kept), Seq(keyCol))
+      .select(col(groupCol), col("rnk"), col(keyCol), col("wt"), col("q"),
+        greatest(col("wt"), col("__tau")).as("w_est"))
+  }
+
   /** Deterministic training-shard assignment: every doc hash-assigned
     * to one of `nShards` shards by its seeded md5 bucket — the
     * write-side layout op for a training corpus (shard =

@@ -4275,6 +4275,36 @@ object QueryPackExt {
       ORDER BY k.doc_id"""
     })
 
+  /** Per-group priority sampling ([[graft.llm.Sampling
+    * .prioritySamplePerGroup]]): a weighted 5-sample with subset-sum
+    * estimators per language, weight = n_chars. Same exactness as
+    * q141 (two fixed-order IEEE divisions; per-group τ from the
+    * (k+1)-st priority), mirrored by a per-group window.
+    */
+  private val q147 = Q("q147_group_priority_sample",
+    (s, dir) => graft.llm.Sampling.prioritySamplePerGroup(
+      t(s, dir, "documents"), "lang", "n_chars", k = 5, seed = "s147")
+      .harnessSorted(col("lang"), col("rnk")),
+    Some(s"""
+      WITH pri AS (
+        SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS wt,
+               CAST(n_chars AS DOUBLE) /
+                 (CAST(${h60("concat('s147', '|', CAST(doc_id AS VARCHAR))")}
+                       + 1 AS DOUBLE) / 1152921504606846976.0) AS q
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      r AS (SELECT lang, doc_id, wt, q,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY q DESC, doc_id)
+                     AS BIGINT) AS rnk
+            FROM pri),
+      tau AS (SELECT lang,
+                     COALESCE(max(CASE WHEN rnk = 6 THEN q END), 0.0) AS t
+              FROM r GROUP BY lang)
+      SELECT r.lang, r.rnk, r.doc_id, r.wt, r.q,
+             greatest(r.wt, t.t) AS w_est
+      FROM r JOIN tau t USING (lang) WHERE r.rnk <= 5
+      ORDER BY r.lang, r.rnk"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4284,7 +4314,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145, q146)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -271,6 +271,18 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     val mean = est.sum / est.length
     assert(math.abs(mean - total) / total < 0.15,
       s"estimator mean $mean vs true $total")
+    // per-group variant: a single group IS the global sample, and
+    // with two groups each gets its own independent k-quota
+    val one = Sampling.prioritySamplePerGroup(
+      d.withColumn("g", lit("x")), "g", "w", 10, "sA")
+      .collect().map(r => (r.getLong(2), r.getDouble(5))).sortBy(_._1)
+    val glob = Sampling.prioritySample(d, "w", 10, "sA")
+      .collect().map(r => (r.getLong(1), r.getDouble(4))).sortBy(_._1)
+    assert(one === glob)
+    val two = Sampling.prioritySamplePerGroup(
+      d.withColumn("g", col("doc_id") % 2), "g", "w", 10, "sA")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(two.count(_._1 == 0L) === 10 && two.count(_._1 == 1L) === 10)
   }
 
   test("incrementGate: dup/contaminated/short dropped, clean kept with contiguous order") {
