@@ -334,9 +334,10 @@ object Curation {
       .localCheckpoint()
     val evalG = TextDedup.gramHashes(evalDocs, shingleK)
       .select(col("gh")).distinct()
-    val isizes = incG.groupBy(col("doc_id")).agg(count(lit(1)).as("__ng"))
-    val hits = incG.join(evalG, Seq("gh"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nh"))
+    // contamination = the ONE audit kernel, fed the shared gram frame
+    val decon = Decontaminate.overlapFromGrams(
+      increment.select(col("doc_id")), incG, evalG)
+      .select(col("doc_id"), col("n_grams"), col("overlap"))
     val histDf = sets.select(explode(col("sh")).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).as("__df"))
     val fam = incG.join(histDf, Seq("gh"), "left")
@@ -350,17 +351,11 @@ object Curation {
         greatest(size(TextFns.tokens(col("text"))).cast("long"), lit(0L))
           .as("n_tokens"))
       .join(dupIds, Seq("doc_id"), "left")
-      .join(isizes, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+      .join(decon, Seq("doc_id"), "left")
       .join(fam, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__dup"), lit(false)).as("is_dup"),
-        coalesce(col("__ng"), lit(0L)).as("n_grams"),
-        when(col("__ng").isNull, lit(0.0))
-          .otherwise(coalesce(col("__nh"), lit(0L)).cast("double") /
-            col("__ng"))
-          .as("overlap"),
-        col("n_tokens"),
+        col("n_grams"), col("overlap"), col("n_tokens"),
         (col("n_tokens") >= minTokens).as("quality_ok"),
         coalesce(col("mean_seen"), lit(0.0)).as("mean_seen"))
       .withColumn("keep",

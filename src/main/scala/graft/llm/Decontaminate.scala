@@ -83,16 +83,30 @@ object Decontaminate {
   def decontaminateAudit(
       docs: DataFrame,
       evalDocs: DataFrame,
-      shingleK: Int = 3): DataFrame = {
-    val evalGrams = TextDedup.gramHashes(evalDocs, shingleK)
-      .select(col("gh")).distinct()
-    val docGrams = TextDedup.gramHashes(docs, shingleK).distinct()
+      shingleK: Int = 3): DataFrame =
+    overlapFromGrams(
+      docs.select(col("doc_id")),
+      TextDedup.gramHashes(docs, shingleK).distinct(),
+      TextDedup.gramHashes(evalDocs, shingleK).select(col("gh")).distinct())
+
+  /** The audit KERNEL on pre-built gram frames — one implementation of
+    * the sizes/hits/overlap arithmetic for every caller that already
+    * holds (or shares) the gram work: [[decontaminateAudit]] feeds it
+    * fresh frames; [[Curation.incrementGate]] feeds its checkpointed
+    * shared gram frame so the composition's contamination pillar IS
+    * this code path, not a drifting copy. `docIds` restores gram-less
+    * docs (< k tokens) with overlap 0.0 — too short to leak an n-gram.
+    */
+  private[llm] def overlapFromGrams(
+      docIds: DataFrame,
+      docGrams: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
     val sizes = docGrams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
     val hits = docGrams.join(evalGrams, "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"))
-    docs.select(col("doc_id"))
+    docIds
       .join(sizes, Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -39,16 +39,25 @@ object Ingest {
       schema: StructType,
       lineCol: String = "line"): DataFrame = {
     val corrupt = "_graft_corrupt"
-    require(!schema.fieldNames.contains(corrupt),
-      s"schema must not already contain $corrupt")
+    for (reserved <- Seq(corrupt, lineCol, "is_valid"))
+      require(!schema.fieldNames.contains(reserved),
+        s"schema must not contain the output column '$reserved'")
     val parseSchema = schema.add(corrupt,
       org.apache.spark.sql.types.StringType)
     val parsed = from_json(col(lineCol), parseSchema,
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
     lines
       .withColumn("__p", parsed)
+      // THREE conditions: a NULL input line is invalid; a NULL parsed
+      // struct is invalid — Spark returns a NULL struct (corrupt field
+      // unreachable, hence NULL too) for EMPTY/whitespace-only input,
+      // which json_valid('') also rejects, so blank feed lines (every
+      // real dump's trailing newline) quarantine instead of flowing
+      // through as all-null "valid" rows; otherwise the corrupt
+      // channel is the verdict
       .withColumn("is_valid",
-        col(lineCol).isNotNull && col(s"__p.$corrupt").isNull)
+        col(lineCol).isNotNull && col("__p").isNotNull &&
+          col(s"__p.$corrupt").isNull)
       .select(Seq(col(lineCol), col("is_valid")) ++
         schema.fields.map(f => col(s"__p.${f.name}").as(f.name)): _*)
   }
@@ -64,8 +73,16 @@ object Ingest {
     parseJsonlQuarantine(lines, schema, lineCol)
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
-        sum(when(col("is_valid"), 0L).otherwise(1L)).as("n_quarantined"))
+        // coalesce: an EMPTY batch (sum over zero rows is NULL) must
+        // report zeros, not NULLs a threshold gate can't evaluate
+        coalesce(sum(when(col("is_valid"), 1L).otherwise(0L)), lit(0L))
+          .as("n_valid"),
+        coalesce(sum(when(col("is_valid"), 0L).otherwise(1L)), lit(0L))
+          .as("n_quarantined"))
+      // empty batch → vacuously all-valid (1.0), so a `valid_frac ≥ x`
+      // health gate passes on a clean-but-empty feed instead of
+      // evaluating NULL
       .withColumn("valid_frac",
-        col("n_valid").cast("double") / col("n_rows"))
+        when(col("n_rows") === 0, lit(1.0))
+          .otherwise(col("n_valid").cast("double") / col("n_rows")))
 }

@@ -441,8 +441,14 @@ object Sampling {
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as(keyCol), col("col.score").as("q"),
         col("__tau"))
-    docs.select(col(keyCol), col(weightCol).cast("double").as("wt"))
-      .join(broadcast(kept), Seq(keyCol))
+    // join back on (group, key): a key only unique WITHIN its group
+    // must not cross-match other groups' rows. No forced broadcast —
+    // kept is k+1 rows PER GROUP, and group cardinality is the
+    // caller's domain (per-language: tiny; per-domain: millions), so
+    // the planner/AQE picks the strategy from the actual size.
+    docs.select(col(groupCol), col(keyCol),
+        col(weightCol).cast("double").as("wt"))
+      .join(kept, Seq(groupCol, keyCol))
       .select(col(groupCol), col("rnk"), col(keyCol), col("wt"), col("q"),
         greatest(col("wt"), col("__tau")).as("w_est"))
   }

@@ -1083,9 +1083,12 @@ object TextDedup {
     * shuffle, and double sums merge in partition order — integer
     * sums are order-free, so the result is bit-stable across engines,
     * reruns, and partitionings, and q144's oracle unrolls the same
-    * arithmetic in SQL with no tolerance band. Masses stay far from
-    * overflow: Σ mass ≤ nodes · initMass, and the per-edge multiply
-    * is bounded by that total × dampNum.
+    * arithmetic in SQL with no tolerance band. Overflow is RAILED,
+    * not assumed: Σ mass ≤ nodes · initMass (truncation only leaks),
+    * so the per-edge multiply is exact iff
+    * nodes · initMass · dampNum < 2⁶³ — checked against the actual
+    * node count at construction, erroring loudly with the fix
+    * (smaller initMass) instead of wrapping silently.
     *
     * Scope: nodes are the docs that appear in ≥ 1 pair (an undirected
     * pair graph has no dangling nodes — every node has degree ≥ 1).
@@ -1103,13 +1106,32 @@ object TextDedup {
       dampDen: Long = 20): DataFrame = {
     require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
     require(dampNum > 0 && dampDen > dampNum, "damping must be in (0, 1)")
-    val edges0 = pairs.select(col("da").as("a"), col("db").as("b"))
+    // ONE execution of the (expensive — LSH candidate join + rerank)
+    // pairs lineage: the symmetric edge set checkpoints first, and
+    // degrees, the degree-annotated edges, and the node set all
+    // derive from that checkpoint — not from pairs again
+    val sym = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct()
-    val deg = edges0.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val edges = edges0.join(deg, Seq("a")).localCheckpoint()
+      .localCheckpoint()
+    val edges = sym
+      .join(sym.groupBy(col("a")).agg(count(lit(1)).as("deg")), Seq("a"))
+      .localCheckpoint()
+    graft.operators.Checkpoints.release(sym)
+    val deg = edges.select(col("a").as("id"), col("deg")).distinct()
+    // overflow rail: per-node mass is bounded by the CONSERVED total
+    // nodes·initMass (truncation only leaks), so the per-edge multiply
+    // stays exact iff nodes·initMass·dampNum < 2^63. Wrapped longs
+    // would silently corrupt on the engine side while the SQL mirror
+    // promotes to wider integers — fail loudly and tell the caller
+    // the fix (smaller initMass scales every mass linearly).
+    val nNodes = deg.count()
+    require(nNodes <= Long.MaxValue / dampNum / initMass,
+      s"$nNodes nodes at initMass=$initMass would overflow the " +
+        s"per-edge multiply; lower initMass (max nodes at this mass: " +
+        s"${Long.MaxValue / dampNum / initMass})")
     val base = initMass * (dampDen - dampNum) / dampDen
-    var mass = deg.select(col("a").as("id"), lit(initMass).as("m"))
+    var mass = deg.select(col("id"), lit(initMass).as("m"))
       .localCheckpoint()
     var i = 0
     while (i < iters) {
@@ -1126,7 +1148,7 @@ object TextDedup {
       i += 1
     }
     val out = mass
-      .join(deg.select(col("a").as("id"), col("deg")), Seq("id"))
+      .join(deg, Seq("id"))
       .select(col("id").as("doc_id"), col("m").as("mass"),
         col("deg").as("n_neighbors"))
       .localCheckpoint()

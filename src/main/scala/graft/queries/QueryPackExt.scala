@@ -4167,9 +4167,14 @@ object QueryPackExt {
       val j = concat(lit("{\"doc_id\":"), col("doc_id"),
         lit(",\"lang\":\""), col("lang"),
         lit("\",\"n_chars\":"), col("n_chars"), lit("}"))
+      // two corruption modes: every 23rd line truncated (cut-off
+      // feed), every 31st EMPTY (trailing-newline blank) — the blank
+      // must quarantine too (json_valid('') is false; a NULL parsed
+      // struct is the engine-side signal)
       val lines = t(s, dir, "documents")
-        .select(when(col("doc_id") % 23 === 0,
-          j.substr(lit(1), length(j) - 1))
+        .select(when(col("doc_id") % 31 === 0, lit(""))
+          .when(col("doc_id") % 23 === 0,
+            j.substr(lit(1), length(j) - 1))
           .otherwise(j).as("line"))
       graft.llm.Ingest.parseJsonlQuarantine(lines,
         org.apache.spark.sql.types.StructType(Seq(
@@ -4183,7 +4188,8 @@ object QueryPackExt {
     },
     Some("""
       WITH j AS (
-        SELECT CASE WHEN did % 23 = 0 THEN substr(l, 1, length(l) - 1)
+        SELECT CASE WHEN did % 31 = 0 THEN ''
+                    WHEN did % 23 = 0 THEN substr(l, 1, length(l) - 1)
                     ELSE l END AS line
         FROM (SELECT doc_id AS did,
                      concat('{"doc_id":', CAST(doc_id AS VARCHAR),

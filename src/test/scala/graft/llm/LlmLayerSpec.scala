@@ -332,6 +332,8 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       """{"id":2,"v":"fine"}""",
       """{"id":3,"v":"trunc""", // cut-off feed
       """not json at all""",
+      "", // trailing-newline blank: NULL struct, must quarantine
+      "   ", // whitespace-only: same
       """{"id":5}""" // valid JSON, missing field -> null v, still valid
     ).toDF("line")
     val out = graft.llm.Ingest.parseJsonlQuarantine(lines, schema)
@@ -342,15 +344,27 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(_._2).map(_._3).sorted === Seq(1L, 2L, 5L))
     // quarantined rows preserve the raw bytes for replay
     val bad = out.filterNot(_._2).map(_._1).toSet
-    assert(bad === Set("""{"id":3,"v":"trunc""", "not json at all"))
+    assert(bad === Set("""{"id":3,"v":"trunc""", "not json at all", "", "   "))
     // parse is a pure projection: no exchange in the plan
     val plan = graft.llm.Ingest.parseJsonlQuarantine(lines, schema)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     val audit = graft.llm.Ingest.ingestAudit(lines, schema).collect()(0)
     assert((audit.getLong(0), audit.getLong(1), audit.getLong(2)) ===
-      ((5L, 3L, 2L)))
-    assert(audit.getDouble(3) === 0.6)
+      ((7L, 3L, 4L)))
+    assert(audit.getDouble(3) === 3.0 / 7.0)
+    // an EMPTY batch reports zeros and a vacuous 1.0, never NULLs a
+    // threshold gate can't evaluate
+    val empty = graft.llm.Ingest
+      .ingestAudit(lines.filter(lit(false)), schema).collect()(0)
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2),
+      empty.getDouble(3)) === ((0L, 0L, 0L, 1.0)))
+    // reserved output names are rejected loudly
+    val badSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("is_valid",
+        org.apache.spark.sql.types.StringType)))
+    intercept[IllegalArgumentException](
+      graft.llm.Ingest.parseJsonlQuarantine(lines, badSchema))
   }
 
   test("pairGraphCentrality: hub out-masses leaves, integer-deterministic, partition-invariant") {
