@@ -152,6 +152,74 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       k, excludeSelf = true)
 
+  /** MMR-diversified rerank (Maximal Marginal Relevance — Carbonell &
+    * Goldstein, SIGIR'98): from each query's top-`nCandidates` cosine
+    * pool, greedily select `k` results maximizing
+    * `λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)` — the standard
+    * second-stage rerank that stops near-duplicate hits from filling
+    * the whole result list (a dup-heavy corpus returns k copies of
+    * one document under pure relevance). rnk is SELECTION order;
+    * `mmr` is the score that won each step (step 1 = pure relevance).
+    *
+    * Scale shape: the corpus pays exactly one [[bruteForceTopK]]
+    * pass (swap in any certified ANN front end for the pool at 10⁹
+    * vectors); everything after runs on the checkpointed
+    * nQueries × nCandidates pool — the k−1 greedy steps are
+    * anti-join + penalty-max + per-query window over ≤ nCandidates
+    * rows each, never touching the corpus. Determinism: `max` over
+    * penalty doubles is order-free, the score is two fixed-order
+    * IEEE ops, ties break by vec_id — so q148 hash-compares against
+    * the SQL-unrolled greedy with no band (pick a λ whose 1−λ is
+    * exactly representable, e.g. 0.75, when cross-engine parity
+    * matters — the oracle writes the same literals).
+    */
+  def mmrRerank(
+      emb: DataFrame,
+      nQueries: Int = 5,
+      nCandidates: Int = 20,
+      k: Int = 3,
+      lambda: Double = 0.75): DataFrame = {
+    require(k >= 1 && k <= nCandidates, "need 1 <= k <= nCandidates")
+    require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val cands = bruteForceTopK(emb, nQueries, nCandidates)
+      .select(col("query_id"), col("vec_id"), col("sim").as("qsim"))
+      .join(emb.select(col("vec_id"), col("embedding").as("cv")),
+        Seq("vec_id"))
+      .withColumn("cn", l2norm(col("cv")))
+      .localCheckpoint() // pool-sized; read by every greedy step
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("vec_id"))
+    var selected = cands.withColumn("mmr", col("qsim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("rnk"), col("vec_id"),
+        col("qsim"), col("mmr"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val selIds = selected.select(col("query_id"), col("vec_id"))
+      // selected vectors read back from the pool — selections ARE
+      // pool rows, so no vector columns ride the selection frame
+      val selVecs = cands.join(selIds, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("cv").as("sv"), col("cn").as("sn"))
+      val prev = selected
+      val next = cands
+        .join(selIds, Seq("query_id", "vec_id"), "left_anti")
+        .join(selVecs, Seq("query_id"))
+        .withColumn("__ps", dot(col("cv"), col("sv")) /
+          (col("cn") * col("sn")))
+        .groupBy(col("query_id"), col("vec_id"), col("qsim"))
+        .agg(max(col("__ps")).as("__pen"))
+        .withColumn("mmr",
+          lit(lambda) * col("qsim") - lit(1.0 - lambda) * col("__pen"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), lit(t.toLong).as("rnk"), col("vec_id"),
+          col("qsim"), col("mmr"))
+      selected = prev.unionByName(next).localCheckpoint()
+      graft.operators.Checkpoints.release(prev)
+    }
+    selected
+  }
+
   /** Retrieval-based classification: label each query vector by the
     * majority label of its k nearest corpus neighbors (tie → smaller
     * label wins), scored against the query's own `label` — the

@@ -4311,6 +4311,80 @@ object QueryPackExt {
       FROM r JOIN tau t USING (lang) WHERE r.rnk <= 5
       ORDER BY r.lang, r.rnk"""))
 
+  /** MMR-diversified rerank ([[Similarity.mmrRerank]]): k = 3 greedy
+    * selections from each query's top-20 cosine pool at λ = 0.75
+    * (1−λ = 0.25 — both exactly representable, so the engine's
+    * `lit(λ)·qsim − lit(1−λ)·pen` and the oracle's literal arithmetic
+    * are the same IEEE ops). The oracle unrolls the greedy loop:
+    * penalties are max over the already-selected pool rows, remaining
+    * candidates anti-selected via NOT EXISTS, ties by vec_id — the
+    * selection order, scores, and membership hash-compare exactly.
+    */
+  private val q148 = Q("q148_mmr_rerank",
+    (s, dir) => Similarity.mmrRerank(t(s, dir, "embeddings"),
+      nQueries = 5, nCandidates = 20, k = 3, lambda = 0.75)
+      .harnessSorted(col("query_id"), col("rnk")),
+    Some {
+      // NB: no single-letter alias `i` anywhere in the correlated
+      // subquery — dotSql's lambda variable is `i` and a table alias
+      // of the same name captures it
+      def psim(c: String, sid: String) =
+        s"""(SELECT max(${dotSql(s"$c.cv", "s.cv")} / ($c.cn * s.cn))
+            FROM cand s JOIN $sid selrow
+              ON s.query_id = selrow.query_id
+             AND s.vec_id = selrow.vec_id
+            WHERE s.query_id = $c.query_id)"""
+      s"""
+      WITH ${normCte()},
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+               ${dotSql("q.qv", "c.embedding")} / (q.qn * c.nrm) AS qsim,
+               c.embedding AS cv, c.nrm AS cn
+        FROM e c JOIN q ON c.vec_id <> q.query_id),
+      cand AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qsim DESC, vec_id) AS rn
+          FROM scored) x WHERE rn <= 20),
+      sel1 AS (SELECT query_id, vec_id, qsim, qsim AS mmr
+               FROM cand WHERE rn = 1),
+      sc2 AS (
+        SELECT c.query_id, c.vec_id, c.qsim,
+               0.75 * c.qsim - 0.25 * ${psim("c", "sel1")} AS mmr
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+                          WHERE x.query_id = c.query_id
+                            AND x.vec_id = c.vec_id)),
+      sel2 AS (
+        SELECT query_id, vec_id, qsim, mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY mmr DESC, vec_id) AS r2
+          FROM sc2) y WHERE r2 = 1),
+      selu AS (SELECT query_id, vec_id FROM sel1
+               UNION ALL SELECT query_id, vec_id FROM sel2),
+      sc3 AS (
+        SELECT c.query_id, c.vec_id, c.qsim,
+               0.75 * c.qsim - 0.25 * ${psim("c", "selu")} AS mmr
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM selu x
+                          WHERE x.query_id = c.query_id
+                            AND x.vec_id = c.vec_id)),
+      sel3 AS (
+        SELECT query_id, vec_id, qsim, mmr FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY mmr DESC, vec_id) AS r3
+          FROM sc3) z WHERE r3 = 1)
+      SELECT query_id, CAST(1 AS BIGINT) AS rnk, vec_id, qsim, mmr
+      FROM sel1
+      UNION ALL
+      SELECT query_id, CAST(2 AS BIGINT), vec_id, qsim, mmr FROM sel2
+      UNION ALL
+      SELECT query_id, CAST(3 AS BIGINT), vec_id, qsim, mmr FROM sel3
+      ORDER BY query_id, rnk"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4320,7 +4394,7 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -285,6 +285,36 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(two.count(_._1 == 0L) === 10 && two.count(_._1 == 1L) === 10)
   }
 
+  test("mmrRerank: near-dup candidates are diversified away, rnk is selection order") {
+    val s = spark
+    import s.implicits._
+    // query 0; candidates: 1 & 2 are near-identical top hits, 3 is a
+    // distinct direction with lower relevance
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // 1 and 2 are cosine-identical to the query (and to each other);
+    // 3 is distinct (cos 0.6 to both). At a diversity-heavy lambda,
+    // step-2 scores: dup = 0.3·1 − 0.7·1 = −0.4 vs
+    // distinct = 0.3·0.6 − 0.7·0.6 = −0.24 → the distinct wins
+    val emb = Seq(
+      (0L, v(1.0, 0.0, 0.0, 0.0), 0),
+      (1L, v(2.0, 0.0, 0.0, 0.0), 0),
+      (2L, v(3.0, 0.0, 0.0, 0.0), 0),
+      (3L, v(3.0, 4.0, 0.0, 0.0), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrRerank(emb, nQueries = 1, nCandidates = 3,
+      k = 2, lambda = 0.3)
+    try {
+      val rows = out.collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      // step 1 = pure relevance (one of the near-dups); step 2 must
+      // DIVERSIFY to vector 3 — pure relevance would pick the other dup
+      assert(Set(1L, 2L).contains(rows(1L)))
+      assert(rows(2L) === 3L, s"expected diversified pick, got $rows")
+      // rnk 1's mmr equals its qsim (no penalty on the first pick)
+      val first = out.filter(col("rnk") === 1).collect()(0)
+      assert(first.getDouble(3) === first.getDouble(4))
+    } finally graft.operators.Checkpoints.release(out)
+  }
+
   test("incrementGate: dup/contaminated/short dropped, clean kept with contiguous order") {
     val s = spark
     import s.implicits._
