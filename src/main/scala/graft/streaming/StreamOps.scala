@@ -288,6 +288,45 @@ object StreamOps {
         expr("graft_hll_zeros(sk)").as("n_zero"))
   }
 
+  /** ST13 (r15) — streaming windowed SEEN-COUNT sketches: one
+    * Count-Min grid ([[graft.functions.CountMinAgg]]) per event-time
+    * window, state FIXED at depth × width longs per window no matter
+    * how many distinct keys flow — the open-key-space regime where an
+    * exact per-(window, key) count's state is unbounded (ST11's
+    * bounded-state argument, for frequencies instead of
+    * cardinality). The grid's elementwise-ADD merge is exactly
+    * incremental aggregation: each micro-batch folds into the window
+    * state and the converged state equals the batch grid
+    * bit-for-bit (spec-asserted); late data beyond the watermark
+    * drops and window state reclaims. The payoff over a plain
+    * windowed count: the emitted grid answers "how often did ANY key
+    * appear in this window" POST-HOC — keys chosen after the stream
+    * was compacted — via `graft_cms_query` on the stored rows, with
+    * the never-undercount guarantee thresholds need. Each output row
+    * carries the window plus the probed counts for `probeKeys`
+    * (report-sized; ad-hoc keys query the `sketch` column later).
+    */
+  def streamingSeenCounts(
+      events: DataFrame,
+      probeKeys: Seq[String],
+      width: Int = 1024,
+      depth: Int = 4,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    val base = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"))
+      .agg(expr(
+        s"graft_cms_agg(graft_hash60(CAST(user_id AS STRING)), " +
+          s"$width, $depth)").as("sketch"))
+      .select(col("w.start").as("win_start"), col("sketch"))
+    probeKeys.foldLeft(base) { (df, k) =>
+      df.withColumn(s"n_$k",
+        expr(s"graft_cms_query(sketch, graft_hash60('$k'))"))
+    }
+  }
+
   /** ST12 (r15) — streaming contamination gate: a document INGEST
     * stream filtered per micro-batch against the Bloom filter built
     * batch-side from the eval/blocklist set

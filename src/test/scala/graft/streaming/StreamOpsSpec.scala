@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -40,6 +40,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => (r.getTimestamp(0).getTime / 1000,
           r.getString(1), r.getLong(2), r.getDouble(3))).toSet
       assert(rows === Set((0L, "click", 2L, 3.0), (0L, "buy", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming seen-count sketch: cross-batch grid equals the batch grid bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    // hour 0: user 7 three times, user 8 once; spread over two batches
+    val batch1 = Seq((ts(0), 7L), (ts(60), 7L))
+    val batch2 = Seq((ts(120), 7L), (ts(180), 8L))
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.streamingSeenCounts(
+        in.toDF().toDF("ts", "user_id"), probeKeys = Seq("7", "8"),
+        width = 256, depth = 4,
+        watermarkDelay = "5 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("seen_counts")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+      in.addData(Seq((ts(3600 * 3), 9L))) // advance watermark past hr 0
+      q.processAllAvailable()
+      in.addData(Seq((ts(3600 * 3 + 1), 9L)))
+      q.processAllAvailable()
+      val rows = spark.table("seen_counts")
+        .filter(col("win_start") === ts(0)).collect()
+      assert(rows.length === 1)
+      assert(rows(0).getLong(2) === 3L) // n_7
+      assert(rows(0).getLong(3) === 1L) // n_8
+      // the finalized cross-batch grid IS the batch grid, bit-for-bit
+      val batchGrid = (batch1 ++ batch2).toDF("ts", "user_id")
+        .agg(expr("graft_cms_agg(graft_hash60(CAST(user_id AS STRING)), 256, 4)"))
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(
+        rows(0).getAs[Array[Byte]]("sketch"), batchGrid))
     } finally q.stop()
   }
 
