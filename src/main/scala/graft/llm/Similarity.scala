@@ -152,6 +152,65 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       k, excludeSelf = true)
 
+  /** Matryoshka prefix-dimension retrieval (Kusupati et al.,
+    * NeurIPS'22 — MRL embeddings): candidates rank by cosine over the
+    * FIRST `prefixDims` dimensions only (MRL training packs the
+    * coarse semantics there), then the top-`nCandidates` pool reranks
+    * by full-dimension cosine for the final k. The serving point:
+    * stage 1 touches `prefixDims/dims` of every vector's bytes — at
+    * 16/64 that is 4× less memory bandwidth on the corpus-sized scan,
+    * which is the whole cost of brute-force retrieval — and stage 2's
+    * full-width work is `nCandidates` rows per query. Both stages are
+    * the same certified shapes (bounded `graft_topk` heap; per-query
+    * window over the pool), and both cosines are the shared
+    * j=1..d IEEE fold, so q149 hash-compares with no band. Output:
+    * `(query_id, rnk, vec_id, sim_prefix, sim)` — rnk by FULL sim
+    * within the pool (ties vec_id), `sim_prefix` kept as the
+    * stage-1 evidence.
+    */
+  def matryoshkaTopK(
+      emb: DataFrame,
+      prefixDims: Int = 16,
+      nQueries: Int = 5,
+      nCandidates: Int = 20,
+      k: Int = 5): DataFrame = {
+    require(prefixDims >= 1, "prefixDims must be positive")
+    require(k >= 1 && k <= nCandidates, "need 1 <= k <= nCandidates")
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    def pre(c: Column): Column = slice(c, 1, prefixDims)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("query_id"), col("qv"), l2norm(col("qv")).as("qn"),
+        pre(col("qv")).as("qp"), l2norm(pre(col("qv"))).as("qpn"))
+    val pool = TextDedup.spread(emb, "vec_id")
+      .select(col("vec_id"), pre(col("embedding")).as("pv"),
+        l2norm(pre(col("embedding"))).as("pn"))
+      .join(broadcast(q.select(col("query_id"), col("qp"), col("qpn"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("sim_prefix",
+        dot(col("qp"), col("pv")) / (col("qpn") * col("pn")))
+      .groupBy(col("query_id"))
+      .agg(call_function(graft.functions.GraftFunctions.TopKName,
+        col("sim_prefix"), col("vec_id"), lit(nCandidates)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("sim_prefix"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    pool
+      .join(emb.select(col("vec_id"), col("embedding").as("cv")),
+        Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("sim",
+        dot(col("qv"), col("cv")) / (col("qn") * l2norm(col("cv"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        col("sim_prefix"), col("sim"))
+  }
+
   /** MMR-diversified rerank (Maximal Marginal Relevance — Carbonell &
     * Goldstein, SIGIR'98): from each query's top-`nCandidates` cosine
     * pool, greedily select `k` results maximizing

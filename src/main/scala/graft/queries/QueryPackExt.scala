@@ -4385,6 +4385,54 @@ object QueryPackExt {
       ORDER BY query_id, rnk"""
     })
 
+  /** Matryoshka prefix-dimension retrieval
+    * ([[Similarity.matryoshkaTopK]]): stage-1 cosine over the first 16
+    * dims (the MRL coarse head — 4× less corpus bandwidth), stage-2
+    * full-dim rerank of the top-20 pool. Both cosines are the shared
+    * IEEE fold, both stages the certified shapes, so ranks and both
+    * sim columns hash-compare exactly.
+    */
+  private val q149 = Q("q149_matryoshka",
+    (s, dir) => Similarity.matryoshkaTopK(t(s, dir, "embeddings"),
+      prefixDims = 16, nQueries = 5, nCandidates = 20, k = 5)
+      .harnessSorted(col("query_id"), col("rnk")),
+    Some {
+      def pdot(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, 16), " +
+          s"j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE)))"
+      s"""
+      WITH ${normCte()},
+      p AS (SELECT vec_id, embedding,
+                   sqrt(${pdot("embedding", "embedding")}) AS pnrm
+            FROM embeddings),
+      q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, e.nrm AS qn,
+                   p.pnrm AS qpn
+            FROM e JOIN p ON p.vec_id = e.vec_id WHERE e.vec_id < 5),
+      s1 AS (
+        SELECT q.query_id, c.vec_id,
+               ${pdot("q.qv", "c.embedding")} / (q.qpn * c.pnrm)
+                 AS sim_prefix
+        FROM p c JOIN q ON c.vec_id <> q.query_id),
+      pool AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_prefix DESC, vec_id)
+                     AS rn
+          FROM s1) x WHERE rn <= 20),
+      s2 AS (
+        SELECT pl.query_id, pl.vec_id, pl.sim_prefix,
+               ${dotSql("q.qv", "c.embedding")} / (q.qn * c.nrm) AS sim
+        FROM pool pl
+        JOIN e c ON c.vec_id = pl.vec_id
+        JOIN q ON q.query_id = pl.query_id)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+             sim_prefix, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, vec_id) AS rnk
+            FROM s2) z
+      WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4394,7 +4442,8 @@ object QueryPackExt {
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
+    q149)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -285,6 +285,34 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(two.count(_._1 == 0L) === 10 && two.count(_._1 == 1L) === 10)
   }
 
+  test("matryoshka: full-width prefix equals brute force; coarse head gates recall") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // prefixDims = dims degenerates to plain brute force (pool covers k)
+    val m = Similarity.matryoshkaTopK(emb, prefixDims = 64,
+      nQueries = 3, nCandidates = 20, k = 5)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val b = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(m === b)
+    // the documented failure mode: a vector whose PREFIX is orthogonal
+    // to the query never reaches the rerank, however good its tail
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val planted = Seq(
+      (0L, v(1, 0, 0, 0), 0),
+      (1L, v(0.9, 0.1, 0, 0), 0),   // prefix-visible hit
+      (2L, v(0, 1, 0.9, 0), 1),     // prefix ⊥ query, tail irrelevant
+      (3L, v(0.5, 0.5, 0, 0), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.matryoshkaTopK(planted, prefixDims = 2,
+      nQueries = 1, nCandidates = 2, k = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(got === Set(1L, 3L) && !got.contains(2L))
+  }
+
   test("mmrRerank: near-dup candidates are diversified away, rnk is selection order") {
     val s = spark
     import s.implicits._
