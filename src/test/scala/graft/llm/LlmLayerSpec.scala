@@ -411,6 +411,11 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert((audit.getLong(0), audit.getLong(1), audit.getLong(2)) ===
       ((7L, 3L, 4L)))
     assert(audit.getDouble(3) === 3.0 / 7.0)
+    // a NULL line (a null-projecting upstream) quarantines, never NPEs
+    val withNull = lines.union(Seq(null.asInstanceOf[String]).toDF("line"))
+    val nullRow = graft.llm.Ingest.parseJsonlQuarantine(withNull, schema)
+      .filter(col("line").isNull).collect()
+    assert(nullRow.length === 1 && !nullRow(0).getBoolean(1))
     // an EMPTY batch reports zeros and a vacuous 1.0, never NULLs a
     // threshold gate can't evaluate
     val empty = graft.llm.Ingest
