@@ -90,24 +90,56 @@ fi
 # 5: the judge-paired bench, gate-produced (VERDICT r14 #8): graft.Bench
 # and the DuckDB anchor back-to-back at the bench SF, merged into the
 # PAIRED artifact the round report cites — no manual step between "gate
-# green" and verifiable headline numbers. The Spark side's full
-# 129-query JSON is itself the committed BENCH_FULL_rNN artifact
-# (VERDICT r14 #4: the driver-tail BENCH_rN.json fragment is truncated;
-# this file is the document of record). Skippable while iterating:
-# GATE_SKIP_PAIRED=1.
+# green" and verifiable headline numbers. The Spark side's full-suite
+# JSON is itself the committed BENCH_FULL_rNN artifact (VERDICT r14 #4:
+# the driver-tail BENCH_rN.json fragment is truncated; this file is the
+# document of record).
+#
+# DISPERSION CONTROL (VERDICT r15 #5): single paired samples on this
+# box swing 0.91–1.22× whole-suite (DuckDB alone ranged 35.5–45.4 s on
+# identical SQL in the r15 five-run study), so one noisy sample can
+# manufacture or hide a weak row (q146's r15 false-weak). The gate now
+# runs GATE_PAIRED_RUNS (default 3) full paired legs back-to-back and
+# commits the MEDIAN-by-total-ratio leg; every leg's totals are folded
+# into PAIRED_rNN.json under "dispersion" so the selection is auditable.
+# Skippable while iterating: GATE_SKIP_PAIRED=1.
 if [[ "${GATE_SKIP_PAIRED:-0}" != "1" ]]; then
   PSF="${GATE_PAIRED_SF:-/root/testdata/sf0.1}"
-  echo "== gate 5/5: paired bench @ $PSF =="
-  SPARK_GRAFT_SF_DIR="$PSF" SPARK_GRAFT_BENCH_JSON="BENCH_FULL_r${ROUND}.json" \
-    sbt -batch "runMain graft.Bench" || fail "paired bench (spark)"
-  python3 scripts/bench_duckdb.py "$PSF" "$OUT/oracle_sql.json" \
-    > /tmp/gate_paired_duck.json || fail "paired bench (duckdb)"
-  cp /tmp/gate_paired_duck.json "DUCK_r${ROUND}.json"
-  python3 scripts/make_paired.py "BENCH_FULL_r${ROUND}.json" \
-    "/tmp/gate_paired_duck.json" "PAIRED_r${ROUND}.json" \
-    || fail "paired merge"
+  NRUNS="${GATE_PAIRED_RUNS:-3}"
+  echo "== gate 5/6: paired bench @ $PSF x${NRUNS} legs =="
+  for i in $(seq 1 "$NRUNS"); do
+    echo "-- paired leg $i/$NRUNS --"
+    SPARK_GRAFT_SF_DIR="$PSF" \
+      SPARK_GRAFT_BENCH_JSON="/tmp/gate_paired_spark_$i.json" \
+      sbt -batch "runMain graft.Bench" || fail "paired bench (spark, leg $i)"
+    python3 scripts/bench_duckdb.py "$PSF" "$OUT/oracle_sql.json" \
+      > "/tmp/gate_paired_duck_$i.json" || fail "paired bench (duckdb, leg $i)"
+    python3 scripts/make_paired.py "/tmp/gate_paired_spark_$i.json" \
+      "/tmp/gate_paired_duck_$i.json" "/tmp/gate_paired_$i.json" \
+      || fail "paired merge (leg $i)"
+  done
+  python3 scripts/pick_median_paired.py "$NRUNS" "$ROUND" \
+    || fail "median paired selection"
 else
-  echo "== gate 5/5: paired bench SKIPPED (GATE_SKIP_PAIRED=1) =="
+  echo "== gate 5/6: paired bench SKIPPED (GATE_SKIP_PAIRED=1) =="
+fi
+
+# 6: round-over-round comparison, computed FROM THE COMMITTED ARTIFACTS
+# and itself committed (VERDICT r15 #3: BASELINE.md's closing claim
+# must be byte-reproducible by a reader running bench_compare.py on the
+# committed pair — COMPARE_rNN.txt IS that run's output, and BASELINE.md
+# quotes it or nothing).
+if [[ "${GATE_SKIP_PAIRED:-0}" != "1" && "$ROUND" != "dev" ]]; then
+  PREV=$(printf '%02d' $((10#$ROUND - 1)))
+  if [[ -f "BENCH_FULL_r${PREV}.json" ]]; then
+    echo "== gate 6/6: committed-artifact compare r${PREV} -> r${ROUND} =="
+    python3 scripts/bench_compare.py "BENCH_FULL_r${PREV}.json" \
+      "BENCH_FULL_r${ROUND}.json" > "COMPARE_r${ROUND}.txt" \
+      || fail "bench_compare"
+    head -1 "COMPARE_r${ROUND}.txt"
+  else
+    echo "== gate 6/6: no BENCH_FULL_r${PREV}.json — compare skipped =="
+  fi
 fi
 
 echo

@@ -82,9 +82,13 @@ case class BloomAgg(
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName numBits/numHashes must not be null")
     else if (bitsExpr.eval().asInstanceOf[Number].longValue() <= 0 ||
-        bitsExpr.eval().asInstanceOf[Number].longValue() > (1L << 36))
+        bitsExpr.eval().asInstanceOf[Number].longValue() > (1L << 34) - 64)
+      // 2^34 - 64 bits = the largest filter whose serialized form
+      // (8 + numWords*8 bytes) still fits a JVM byte array / Int-sized
+      // ByteBuffer — a looser bound promises sizes that fail mid-job
+      // instead of at analysis (r15 ADVICE)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName numBits must be in (0, 2^36]")
+        s"$prettyName numBits must be in (0, 2^34 - 64]")
     else if (numHashes <= 0 || numHashes > 32)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName numHashes must be in (0, 32]")

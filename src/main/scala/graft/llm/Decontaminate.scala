@@ -41,18 +41,34 @@ object Decontaminate {
     * registry entry per call (r15 review). Bounded LRU: evicted
     * entries only forget the memo (the next build registers a fresh
     * id); the old entry stays valid for any plan still holding it.
+    *
+    * A hit is only valid WITHIN the session that registered the probe:
+    * the memo value is a name in that session's `FunctionRegistry`,
+    * bound to a `Broadcast` of that session's `SparkContext` (r15
+    * ADVICE — a fresh session after a `stop()` would otherwise hit a
+    * name absent from its own registry, or resolve against a dead
+    * context). The key therefore carries the session + context
+    * identity, and a hit is re-validated against the live registry so
+    * a cloned/reset registry rebuilds instead of failing at analysis.
     */
   private[llm] object ProbeMemo {
     private val cache = new java.util.LinkedHashMap[Any, String](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Any, String]): Boolean = size > 8
     }
-    def getOrBuild(key: Any)(build: => String): String = {
-      cache.synchronized(Option(cache.get(key))) match {
+    def getOrBuild(spark: org.apache.spark.sql.SparkSession, key: Any)(
+        build: => String): String = {
+      val fullKey = (System.identityHashCode(spark.sessionState),
+        spark.sparkContext.applicationId, spark.sparkContext.startTime, key)
+      val hit = cache.synchronized(Option(cache.get(fullKey))).filter { n =>
+        spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+      }
+      hit match {
         case Some(name) => name
         case None =>
           val name = build // outside the lock: the build runs a job
-          cache.synchronized(cache.put(key, name))
+          cache.synchronized(cache.put(fullKey, name))
           name
       }
     }
@@ -182,7 +198,7 @@ object Decontaminate {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // no distinct before the aggregate: duplicate inserts are idempotent
     val grams = TextDedup.gramHashes(evalDocs, shingleK)
-    ProbeMemo.getOrBuild(("bloom",
+    ProbeMemo.getOrBuild(spark, ("bloom",
         grams.queryExecution.analyzed.canonicalized,
         Similarity.sourceVersion(grams), numBits, numHashes)) {
       val bytes = grams

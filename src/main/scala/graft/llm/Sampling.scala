@@ -235,8 +235,9 @@ object Sampling {
     * counterpart of [[stratifiedSample]]'s fixed-fraction rule: "5
     * eval docs per language", "1000 audit rows per source", where the
     * quota is a count, not a rate, so a group's keep probability must
-    * adapt to its (unknown) size. Selection = the k smallest-looking
-    * docs under a seeded hash order: membership is still a pure
+    * adapt to its (unknown) size. Selection = the k LARGEST hash
+    * values under a seeded hash order (the direction the q132 oracle
+    * pins: ORDER BY hash DESC): membership is still a pure
     * function of (seed, key) — rerun-stable, engine-portable,
     * independent of partitioning — but unlike a fraction filter it
     * needs a per-group rank, which here rides the bounded

@@ -829,7 +829,7 @@ object TextAnalysis {
     // pins its broadcast for the session, so repeated builds against
     // unchanged sources must reuse one grid (Decontaminate.ProbeMemo)
     val grams = TextDedup.gramHashes(refDocs, shingleK)
-    Decontaminate.ProbeMemo.getOrBuild(("cms",
+    Decontaminate.ProbeMemo.getOrBuild(spark, ("cms",
         grams.queryExecution.analyzed.canonicalized,
         Similarity.sourceVersion(grams), width, depth)) {
       val bytes = grams

@@ -321,9 +321,16 @@ object StreamOps {
         s"graft_cms_agg(graft_hash60(CAST(user_id AS STRING)), " +
           s"$width, $depth)").as("sketch"))
       .select(col("w.start").as("win_start"), col("sketch"))
-    probeKeys.foldLeft(base) { (df, k) =>
-      df.withColumn(s"n_$k",
-        expr(s"graft_cms_query(sketch, graft_hash60('$k'))"))
+    // typed probe build — never splice the key into SQL text (a quote
+    // in a key would break/inject the streaming plan) or raw into a
+    // column name (dots/backticks would be unresolvable); r15 ADVICE
+    probeKeys.zipWithIndex.foldLeft(base) { case (df, (k, i)) =>
+      val safe = k.replaceAll("[^A-Za-z0-9_]", "_")
+      val cname = if (safe == k) s"n_$k" else s"n_${i}_$safe"
+      df.withColumn(cname,
+        call_function(graft.functions.GraftFunctions.CmsQueryName,
+          col("sketch"),
+          call_function(graft.functions.GraftFunctions.Hash60Name, lit(k))))
     }
   }
 
