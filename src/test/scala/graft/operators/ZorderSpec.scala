@@ -99,4 +99,55 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
     val z = Zorder.zorderBy(df, "a", "b", 2)
     assert(z.count() === 4)
   }
+
+  test("end-to-end: a z-ordered parquet write prunes the scan on the SECOND dimension") {
+    // closes the loop from layout to scan benefit (r15 verdict #6):
+    // write both layouts as real parquet (one row group per output
+    // partition — at that granularity row-group skipping IS file
+    // skipping: pruned files contribute footer reads only, no data
+    // pages), scan with a pushed min/max predicate on dim b, and
+    // count the rows the scan actually materialized. Sorted-by-a
+    // leaves b spanning the full domain in every file, so a b-range
+    // predicate must read EVERYTHING; the z-layout's axis-tight
+    // footprints skip most of the curve.
+    val s = spark
+    import s.implicits._
+    val n = 4096
+    val rnd = new java.util.Random(11)
+    val df = Seq.tabulate(n)(_ =>
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong)).toDF("a", "b")
+    val parts = 16
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zorder_e2e_").toString
+    df.repartitionByRange(parts, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(s"$root/by_a")
+    Zorder.zorderBy(df, "a", "b", parts).write.parquet(s"$root/zorder")
+
+    // rows the SCAN emitted (post row-group/page skip, pre any
+    // residual filter) — the read-efficiency measure the layout buys
+    def rowsRead(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("b") >= 100L && col("b") <= 163L)
+      assert(q.queryExecution.executedPlan.toString.contains(
+        "PushedFilters: [IsNotNull(b), GreaterThanOrEqual(b,100)"),
+        "the b-range predicate must reach the parquet scan")
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val naiveRead = rowsRead(s"$root/by_a")
+    val zRead = rowsRead(s"$root/zorder")
+    // identical result set from both layouts
+    assert(spark.read.parquet(s"$root/by_a")
+        .filter(col("b").between(100L, 163L)).collect().toSet ===
+      spark.read.parquet(s"$root/zorder")
+        .filter(col("b").between(100L, 163L)).collect().toSet)
+    assert(naiveRead === n.toLong,
+      s"sort-by-a cannot prune a b predicate (read $naiveRead)")
+    // 16 partitions on the curve = a 4x4 grid: a 64/1024 b-slab
+    // intersects one grid row -> ~4 of 16 files; allow slack for
+    // uneven range splits
+    assert(zRead <= n / 2,
+      s"z-layout must skip most files on the b predicate (read $zRead)")
+  }
 }
