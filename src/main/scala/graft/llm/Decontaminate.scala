@@ -51,7 +51,7 @@ object Decontaminate {
     * identity, and a hit is re-validated against the live registry so
     * a cloned/reset registry rebuilds instead of failing at analysis.
     */
-  private[llm] object ProbeMemo {
+  private[graft] object ProbeMemo {
     private val cache = new java.util.LinkedHashMap[Any, String](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Any, String]): Boolean = size > 8

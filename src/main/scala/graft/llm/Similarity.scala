@@ -723,7 +723,7 @@ object Similarity {
     * FS listing per root path — centroid tables are one tiny file set
     * by construction.
     */
-  private[llm] def sourceVersion(plan: DataFrame): Long =
+  private[graft] def sourceVersion(plan: DataFrame): Long =
     plan.queryExecution.analyzed.collectLeaves().flatMap {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {

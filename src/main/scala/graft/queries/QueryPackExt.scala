@@ -4138,13 +4138,21 @@ object QueryPackExt {
         FROM edges e JOIN $prev m ON m.id = e.a GROUP BY e.b)"""
       s"""
       WITH $ToksCte, ${gramCtes(3)}, ${minhashPairCtes(0.5, None)},
-      edges0 AS (
-        SELECT da AS a, db AS b FROM pairs
+      -- MATERIALIZED fences (DuckDB inlines CTEs by default): the
+      -- mass rounds reference edges 3x and degs 4x, and without the
+      -- fences the ENTIRE gram/minhash pipeline re-inlines into every
+      -- reference -- combinatorial recompute that exhausts temp disk
+      -- at sf1 (r16). Pure optimization barrier, zero semantics.
+      pairs_m AS MATERIALIZED (SELECT da, db FROM pairs),
+      edges0 AS MATERIALIZED (
+        SELECT da AS a, db AS b FROM pairs_m
         UNION
-        SELECT db AS a, da AS b FROM pairs),
-      degs AS (SELECT a, count(*) AS deg FROM edges0 GROUP BY a),
-      edges AS (SELECT e.a, e.b, d.deg FROM edges0 e
-                JOIN degs d ON d.a = e.a),
+        SELECT db AS a, da AS b FROM pairs_m),
+      degs AS MATERIALIZED (
+        SELECT a, count(*) AS deg FROM edges0 GROUP BY a),
+      edges AS MATERIALIZED (
+        SELECT e.a, e.b, d.deg FROM edges0 e
+        JOIN degs d ON d.a = e.a),
       m0 AS (SELECT a AS id, CAST(1000000000000 AS BIGINT) AS m
              FROM degs),${round("m0", "m1")},${round("m1", "m2")},${round("m2", "m3")}
       SELECT m.id AS doc_id, m.m AS mass,
@@ -4433,6 +4441,116 @@ object QueryPackExt {
       WHERE rnk <= 5 ORDER BY query_id, rnk"""
     })
 
+  /** Bigram-LM rare-transition quality score ([[graft.llm.LangModel
+    * .rareTransitionScore]]) — the CCNet perplexity-filter shape,
+    * log-free (see the operator scaladoc for why `log` can never be
+    * oracle-compared): the model trains on the doc_id%20<16 slice
+    * (the engine's standard train split), every doc is scored by its
+    * fraction of bigrams with add-one probability below 1/256, and
+    * the rare test is pure 64-bit integer arithmetic so every count,
+    * the one-division `rare_frac`, and the keep verdict hash-compare
+    * exactly.
+    */
+  private val q150 = Q("q150_lm_rare_transitions",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.llm.LangModel.rareTransitionScore(
+        d, d.filter(col("doc_id") % 20 < 16),
+        rarity = 256, maxRareFrac = 0.5)
+        .harnessSorted(col("doc_id"))
+    },
+    Some(s"""
+      WITH $ToksCte,
+      pos AS (SELECT doc_id, unnest(w) AS tok,
+                     generate_subscripts(w, 1) AS ord FROM toks),
+      bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+             FROM pos a JOIN pos b
+               ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+      tbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+              FROM bg WHERE doc_id % 20 < 16 GROUP BY 1, 2),
+      tuni AS (SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c_a
+               FROM pos WHERE doc_id % 20 < 16 GROUP BY 1),
+      v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM tuni),
+      db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+             FROM bg GROUP BY 1, 2, 3),
+      sc AS (SELECT db.doc_id, sum(db.n) AS n_bigrams,
+                    sum(CASE WHEN 256 * (COALESCE(t.c_ab, 0) + 1)
+                                  < COALESCE(u.c_a, 0) + v.v
+                             THEN db.n ELSE 0 END) AS n_rare
+             FROM db
+             LEFT JOIN tbg t ON t.w1 = db.w1 AND t.w2 = db.w2
+             LEFT JOIN tuni u ON u.w1 = db.w1
+             CROSS JOIN v
+             GROUP BY db.doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(s.n_rare, 0) AS BIGINT) AS n_rare,
+             CASE WHEN s.n_bigrams IS NULL THEN 0.0
+                  ELSE CAST(s.n_rare AS DOUBLE) / s.n_bigrams
+             END AS rare_frac,
+             CASE WHEN s.n_bigrams IS NULL THEN TRUE
+                  ELSE CAST(s.n_rare AS DOUBLE) / s.n_bigrams <= 0.5
+             END AS keep
+      FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** Dyadic-CMS rank sketch ([[graft.operators.DyadicCms]]) — order
+    * statistics at fixed `depth×width` state, completing the sketch
+    * family (membership/cardinality/frequency → RANK). Every doc
+    * length inserts its 12 dyadic nodes into one 4×4096 grid; each
+    * probe point's estimated rank is the ≤12-term sum of node
+    * point-queries over the set bits of `p`. The oracle rebuilds the
+    * grid AND the dyadic sums from the base table with the q140
+    * Carter–Wegman arithmetic, so `est_rank` (collision mass
+    * included) matches to the exact integer, and `overcount ≥ 0`
+    * certifies the never-undercounts direction structurally.
+    */
+  private val q151 = Q("q151_dyadic_rank",
+    (s, dir) => graft.operators.DyadicCms.rankEstimates(
+      t(s, dir, "documents"), "n_chars",
+      probes = Seq(64L, 128L, 192L, 256L, 320L, 384L, 448L, 512L,
+        640L, 768L, 1024L, 2048L),
+      levels = 12, width = 4096, depth = 4)
+      .harnessSorted(col("p")),
+    Some {
+      def bucket(h: String, d: String) =
+        s"CAST(((($d + 1) * ($h // 1073741824) + $h % 1073741824) " +
+          s"% 2147483647) % 4096 AS BIGINT)"
+      s"""
+      WITH ls AS (SELECT unnest(generate_series(0, 11)) AS l),
+      ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+      vals AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars >= 0),
+      ins AS (SELECT ${h60("concat(CAST(l.l AS VARCHAR), '|', " +
+                "CAST(v.v >> l.l AS VARCHAR))")} AS h
+              FROM vals v CROSS JOIN ls l),
+      grid AS (SELECT d.d, ${bucket("i.h", "d.d")} AS b,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM ins i CROSS JOIN ds d GROUP BY 1, 2),
+      probes AS (SELECT CAST(unnest([64, 128, 192, 256, 320, 384, 448,
+                               512, 640, 768, 1024, 2048]) AS BIGINT)
+                          AS p),
+      nodes AS (SELECT p.p, l.l,
+                       ${h60("concat(CAST(l.l AS VARCHAR), '|', " +
+                  "CAST(2 * (p.p >> (l.l + 1)) AS VARCHAR))")} AS h
+                FROM probes p JOIN ls l ON ((p.p >> l.l) & 1) = 1),
+      est AS (
+        SELECT x.p, x.l, min(COALESCE(g.c, 0)) AS e
+        FROM (SELECT n.p, n.l, d.d, ${bucket("n.h", "d.d")} AS b
+              FROM nodes n CROSS JOIN ds d) x
+        LEFT JOIN grid g ON g.d = x.d AND g.b = x.b
+        GROUP BY x.p, x.l),
+      rk AS (SELECT p, CAST(sum(e) AS BIGINT) AS est_rank
+             FROM est GROUP BY p)
+      SELECT pr.p, CAST((SELECT count(*) FROM vals v WHERE v.v < pr.p)
+                     AS BIGINT) AS exact_rank,
+             rk.est_rank, rk.est_rank -
+               CAST((SELECT count(*) FROM vals v WHERE v.v < pr.p)
+                 AS BIGINT) AS overcount
+      FROM probes pr JOIN rk ON rk.p = pr.p
+      ORDER BY pr.p"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4443,7 +4561,7 @@ object QueryPackExt {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149)
+    q149, q150, q151)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
