@@ -58,6 +58,41 @@ object DyadicCms {
   private def nodeKey(level: Int, prefix: Column): Column =
     TextFns.hash60(concat(lit(s"$level|"), prefix.cast("string")))
 
+  /** Driver-computed key of a CONSTANT dyadic node — same md5-60
+    * arithmetic as [[nodeKey]] without a per-row hash expression
+    * (rank probes at literal points fold to constants).
+    */
+  private def nodeKeyConst(level: Int, prefix: Long): Long =
+    graft.functions.Hash60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"$level|$prefix"))
+
+  /** The `levels` insertion keys of one value, as an array column —
+    * the shared front end of [[buildRankProbe]] and the streaming
+    * per-window form ([[graft.streaming.StreamOps]] ST14).
+    */
+  private[graft] def insertKeys(v: Column, levels: Int): Column =
+    array((0 until levels).map(l => nodeKey(l, shiftright(v, l))): _*)
+
+  /** `rank(p)` against a dyadic grid carried in a SKETCH COLUMN
+    * (a [[graft.functions.CountMinAgg]] grid built over
+    * [[insertKeys]]) at a LITERAL probe point: the set-bit node sum
+    * as `graft_cms_query` calls with driver-folded node-key
+    * constants. The per-window streaming twin of [[estRank]]'s
+    * broadcast-probe form.
+    */
+  def sketchRank(sketch: Column, p: Long, levels: Int): Column = {
+    require(p >= 0 && p < (1L << levels),
+      s"probe must lie in [0, 2^$levels)")
+    val terms = (0 until levels)
+      .filter(l => ((p >> l) & 1L) == 1L)
+      .map { l =>
+        call_function(GraftFunctions.CmsQueryName, sketch,
+          lit(nodeKeyConst(l, 2L * (p >> (l + 1)))))
+      }
+    if (terms.isEmpty) lit(0L) else terms.reduce(_ + _)
+  }
+
   /** Build the dyadic grid over `df(valueCol)` — one row of
     * `depth×width` longs — and register a broadcast-handle probe for
     * it; returns the probe's function name for
@@ -87,9 +122,7 @@ object DyadicCms {
         .otherwise(raise_error(concat(
           lit(s"dyadic value out of range [0, 2^$levels): "),
           col("v").cast("string")))).as("v"))
-    val keys = vals.select(explode(array(
-      (0 until levels).map(l => nodeKey(l, shiftright(col("v"), l))): _*))
-      .as("k"))
+    val keys = vals.select(explode(insertKeys(col("v"), levels)).as("k"))
     graft.llm.Decontaminate.ProbeMemo.getOrBuild(spark, ("dyadic",
         keys.queryExecution.analyzed.canonicalized,
         graft.llm.Similarity.sourceVersion(keys), levels, width, depth)) {

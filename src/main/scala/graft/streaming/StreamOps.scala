@@ -334,6 +334,54 @@ object StreamOps {
     }
   }
 
+  /** ST14 (r16) — streaming windowed RANK/QUANTILE sketch: one
+    * dyadic-CMS grid ([[graft.operators.DyadicCms]]) per event-time
+    * window — order statistics over an unbounded value stream at
+    * state FIXED at depth × width longs per window (ST13's
+    * bounded-state argument, for ranks instead of point
+    * frequencies; an exact windowed percentile buffers every value).
+    * Each value folds its `levels` dyadic nodes into the window's
+    * grid; the grid's elementwise-ADD merge makes cross-batch
+    * accumulation exactly incremental (converged state ≡ the batch
+    * grid bit-for-bit, spec-asserted), late data beyond the
+    * watermark drops and state reclaims. Each finalized row carries
+    * the window, the grid, and `rank_lt_<p>` estimates (count of
+    * values < p, never undercounting) for the fixed `probes` — and
+    * because the GRID is emitted, any post-hoc rank or quantile
+    * question runs against the stored rows
+    * ([[graft.operators.DyadicCms.sketchRank]] /
+    * [[graft.operators.DyadicCms.quantiles]]) without replaying the
+    * stream. Values outside [0, 2^levels) are EXCLUDED (a
+    * raise_error would kill the long-running query; size `levels`
+    * to the domain — 2^40 is allowed and still bounds nothing but
+    * the key strings).
+    */
+  def streamingRankSketch(
+      events: DataFrame,
+      valueCol: String,
+      probes: Seq[Long],
+      levels: Int = 12,
+      width: Int = 1024,
+      depth: Int = 4,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    val v = col(valueCol).cast("long")
+    val base = events
+      .withWatermark("ts", watermarkDelay)
+      .filter(v.isNotNull && v >= 0 && v < (1L << levels))
+      .select(col("ts"),
+        explode(graft.operators.DyadicCms.insertKeys(v, levels)).as("k"))
+      .groupBy(window(col("ts"), windowLength).as("w"))
+      .agg(call_function(graft.functions.GraftFunctions.CmsAggName,
+        col("k"), lit(width), lit(depth)).as("sketch"))
+      .select(col("w.start").as("win_start"), col("sketch"))
+    probes.foldLeft(base) { (df, p) =>
+      df.withColumn(s"rank_lt_$p",
+        graft.operators.DyadicCms.sketchRank(col("sketch"), p, levels))
+    }
+  }
+
   /** ST12 (r15) — streaming contamination gate: a document INGEST
     * stream filtered per micro-batch against the Bloom filter built
     * batch-side from the eval/blocklist set

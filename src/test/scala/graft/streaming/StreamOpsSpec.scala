@@ -81,6 +81,55 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rank sketch: cross-batch grid equals the batch " +
+      "grid bit-for-bit; ranks exact at collision-free width") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    // hour-0 values split over two micro-batches; one out-of-range
+    // value (5000 >= 2^12) must be excluded, not kill the query
+    val batch1 = Seq((ts(0), 100L), (ts(60), 200L), (ts(90), 5000L))
+    val batch2 = Seq((ts(120), 300L), (ts(180), 150L), (ts(240), 100L))
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.streamingRankSketch(
+        in.toDF().toDF("ts", "n_chars"), valueCol = "n_chars",
+        probes = Seq(150L, 250L), levels = 12, width = 4096, depth = 4,
+        watermarkDelay = "5 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("rank_sketch")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+      in.addData(Seq((ts(3600 * 3), 1L))) // advance watermark past hr 0
+      q.processAllAvailable()
+      in.addData(Seq((ts(3600 * 3 + 1), 1L)))
+      q.processAllAvailable()
+      val rows = spark.table("rank_sketch")
+        .filter(col("win_start") === ts(0)).collect()
+      assert(rows.length === 1)
+      // in-range hour-0 values: 100, 200, 300, 150, 100
+      assert(rows(0).getAs[Long]("rank_lt_150") === 2L) // 100, 100
+      assert(rows(0).getAs[Long]("rank_lt_250") === 4L) // +150, 200
+      // the finalized cross-batch grid IS the batch grid bit-for-bit
+      val vals = Seq(100L, 200L, 300L, 150L, 100L)
+      val batchGrid = vals.toDF("v")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.operators.DyadicCms.insertKeys(col("v"), 12)).as("k"))
+        .agg(expr("graft_cms_agg(k, 4096, 4)"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val grid = rows(0).getAs[Array[Byte]]("sketch")
+      assert(java.util.Arrays.equals(grid, batchGrid))
+      // post-hoc quantiles from the STORED grid, stream long gone:
+      // median of {100, 100, 150, 200, 300} is 150
+      val qs = graft.operators.DyadicCms.quantiles(
+        grid, n = vals.size, qs = Seq(0.5), levels = 12)
+      assert(qs.head._2 === 150L)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: cross-batch counts finalize exact, late data drops") {
     val s = spark
     import s.implicits._
