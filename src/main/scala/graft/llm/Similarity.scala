@@ -279,6 +279,70 @@ object Similarity {
     selected
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985
+    * farthest-point traversal, a 2-approximation of the optimal
+    * k-center cover): pick `k` vectors so every corpus vector is
+    * close to SOME selection — coverage-driven data selection, the
+    * complement of dedup (dedup removes what's over-represented;
+    * this keeps what spans the space). Deterministic: the seed is
+    * the smallest `vec_id`, each step selects the vector with the
+    * MAXIMUM min-squared-distance to the already-selected set, ties
+    * by `vec_id`. Output `(rnk, vec_id, dist2)` in selection order,
+    * `dist2` = the winning min-distance² at selection time (0.0 for
+    * the seed); the sequence of `dist2` values is non-increasing and
+    * `dist2(k+1)` would lower-bound the optimal k-center radius² —
+    * the standard stopping diagnostic.
+    *
+    * Scale shape: k bounded corpus passes — each step is one
+    * `TakeOrdered(1)` over the running-min frame (never a global
+    * sort) plus a map fusing `least(md, dist2(v, center))`, the
+    * center riding as a dims-sized plan literal (64 doubles — the
+    * 12 KB regime, nothing like the MB plan-literal trap the probe
+    * handles exist for). Running-min state is ONE double per row,
+    * localCheckpointed per step and released, so lineage stays flat;
+    * the k one-row collects ARE the selections — bounded by
+    * construction. Cross-engine parity: the distance kernel
+    * ([[graft.functions.FloatVecDist2]]) is a fixed-order IEEE fold
+    * the oracle mirrors term-by-term, `least` is order-free, ties
+    * break by id — q152 hash-compares the greedy outright.
+    */
+  def kcenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val pool = TextDedup.spread(emb, "vec_id")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    def centerOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    val seed = pool.orderBy(col("vec_id")).limit(1).collect()
+    require(seed.nonEmpty, "no non-null embeddings to select from")
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, seed(0).getLong(0), 0.0))
+    var state = pool
+      .filter(col("vec_id") =!= seed(0).getLong(0))
+      .withColumn("md", dist2(col("embedding"), typedLit(centerOf(seed(0)))))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val top = state.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        picks += ((t.toLong, top(0).getLong(0),
+          top(0).getAs[Double]("md")))
+        val prev = state
+        state = state
+          .filter(col("vec_id") =!= top(0).getLong(0))
+          .withColumn("md", least(col("md"),
+            dist2(col("embedding"), typedLit(centerOf(top(0))))))
+          .localCheckpoint()
+        graft.operators.Checkpoints.release(prev)
+      }
+    }
+    graft.operators.Checkpoints.release(state)
+    import spark.implicits._
+    picks.toSeq.toDF("rnk", "vec_id", "dist2")
+  }
+
   /** Retrieval-based classification: label each query vector by the
     * majority label of its k nearest corpus neighbors (tie → smaller
     * label wins), scored against the query's own `label` — the

@@ -4551,6 +4551,56 @@ object QueryPackExt {
       ORDER BY pr.p"""
     })
 
+  /** Greedy k-center coreset ([[graft.llm.Similarity
+    * .kcenterCoreset]]) — coverage-driven selection (Gonzalez
+    * farthest-point traversal), SQL-unrolled like q148's greedy:
+    * each step is one ORDER BY md DESC LIMIT 1 over the running-min
+    * frame. The distance is the [[graft.functions.FloatVecDist2]]
+    * fixed-order IEEE fold mirrored term-by-term, `least` is
+    * order-free, ties break by vec_id — ranks, ids, and the winning
+    * min-distance² hash-compare with no band.
+    */
+  private val q152 = Q("q152_kcenter_coreset",
+    (s, dir) => graft.llm.Similarity.kcenterCoreset(
+      t(s, dir, "embeddings"), k = 5)
+      .harnessSorted(col("rnk")),
+    Some {
+      def d2(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, len($a)), " +
+          s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+      val steps = (2 to 5).map { t =>
+        val (prev, sel) = (s"md${t - 1}", s"sel$t")
+        val prevSel = s"sel${t - 1}"
+        val distCte =
+          if (t == 2)
+            s"""md1 AS (
+        SELECT e.vec_id, e.embedding,
+               ${d2("e.embedding", "sel1.embedding")} AS md
+        FROM e, sel1 WHERE e.vec_id <> sel1.vec_id)"""
+          else
+            s"""md${t - 1} AS (
+        SELECT p.vec_id, p.embedding,
+               least(p.md, ${d2("p.embedding", s"$prevSel.embedding")}) AS md
+        FROM md${t - 2} p, $prevSel
+        WHERE p.vec_id <> $prevSel.vec_id)"""
+        s"""$distCte,
+      $sel AS (SELECT vec_id, embedding, md FROM $prev
+               ORDER BY md DESC, vec_id LIMIT 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL),
+      sel1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+      $steps
+      SELECT CAST(1 AS BIGINT) AS rnk, vec_id, 0.0 AS dist2 FROM sel1
+      UNION ALL SELECT CAST(2 AS BIGINT), vec_id, md FROM sel2
+      UNION ALL SELECT CAST(3 AS BIGINT), vec_id, md FROM sel3
+      UNION ALL SELECT CAST(4 AS BIGINT), vec_id, md FROM sel4
+      UNION ALL SELECT CAST(5 AS BIGINT), vec_id, md FROM sel5
+      ORDER BY rnk"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4561,7 +4611,7 @@ object QueryPackExt {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151)
+    q149, q150, q151, q152)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

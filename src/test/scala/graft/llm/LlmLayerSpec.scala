@@ -313,6 +313,36 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set(1L, 3L) && !got.contains(2L))
   }
 
+  test("kcenterCoreset: exact farthest-point traversal on planted " +
+      "geometry") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // seed = smallest id (0, at origin). Farthest from {0}: id1 at
+    // d2=100 (id4 planted NEAR id1 so its 90.25 loses). Farthest
+    // from {0,1}: id2 (36) — id3/id4 are satellites of selections
+    val emb = Seq(
+      (0L, v(0.0, 0.0, 0, 0), 0),
+      (1L, v(10.0, 0.0, 0, 0), 0),
+      (2L, v(0.0, 6.0, 0, 0), 1),
+      (3L, v(0.5, 0.0, 0, 0), 0),
+      (4L, v(9.5, 0.0, 0, 0), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.kcenterCoreset(emb, k = 3)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 0L, 0.0), (2L, 1L, 100.0),
+      (3L, 2L, 36.0)))
+    // coverage radii are non-increasing past the seed — the k-center
+    // stopping diagnostic the scaladoc promises
+    assert(got.drop(1).map(_._3).toSeq.sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    })
+    // k larger than the corpus: selection stops at the pool, no crash
+    val all = Similarity.kcenterCoreset(emb, k = 10).collect()
+    assert(all.length === 5)
+  }
+
   test("mmrRerank: near-dup candidates are diversified away, rnk is selection order") {
     val s = spark
     import s.implicits._
