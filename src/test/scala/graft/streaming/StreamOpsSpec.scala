@@ -130,6 +130,48 @@ class StreamOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming JSONL ingest quarantine: the batch operator runs " +
+      "unchanged on a stream, verdicts identical across batch splits") {
+    // ST15: parseJsonlQuarantine is a pure per-row codegen projection
+    // (no shuffle, no state), so it applies to a streaming frame
+    // DIRECTLY — this certifies the source-agnostic claim instead of
+    // wrapping the operator in a redundant streaming variant
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val lines = Seq(
+      """{"doc_id": 1, "text": "ok"}""",
+      """{"doc_id": 2, "text": "truncat""", // cut-off feed
+      """not json at all""",
+      "", // blank trailing line
+      """{"doc_id": 5, "text": "also ok"}""")
+    val in = MemoryStream[String]
+    val q = graft.llm.Ingest.parseJsonlQuarantine(
+        in.toDF().toDF("line"), schema)
+      .writeStream.format("memory").queryName("jsonl_q")
+      .outputMode("append").start()
+    try {
+      in.addData(lines.take(2))
+      q.processAllAvailable()
+      in.addData(lines.drop(2))
+      q.processAllAvailable()
+      val stream = spark.table("jsonl_q").collect()
+        .map(r => (Option(r.getString(0)).getOrElse(""),
+          r.getBoolean(1))).toSet
+      val batch = graft.llm.Ingest.parseJsonlQuarantine(
+        lines.toDF("line"), schema).collect()
+        .map(r => (Option(r.getString(0)).getOrElse(""),
+          r.getBoolean(1))).toSet
+      assert(stream === batch)
+      assert(stream.count(_._2) === 2) // exactly the two clean rows
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: cross-batch counts finalize exact, late data drops") {
     val s = spark
     import s.implicits._
