@@ -279,6 +279,98 @@ object Similarity {
     selected
   }
 
+  /** Hard-negative mining for contrastive training (the DPR /
+    * sentence-embedding data-prep shape — Karpukhin et al.,
+    * EMNLP'20): for each query, the k MOST similar corpus vectors
+    * whose label differs from the query's — the near-misses a
+    * contrastive loss needs (random negatives are too easy; the
+    * hard ones define the decision boundary). Exact PREFILTER
+    * semantics: the label-mismatch predicate applies before the
+    * top-k heap, so the result is the true top-k among negatives,
+    * never a post-hoc filtered list that can come up short.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — one corpus scan
+    * against the broadcast query set with the predicate fused into
+    * the join condition (the scan's cost IS the retrieval cost;
+    * the filter only shrinks heap traffic), bounded `graft_topk`
+    * heap per query, label lookups by equi-join on report-sized
+    * outputs. Swap any certified ANN front end in for the scan at
+    * 10⁹ vectors.
+    */
+  def hardNegatives(
+      emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("query_label"))
+      .withColumn("qn", l2norm(col("qv")))
+    val cand = TextDedup.spread(emb, "vec_id")
+      .select(col("vec_id"), col("embedding").as("cv"),
+        col("label").as("neg_label"), l2norm(col("embedding")).as("cn"))
+    topK(
+      cand.join(broadcast(q), col("neg_label") =!= col("query_label"))
+        .withColumn("sim",
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+      k)
+      .join(emb.select(col("vec_id"), col("label").as("neg_label")),
+        Seq("vec_id"))
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("query_label"))), Seq("query_id"))
+      .select(col("query_id"), col("query_label"), col("rnk"),
+        col("vec_id"), col("neg_label"), col("sim"))
+  }
+
+  /** Metadata-filtered vector search — both semantics, because the
+    * difference is the classic correctness pitfall of every vector
+    * store: **prefilter** applies the predicate BEFORE the top-k
+    * (exact top-k among qualifying vectors — always k results when k
+    * qualify); **postfilter** takes the top-`k` overall and then
+    * applies the predicate (cheap on an unfiltered index, but
+    * returns FEWER than k rows whenever non-qualifying vectors
+    * crowd the head — the recall deficit this operator makes
+    * measurable). Output rows carry `mode` ('pre' | 'post'); `rnk`
+    * is the rank within that mode's surviving list. The filter is
+    * label equality against each query's OWN label (the
+    * same-category search shape); both modes ride the one certified
+    * scan + bounded-heap + window machinery.
+    */
+  def filteredTopK(
+      emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("query_label"))
+      .withColumn("qn", l2norm(col("qv")))
+    val cand = TextDedup.spread(emb, "vec_id")
+      .select(col("vec_id"), col("embedding").as("cv"),
+        col("label").as("cand_label"), l2norm(col("embedding")).as("cn"))
+    val scored = cand
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val pre = topK(
+      scored.filter(col("cand_label") === col("query_label")), k)
+      .withColumn("mode", lit("pre"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val post = topK(scored, k)
+      .join(emb.select(col("vec_id"), col("label").as("cand_label")),
+        Seq("vec_id"))
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("query_label"))), Seq("query_id"))
+      .filter(col("cand_label") === col("query_label"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))
+      .withColumn("mode", lit("post"))
+    pre.select(col("query_id"), col("mode"), col("rnk"), col("vec_id"),
+        col("sim"))
+      .unionByName(post.select(col("query_id"), col("mode"), col("rnk"),
+        col("vec_id"), col("sim")))
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985
     * farthest-point traversal, a 2-approximation of the optimal
     * k-center cover): pick `k` vectors so every corpus vector is

@@ -4601,6 +4601,75 @@ object QueryPackExt {
       ORDER BY rnk"""
     })
 
+  /** Hard-negative mining ([[graft.llm.Similarity.hardNegatives]]) —
+    * top-k most-similar label-MISMATCHED vectors per query, exact
+    * prefilter semantics. The q39 cosine machinery with the
+    * predicate fused before the heap; sims are the shared IEEE
+    * fold, so everything hash-compares.
+    */
+  private val q153 = Q("q153_hard_negatives",
+    (s, dir) => graft.llm.Similarity.hardNegatives(
+      t(s, dir, "embeddings"), nQueries = 5, k = 5)
+      .harnessSorted(col("query_id"), col("rnk")),
+    Some(s"""
+      WITH ${normCte(", label")},
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                   label AS query_label
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, q.query_label, e.vec_id,
+               e.label AS neg_label,
+               ${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm) AS sim
+        FROM e JOIN q ON e.label <> q.query_label),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT query_id, query_label, CAST(rnk AS BIGINT) AS rnk, vec_id,
+             neg_label, sim
+      FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  /** Metadata-filtered vector search, BOTH semantics
+    * ([[graft.llm.Similarity.filteredTopK]]): prefilter = exact
+    * top-k among qualifying vectors; postfilter = top-k overall then
+    * filter, which comes up SHORT when non-qualifying vectors crowd
+    * the head — the recall pitfall this row pair makes measurable
+    * and hash-comparable.
+    */
+  private val q154 = Q("q154_filtered_ann",
+    (s, dir) => graft.llm.Similarity.filteredTopK(
+      t(s, dir, "embeddings"), nQueries = 5, k = 5)
+      .harnessSorted(col("query_id"), col("mode"), col("rnk")),
+    Some(s"""
+      WITH ${normCte(", label")},
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                   label AS query_label
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, q.query_label, e.vec_id,
+               e.label AS cand_label,
+               ${dotSql("q.qv", "e.embedding")} / (q.qn * e.nrm) AS sim
+        FROM e JOIN q ON e.vec_id <> q.query_id),
+      pre AS (
+        SELECT query_id, 'pre' AS mode, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored WHERE cand_label = query_label),
+      post0 AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk0
+        FROM scored),
+      post AS (
+        SELECT query_id, 'post' AS mode, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rnk
+        FROM post0 WHERE rnk0 <= 5 AND cand_label = query_label)
+      SELECT query_id, mode, CAST(rnk AS BIGINT) AS rnk, vec_id, sim
+      FROM pre WHERE rnk <= 5
+      UNION ALL
+      SELECT query_id, mode, CAST(rnk AS BIGINT) AS rnk, vec_id, sim
+      FROM post
+      ORDER BY query_id, mode, rnk"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4611,7 +4680,7 @@ object QueryPackExt {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152)
+    q149, q150, q151, q152, q153, q154)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

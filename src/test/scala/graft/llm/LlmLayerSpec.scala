@@ -313,6 +313,47 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set(1L, 3L) && !got.contains(2L))
   }
 
+  test("hardNegatives: only label-mismatched vectors surface, ranked " +
+      "by similarity") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // query 0 (label 0): id1 same-label near-dup must NOT appear;
+    // id2/id3 are the negatives, id2 closer
+    val emb = Seq(
+      (0L, v(1.0, 0.0, 0, 0), 0),
+      (1L, v(0.99, 0.1, 0, 0), 0),  // same label: excluded however close
+      (2L, v(0.9, 0.4, 0, 0), 1),
+      (3L, v(0.0, 1.0, 0, 0), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, nQueries = 1, k = 2)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("vec_id")))
+    assert(got.toSeq === Seq((1L, 2L), (2L, 3L)))
+  }
+
+  test("filteredTopK: prefilter returns k qualifying rows where " +
+      "postfilter comes up short") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // query 0 (label 0). The global top-2 (ids 1, 2) are label 1, so
+    // POSTfilter at k=2 keeps nothing of label 0; PREfilter finds the
+    // true label-0 top-2 (ids 3, 4)
+    val emb = Seq(
+      (0L, v(1.0, 0.0, 0, 0), 0),
+      (1L, v(0.99, 0.05, 0, 0), 1),
+      (2L, v(0.98, 0.1, 0, 0), 1),
+      (3L, v(0.8, 0.5, 0, 0), 0),
+      (4L, v(0.1, 1.0, 0, 0), 0)).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.filteredTopK(emb, nQueries = 1, k = 2)
+      .collect().map(r => (r.getAs[String]("mode"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("vec_id")))
+    val pre = rows.filter(_._1 == "pre").sortBy(_._2).map(_._3).toSeq
+    val post = rows.filter(_._1 == "post").toSeq
+    assert(pre === Seq(3L, 4L))
+    assert(post.isEmpty, "head crowded by other labels -> empty postfilter")
+  }
+
   test("kcenterCoreset: exact farthest-point traversal on planted " +
       "geometry") {
     val s = spark
