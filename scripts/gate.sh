@@ -25,7 +25,7 @@ ROUND="${GATE_ROUND:-dev}"
 
 fail() { echo; echo "!!!!!!!! GATE RED: $1 !!!!!!!!"; exit 1; }
 
-echo "== gate 1/4: sbt compile + Test/compile + test =="
+echo "== gate 1/6: sbt compile + Test/compile + test =="
 sbt -batch compile Test/compile test || fail "sbt build/test"
 
 # 1b: scale certifications (ScaleCertSpec) — the distributed-CC
@@ -34,18 +34,18 @@ sbt -batch compile Test/compile test || fail "sbt build/test"
 # gate (VERDICT r12 #3). assume()-gated: only runs with
 # SPARK_GRAFT_SLOW=1. Skippable while iterating: GATE_SKIP_SLOW=1.
 if [[ "${GATE_SKIP_SLOW:-0}" != "1" ]]; then
-  echo "== gate 1b/4: scale certifications (SPARK_GRAFT_SLOW=1) =="
+  echo "== gate 1b/6: scale certifications (SPARK_GRAFT_SLOW=1) =="
   SPARK_GRAFT_SLOW=1 sbt -batch "Test/testOnly graft.ScaleCertSpec" \
     || fail "scale certifications"
 else
-  echo "== gate 1b/4: scale certifications SKIPPED =="
+  echo "== gate 1b/6: scale certifications SKIPPED =="
 fi
 
-echo "== gate 2/4: graft.Verify @ $SF -> $OUT =="
+echo "== gate 2/6: graft.Verify @ $SF -> $OUT =="
 rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF $OUT" || fail "graft.Verify"
 
-echo "== gate 3/4: DuckDB oracle compare =="
+echo "== gate 3/6: DuckDB oracle compare =="
 python3 scripts/check_oracle.py "$SF" "$OUT" || fail "oracle compare"
 
 # 3b: the SAME compare with every dual-regime operator pinned to its
@@ -55,7 +55,7 @@ python3 scripts/check_oracle.py "$SF" "$OUT" || fail "oracle compare"
 # just the small-input fast paths (VERDICT r12 #1). Skippable while
 # iterating: GATE_SKIP_DISTRIBUTED=1.
 if [[ "${GATE_SKIP_DISTRIBUTED:-0}" != "1" ]]; then
-  echo "== gate 3b/4: FORCED-DISTRIBUTED Verify + oracle compare =="
+  echo "== gate 3b/6: FORCED-DISTRIBUTED Verify + oracle compare =="
   DOUT="${GATE_OUT:-/tmp/gate_verify}_dist"
   rm -rf "$DOUT"
   SPARK_GRAFT_FORCE_DISTRIBUTED=1 sbt -batch "runMain graft.Verify $SF $DOUT" \
@@ -66,11 +66,11 @@ if [[ "${GATE_SKIP_DISTRIBUTED:-0}" != "1" ]]; then
   grep -q ", 0 fail ==" "CORRECTNESS_DISTRIBUTED_r${ROUND}.txt" \
     || fail "forced-distributed compare had failures"
 else
-  echo "== gate 3b/4: forced-distributed compare SKIPPED =="
+  echo "== gate 3b/6: forced-distributed compare SKIPPED =="
 fi
 
 if [[ "${GATE_SKIP_BENCH:-0}" != "1" ]]; then
-  echo "== gate 4/5: bench smoke @ $SF =="
+  echo "== gate 4/6: bench smoke @ $SF =="
   BOUT=/tmp/gate_bench.out
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_JSON=/tmp/gate_bench_smoke.json \
     sbt -batch "runMain graft.Bench" | tee "$BOUT" \
@@ -84,7 +84,7 @@ assert j.get("n_failed", 1) == 0, f"bench failures: {j.get('errors')}"
 print(f"bench ok: {j['value']} {j['unit']} over {len(j['queries'])} queries")
 EOF
 else
-  echo "== gate 4/5: bench smoke SKIPPED (GATE_SKIP_BENCH=1) =="
+  echo "== gate 4/6: bench smoke SKIPPED (GATE_SKIP_BENCH=1) =="
 fi
 
 # 5: the judge-paired bench, gate-produced (VERDICT r14 #8): graft.Bench

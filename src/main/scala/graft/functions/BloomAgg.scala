@@ -82,13 +82,16 @@ case class BloomAgg(
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName numBits/numHashes must not be null")
     else if (bitsExpr.eval().asInstanceOf[Number].longValue() <= 0 ||
-        bitsExpr.eval().asInstanceOf[Number].longValue() > (1L << 34) - 64)
-      // 2^34 - 64 bits = the largest filter whose serialized form
-      // (8 + numWords*8 bytes) still fits a JVM byte array / Int-sized
-      // ByteBuffer — a looser bound promises sizes that fail mid-job
-      // instead of at analysis (r15 ADVICE)
+        bitsExpr.eval().asInstanceOf[Number].longValue() > (1L << 34) - 128)
+      // 2^34 - 128 bits = the largest filter whose serialized form
+      // (8 + numWords*8 bytes) still fits an Int-sized ByteBuffer:
+      // numWords = 2^28 - 2 gives 8 + (2^28-2)*8 = 2147483640
+      // <= Int.MaxValue, while one word more (numBits in
+      // (2^34-128, 2^34-64]) wraps the allocation size negative and
+      // fails mid-job — the exact failure this analysis-time bound
+      // exists to prevent (r15 ADVICE; off-by-one-word fixed r16)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName numBits must be in (0, 2^34 - 64]")
+        s"$prettyName numBits must be in (0, 2^34 - 128]")
     else if (numHashes <= 0 || numHashes > 32)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName numHashes must be in (0, 32]")

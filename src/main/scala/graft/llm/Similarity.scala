@@ -314,9 +314,10 @@ object Similarity {
       k)
       .join(emb.select(col("vec_id"), col("label").as("neg_label")),
         Seq("vec_id"))
-      .join(broadcast(emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"),
-          col("label").as("query_label"))), Seq("query_id"))
+      // label recovery reuses the q projection already built above —
+      // a fresh emb.filter here would pay a redundant corpus scan
+      .join(broadcast(q.select(col("query_id"), col("query_label"))),
+        Seq("query_id"))
       .select(col("query_id"), col("query_label"), col("rnk"),
         col("vec_id"), col("neg_label"), col("sim"))
   }
@@ -358,9 +359,9 @@ object Similarity {
     val post = topK(scored, k)
       .join(emb.select(col("vec_id"), col("label").as("cand_label")),
         Seq("vec_id"))
-      .join(broadcast(emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"),
-          col("label").as("query_label"))), Seq("query_id"))
+      // reuse the q projection (see hardNegatives) — no second scan
+      .join(broadcast(q.select(col("query_id"), col("query_label"))),
+        Seq("query_id"))
       .filter(col("cand_label") === col("query_label"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))

@@ -182,15 +182,18 @@ object DyadicCms {
       .withColumn("overcount", col("est_rank") - col("exact_rank"))
   }
 
-  /** Quantile inversion on a collected grid: for each `q`, the
-    * smallest `p` with `est_rank(p) ≥ ceil(q·n)` — a `levels`-step
-    * binary descent per quantile, pure driver arithmetic on the
-    * `depth×width` image (the grid was already driver-sized by
-    * construction; nothing here touches the corpus). Because
-    * `est_rank` never undercounts, the returned value's TRUE rank is
-    * at most the target; the standard CMS analysis bounds the other
-    * side by `ε·levels·n` with probability `1 - δ` per query.
-    * Returns `(q, value, est_rank)` rows.
+  /** Quantile inversion on a collected grid: for each `q`, the VALUE
+    * `v` whose estimated rank interval crosses the target — i.e.
+    * `est_rank(v) < ceil(q·n) ≤ est_rank(v+1)`, the conventional
+    * quantile value (the returned `est_rank` is est_rank(v), so it is
+    * always strictly BELOW the target; the smallest probe point at or
+    * past the target is `v + 1`). A `levels`-step binary descent per
+    * quantile, pure driver arithmetic on the `depth×width` image (the
+    * grid was already driver-sized by construction; nothing here
+    * touches the corpus). Because `est_rank` never undercounts, the
+    * returned value's TRUE rank is below the target; the standard CMS
+    * analysis bounds the other side by `ε·levels·n` with probability
+    * `1 - δ` per query. Returns `(q, value, est_rank)` rows.
     */
   def quantiles(
       gridBytes: Array[Byte],

@@ -4542,12 +4542,16 @@ object QueryPackExt {
         GROUP BY x.p, x.l),
       rk AS (SELECT p, CAST(sum(e) AS BIGINT) AS est_rank
              FROM est GROUP BY p)
+      -- LEFT join: a probe with NO set bits (p = 0) has an empty
+      -- dyadic decomposition, hence no nodes/rk row — its rank is 0,
+      -- not a dropped row (the Spark side emits it; r16 review)
       SELECT pr.p, CAST((SELECT count(*) FROM vals v WHERE v.v < pr.p)
                      AS BIGINT) AS exact_rank,
-             rk.est_rank, rk.est_rank -
+             CAST(COALESCE(rk.est_rank, 0) AS BIGINT) AS est_rank,
+             CAST(COALESCE(rk.est_rank, 0) AS BIGINT) -
                CAST((SELECT count(*) FROM vals v WHERE v.v < pr.p)
                  AS BIGINT) AS overcount
-      FROM probes pr JOIN rk ON rk.p = pr.p
+      FROM probes pr LEFT JOIN rk ON rk.p = pr.p
       ORDER BY pr.p"""
     })
 

@@ -323,10 +323,19 @@ object StreamOps {
       .select(col("w.start").as("win_start"), col("sketch"))
     // typed probe build — never splice the key into SQL text (a quote
     // in a key would break/inject the streaming plan) or raw into a
-    // column name (dots/backticks would be unresolvable); r15 ADVICE
+    // column name (dots/backticks would be unresolvable); r15 ADVICE.
+    // Derived names are also UNIQUENESS-checked: a clean key can
+    // collide with another key's sanitized form (keys "x!" and
+    // "0_x_" both derive n_0_x_) and withColumn would silently
+    // REPLACE the first probe's counts — collisions get a
+    // deterministic __j suffix instead (r16 review)
+    val used = scala.collection.mutable.Set[String]()
     probeKeys.zipWithIndex.foldLeft(base) { case (df, (k, i)) =>
       val safe = k.replaceAll("[^A-Za-z0-9_]", "_")
-      val cname = if (safe == k) s"n_$k" else s"n_${i}_$safe"
+      val want = if (safe == k) s"n_$k" else s"n_${i}_$safe"
+      var cname = want
+      var j = 0
+      while (!used.add(cname)) { j += 1; cname = s"${want}__$j" }
       df.withColumn(cname,
         call_function(graft.functions.GraftFunctions.CmsQueryName,
           col("sketch"),
@@ -365,6 +374,10 @@ object StreamOps {
       depth: Int = 4,
       watermarkDelay: String = "10 minutes",
       windowLength: String = "1 hour"): DataFrame = {
+    require(levels > 0 && levels <= graft.operators.DyadicCms.MaxLevels,
+      s"levels must be in (0, ${graft.operators.DyadicCms.MaxLevels}] — " +
+        "out-of-range values would silently exclude every row " +
+        "(1L << 63 is negative; 0 levels explode to nothing)")
     graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
     val v = col(valueCol).cast("long")
     val base = events

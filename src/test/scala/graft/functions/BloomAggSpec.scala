@@ -91,10 +91,15 @@ class BloomAggSpec extends AnyFunSuite with SparkSpec {
     }
     // a filter the serializer cannot materialize (bytes > Int.MaxValue)
     // must fail AT ANALYSIS, not mid-job (r15 ADVICE): the bound is
-    // 2^34 - 64 bits — the largest numBits whose 8 + numWords*8-byte
-    // form fits a JVM array
+    // 2^34 - 128 bits — the largest numBits whose 8 + numWords*8-byte
+    // form fits an Int-sized ByteBuffer (2^34 - 64 was off by one
+    // word: its own maximum wrapped the allocation size negative)
     intercept[Exception] {
       df.agg(expr(s"graft_bloom_agg(k, ${1L << 35}, 3)")).collect()
+    }
+    // the exact boundary: one word past the maximum rejects at analysis
+    intercept[Exception] {
+      df.agg(expr(s"graft_bloom_agg(k, ${(1L << 34) - 64}, 3)")).collect()
     }
   }
 
