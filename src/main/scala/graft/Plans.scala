@@ -124,7 +124,15 @@ object Plans {
     "q129_quantile_drift" ->
       "quantile drift (r13; lag dual-regime r14): the heavy stage is the L92 window-keyed value histogram (map-side partial aggs; two-phase rank at scale/forced); the lag window runs over the REPORT-sized one-row-per-window frame — the right plan under the 1M-window min/max probe, while larger spans (or forced) route to the range-sort + zipWithIndex + keyed-join lag with no single-task stage",
     "q128_bpe_train" ->
-      "BPE training (r13): the plan shown is the learned table's LocalRelation tail — the training itself is the histogram trick (one corpus scan to a vocabulary-sized (word, count) agg, then an n-merge loop over the histogram, driver-side under the probe / distributed keyed pair-count aggregates above it). Nothing corpus-sized ever iterates")
+      "BPE training (r13): the plan shown is the learned table's LocalRelation tail — the training itself is the histogram trick (one corpus scan to a vocabulary-sized (word, count) agg, then an n-merge loop over the histogram, driver-side under the probe / distributed keyed pair-count aggregates above it). Nothing corpus-sized ever iterates",
+    "q150_lm_rare_transitions" ->
+      "bigram-LM quality score (r16): bigrams assemble per-row with arrays_zip inside codegen (the q126 shape, no position self-join); the model is two TRAIN-vocabulary-bounded keyed aggs with map-side partials; per-doc distinct bigrams join the model equi-keyed (AQE broadcasts when it fits); V rides a broadcast one-row crossJoin; the rare test is pure integer comparisons in the projection — nothing quadratic, nothing collected, no log anywhere",
+    "q151_dyadic_rank" ->
+      "dyadic-CMS rank sketch (r16): the grid build is ONE corpus scan with a levels-way in-row explode into a map-side-combined ObjectHashAggregate collapsing to a single depth x width row (the whole order-statistics state); rank probes are pure driver-fed arithmetic against the broadcast-handle probe — the visible plan is probe-frame-sized, the corpus is never re-touched, and exact ranks for the report ride one conditional-count pass with the probe list broadcast",
+    "q152_kcenter_coreset" ->
+      "greedy k-center (r16): k bounded passes, each a TakeOrdered(1) over the running-min frame (never a global sort); centers travel as dims-sized plan literals; the running-min state is one double per row, localCheckpointed per step and released so lineage stays flat; the k one-row collects ARE the selections — bounded by construction",
+    "q153_hard_negatives" ->
+      "hard-negative mining (r16): the L39 brute-force shape with the label-mismatch predicate fused into the broadcast join condition BEFORE the bounded graft_topk heap — exact prefilter semantics at one corpus scan, label recovery joins on report-sized outputs only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
