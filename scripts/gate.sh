@@ -2,10 +2,20 @@
 # Round gate (driver-side tooling; NOT part of the Scala engine).
 #
 # Runs, in order, refusing (nonzero exit + loud banner) on any red:
-#   1. sbt compile + Test/compile + test   (the full ScalaTest suite)
-#   2. graft.Verify at sf0.01              (dump every query to parquet)
-#   3. scripts/check_oracle.py             (DuckDB value-level compare)
-#   4. graft.Bench smoke at sf0.01         (rc=0 and n_failed=0)
+#   1.  sbt compile + Test/compile + test  (the full ScalaTest suite)
+#   1b. ScaleCertSpec (SPARK_GRAFT_SLOW=1)  (scale certifications;
+#       skip: GATE_SKIP_SLOW=1)
+#   2.  graft.Verify at sf0.01             (dump every query to parquet)
+#   3.  scripts/check_oracle.py            (DuckDB value-level compare)
+#   3b. forced-distributed Verify + compare (100 TB regime plans;
+#       skip: GATE_SKIP_DISTRIBUTED=1)
+#   4.  graft.Bench smoke at sf0.01        (rc=0 and n_failed=0;
+#       skip: GATE_SKIP_BENCH=1)
+#   5.  paired bench @ sf0.1, GATE_PAIRED_RUNS legs, median-leg
+#       selection -> BENCH_FULL/DUCK/PAIRED_rNN artifacts
+#       (skip: GATE_SKIP_PAIRED=1)
+#   6.  round-over-round compare from the COMMITTED BENCH_FULL pair
+#       -> COMPARE_rNN.txt (runs only with a numeric GATE_ROUND)
 #
 # Usage: scripts/gate.sh [sfDir]          default /root/testdata/sf0.01
 # Fast variant while iterating: GATE_SKIP_BENCH=1 scripts/gate.sh

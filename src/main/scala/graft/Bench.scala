@@ -210,7 +210,18 @@ object Bench {
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
-    println(line)
+    // STDOUT gets a COMPACT but COMPLETE line (r16 VERDICT #1: the
+    // driver's log tail held only the last ~8 KB of the full line, so
+    // BENCH_r16.json preserved 31 of 154 query vectors — a misleading
+    // record). Same schema minus the per-run "runs" vectors, values
+    // rounded to 0.1 ms: ~5 KB for 154 queries, which survives any
+    // reasonable tail window. The full-precision line with all run
+    // vectors is the FILE artifact below — the bench of record.
+    def r4(v: Double): String = f"$v%.4f"
+    val qsShort = results.map { case (k, v, _) => s"${jstr(k)}:${r4(v)}" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","full_record":"see SPARK_GRAFT_BENCH_JSON file (BENCH_FULL artifact); stdout values rounded, runs omitted"}""")
     // Persist the FULL per-query metric line as a repo artifact: the
     // driver's BENCH_r*.json preserves only a truncated tail (31 of
     // 129 queries in r13), blinding round-over-round comparison to

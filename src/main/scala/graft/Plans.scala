@@ -42,7 +42,7 @@ object Plans {
     "q58_interval_join" ->
       "interval join (r14 dual regime): this default-small plan is the pair-level bucket demo — equi-join on bucket id with the exactly-once residual, Generate only for bucket replication. The forced/large form is the RANK reshape (see q64): no Generate, no pairs, plan-asserted",
     "q64_count_overlaps" ->
-      "overlap count, RANK FORM (r14): n = #(rs<=we) - #(re<ws) via bucketed prefix sums — 256-row cascade window, bucket-keyed running sums, one-row broadcast stats, two equi-joins back on the bound value. NO Generate anywhere (plan-asserted): no candidate pair is ever formed, so interval density cannot enter the cost",
+      "overlap count, RANK FORM (r14; fused r17): n = #(rs<=we) - #(re<ws) via ONE side-tagged prefix-sum cascade — both histograms and both signed threshold sets ride a single union frame partitioned by the side tag, so there is one bucket-stats pass, one 512-row cascade window, one bucket-keyed running sum, and NO join-back at all (each left row's two query rows carry (key, ±1) and the count is sum(sgn*cnt)). Still zero pairs formed, so interval density cannot enter the cost",
     "q67_stream_neardedup_twin" ->
       "fingerprint evaluated in ONE Project over the concrete token-hash array; NO Filter contains the gram expression (the pushed-nullness-predicate shape that re-inlined it cost 432 s at sf0.1)",
     "q70_sequence_packing" ->
@@ -126,7 +126,11 @@ object Plans {
     "q128_bpe_train" ->
       "BPE training (r13): the plan shown is the learned table's LocalRelation tail — the training itself is the histogram trick (one corpus scan to a vocabulary-sized (word, count) agg, then an n-merge loop over the histogram, driver-side under the probe / distributed keyed pair-count aggregates above it). Nothing corpus-sized ever iterates",
     "q150_lm_rare_transitions" ->
-      "bigram-LM quality score (r16): bigrams assemble per-row with arrays_zip inside codegen (the q126 shape, no position self-join); the model is two TRAIN-vocabulary-bounded keyed aggs with map-side partials; per-doc distinct bigrams join the model equi-keyed (AQE broadcasts when it fits); V rides a broadcast one-row crossJoin; the rare test is pure integer comparisons in the projection — nothing quadratic, nothing collected, no log anywhere",
+      "bigram-LM quality score (r16; hashed keys r17): bigrams assemble per-row with arrays_zip over the CONCRETE token-hash array inside codegen (the q126 shape, no position self-join) and shuffle as ONE packed 62-bit long (h1*2^31 + h2 — the fingerprint packing; the unigram context key is bg >> 31, recovered for free), so strings never leave their scan task; the model is two TRAIN-vocabulary-bounded keyed aggs with map-side partials; per-doc distinct bigram keys join the model equi-keyed on longs (AQE broadcasts when it fits); V rides a broadcast one-row crossJoin; the rare test is pure integer comparisons in the projection — nothing quadratic, nothing collected, no log anywhere",
+    "q146_increment_flagship" ->
+      "increment gate (r16; fused r17): history index built once (never re-signed); the increment's distinct gram frame is checkpointed and feeds contamination AND familiarity in ONE kernel pass (eval membership = left-join marker, history document frequency = left-joined posting-list counts, both folded into a single doc_id aggregation); the verdict frame localCheckpoints so the keep-list fed to trainingOrder and the final join both read materialized rows instead of re-running the probe stack; order assignment rides the two-phase prefix sum. Every stage equi-keyed; the only pair generation is the capped banded probe",
+    "q155_zorder3_key" ->
+      "3-D Morton key (r17): three stride-3 mask cascades + two shifts + two ORs, all inside one WholeStageCodegen projection over the scan (no UDF, no exchange before the top-20 TakeOrderedAndProject); the d-dim layout rewrite (zorderByN) stays ONE tiny stats agg broadcast back + one range repartition + in-partition sort — the cost of the 1-D sort it replaces",
     "q151_dyadic_rank" ->
       "dyadic-CMS rank sketch (r16): the grid build is ONE corpus scan with a levels-way in-row explode into a map-side-combined ObjectHashAggregate collapsing to a single depth x width row (the whole order-statistics state); rank probes are pure driver-fed arithmetic against the broadcast-handle probe — the visible plan is probe-frame-sized, the corpus is never re-touched, and exact ranks for the report ride one conditional-count pass with the probe list broadcast",
     "q152_kcenter_coreset" ->

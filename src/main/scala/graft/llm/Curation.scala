@@ -322,8 +322,8 @@ object Curation {
     // in the index's own posting arrays (document frequency = explode
     // + count over `sets` — history text is never re-shingled), and
     // the increment's distinct gram frame is checkpointed and shared
-    // by the contamination join and the familiarity join (released by
-    // the harness's Checkpoints.releaseLeaked between queries, the
+    // by the contamination + familiarity pass (released by the
+    // harness's Checkpoints.releaseLeaked between queries, the
     // minhashIndex convention)
     val (buckets, sets) = TextDedup.minhashIndex(history, shingleK)
     val dupIds = TextDedup
@@ -334,25 +334,28 @@ object Curation {
       .localCheckpoint()
     val evalG = TextDedup.gramHashes(evalDocs, shingleK)
       .select(col("gh")).distinct()
-    // contamination = the ONE audit kernel, fed the shared gram frame
-    val decon = Decontaminate.overlapFromGrams(
-      increment.select(col("doc_id")), incG, evalG)
-      .select(col("doc_id"), col("n_grams"), col("overlap"))
     val histDf = sets.select(explode(col("sh")).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).as("__df"))
-    val fam = incG.join(histDf, Seq("gh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("__fng"),
-        sum(coalesce(col("__df"), lit(0L))).as("__seen"))
-      .select(col("doc_id"),
-        (col("__seen").cast("double") / col("__fng")).as("mean_seen"))
+    // contamination AND familiarity = the ONE audit kernel in ONE pass
+    // over the shared gram frame (r16 VERDICT #1: the separate decon /
+    // fam frames each re-joined and re-aggregated incG, and `flags`
+    // paid a left-join per verdict — pure serial stage floors)
+    val verdicts = Decontaminate.overlapFromGrams(
+      increment.select(col("doc_id")), incG, evalG, gramDf = Some(histDf))
+      .select(col("doc_id"), col("n_grams"), col("overlap"),
+        col("mean_seen"))
+    // `flags` is localCheckpointed: BOTH consumers below (the keep-list
+    // fed to trainingOrder, and the final verdict join) would otherwise
+    // re-execute the whole probe + verdict stack — exchange reuse does
+    // not survive the differing filters. One row per increment doc,
+    // nine scalars; released by the harness broom (keepFilter's
+    // materialize-once convention).
     val flags = increment
       .select(col("doc_id"),
         greatest(size(TextFns.tokens(col("text"))).cast("long"), lit(0L))
           .as("n_tokens"))
       .join(dupIds, Seq("doc_id"), "left")
-      .join(decon, Seq("doc_id"), "left")
-      .join(fam, Seq("doc_id"), "left")
+      .join(verdicts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__dup"), lit(false)).as("is_dup"),
         col("n_grams"), col("overlap"), col("n_tokens"),
@@ -360,6 +363,7 @@ object Curation {
         coalesce(col("mean_seen"), lit(0.0)).as("mean_seen"))
       .withColumn("keep",
         !col("is_dup") && col("overlap") <= maxOverlap && col("quality_ok"))
+      .localCheckpoint()
     val order = Sampling.trainingOrder(flags.filter(col("keep")), seed)
     flags.join(order, Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_dup"), col("n_grams"),

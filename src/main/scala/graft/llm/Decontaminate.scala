@@ -112,26 +112,47 @@ object Decontaminate {
     * shared gram frame so the composition's contamination pillar IS
     * this code path, not a drifting copy. `docIds` restores gram-less
     * docs (< k tokens) with overlap 0.0 — too short to leak an n-gram.
+    *
+    * ONE pass over `docGrams` (r17, the q146 stage-floor cut): the
+    * eval membership rides a left-join marker and the hit count is a
+    * conditional sum in the SAME doc_id aggregation as `n_grams` —
+    * the old sizes/hits two-groupBy form paid an extra shuffle plus
+    * an extra doc_id join for arithmetic one aggregate expresses.
+    * `gramDf` optionally fuses a second gram-keyed lookup into the
+    * same pass: a `(gh, __df)` document-frequency table, emitted as
+    * `mean_seen` = mean df over the doc's grams (0.0 for gram-less
+    * docs) — [[Curation.incrementGate]]'s familiarity verdict, which
+    * would otherwise re-join and re-aggregate the identical gram
+    * frame a third time.
     */
   private[llm] def overlapFromGrams(
       docIds: DataFrame,
       docGrams: DataFrame,
-      evalGrams: DataFrame): DataFrame = {
-    val sizes = docGrams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = docGrams.join(evalGrams, "gh")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit"))
-    docIds
-      .join(sizes, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+      evalGrams: DataFrame,
+      gramDf: Option[DataFrame] = None): DataFrame = {
+    val marked = evalGrams.withColumn("__ev", lit(1))
+    val joined = gramDf.foldLeft(docGrams.join(marked, Seq("gh"), "left")) {
+      (d, df) => d.join(df, Seq("gh"), "left")
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("__ev").isNotNull, 1L).otherwise(0L)).as("n_hit")) ++
+      gramDf.map(_ => sum(coalesce(col("__df"), lit(0L))).as("__seen"))
+    val per = joined.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val outCols = Seq(col("doc_id"),
+      coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+      when(col("n_grams").isNull, lit(0.0))
+        .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_grams"))
+        .as("overlap")) ++
+      gramDf.map(_ =>
         when(col("n_grams").isNull, lit(0.0))
-          .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") /
-            col("n_grams"))
-          .as("overlap"))
+          .otherwise(col("__seen").cast("double") / col("n_grams"))
+          .as("mean_seen"))
+    docIds
+      .join(per, Seq("doc_id"), "left")
+      .select(outCols: _*)
   }
 
   /** [[decontaminate]] with the eval side compressed to a Bloom filter

@@ -201,6 +201,22 @@ object DyadicCms {
       qs: Seq[Double],
       levels: Int): Seq[(Double, Long, Long)] = {
     require(qs.forall(q => q > 0.0 && q <= 1.0), "quantiles in (0, 1]")
+    require(n >= 0, "n must be non-negative")
+    require(levels > 0 && levels <= MaxLevels,
+      s"levels must be in (0, $MaxLevels]")
+    // Caller-supplied (n, levels) must MATCH the grid (r16 ADVICE:
+    // both were trusted, and a stale n or a levels mismatch silently
+    // returned wrong quantiles — against the loud raise_error stance
+    // of the rest of the operator). Every inserted value adds exactly
+    // `levels` keys and each key increments one counter per row, so
+    // any single row of the grid must sum to n·levels exactly.
+    val grid = CountMinAgg.fromBytes(gridBytes)
+    val rowMass = (0 until CountMinAgg.widthOf(grid))
+      .foldLeft(0L)((acc, b) => acc + grid(1 + b))
+    require(rowMass == n * levels,
+      s"quantiles: grid mass $rowMass != n*levels = ${n * levels} — " +
+        "n or levels does not describe the grid these bytes were " +
+        "built from (stale count, or a different dyadic height)")
     def est(level: Int, prefix: Long): Long =
       CountMinAgg.estimateBytes(gridBytes, graft.functions.Hash60.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(

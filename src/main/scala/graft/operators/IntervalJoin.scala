@@ -150,12 +150,15 @@ object IntervalJoin {
     * (`re < ws` implies `rs <= re < ws <= we`, so the subtrahend is a
     * subset of the minuend and the difference is exactly the overlap
     * count; both endpoint comparisons inclusive, as [[overlapJoin]]).
-    * Each term is a cumulative-count lookup over a value histogram,
-    * computed for every DISTINCT left bound by [[cumCountAt]]'s
-    * bucketed prefix sum and joined back on the bound value — total
-    * work O(N) + two equi-joins, with NO candidate pair ever formed,
-    * so interval density cannot enter the cost at all. The final
-    * count partial-aggregates map-side on `leftKey`.
+    * Both terms are cumulative-count lookups over a value histogram,
+    * fused into ONE side-tagged [[PrefixSum]] cascade (one bucket
+    * stats pass, one offset cascade, partitioned by the side tag);
+    * each left row rides the frame as two signed threshold rows
+    * (`+1` at `we` against the rs-histogram, `−1` at `ws` against the
+    * re-histogram), so the per-key count is a direct `sum(sgn·cnt)` —
+    * total work O(N) with NO candidate pair ever formed and no
+    * join-back, so interval density cannot enter the cost at all. The
+    * final count partial-aggregates map-side on `leftKey`.
     *
     * Inner semantics: left intervals with zero overlaps are absent
     * from the result (`n_overlapping` is never 0). Needing the
@@ -225,52 +228,51 @@ object IntervalJoin {
     }
     val l = left.filter(col(lStart) <= col(lEnd))
     val r = right.filter(col(rStart) <= col(rEnd))
-      .select(rankOf(right, rStart).as("__rs"),
-        rankOf(right, rEnd).as("__re"))
-    def hist(c: String) = r.groupBy(col(c).as("__v"))
-      .agg(count(lit(1)).as("__c"))
-    val nLe = cumCountAt(hist("__rs"),
-        l.select(rankOf(left, lEnd).as("__q")).distinct(),
-        strict = false)
-      .select(col("__q").as("__qe"), col("__cnt").as("__n_le"))
-    val nLt = cumCountAt(hist("__re"),
-        l.select(rankOf(left, lStart).as("__q")).distinct(),
-        strict = true)
-      .select(col("__q").as("__qs"), col("__cnt").as("__n_lt"))
-    l.join(nLe, rankOf(left, lEnd) === col("__qe"))
-      .join(nLt, rankOf(left, lStart) === col("__qs"))
-      .groupBy(col(leftKey))
-      .agg(sum(col("__n_le") - col("__n_lt")).as("n_overlapping"))
-      .filter(col("n_overlapping") > 0)
-  }
 
-  /** For every distinct threshold `__q` in `queries`, the number of
-    * values in the `(__v, __c)` histogram with `__v <= __q` (or
-    * `__v < __q` when `strict`) — [[countOverlaps]]'s rank lookup,
-    * routed through the shared [[PrefixSum]] kernel (one kernel,
-    * every caller — r14 VERDICT #1): thresholds ride the histogram
-    * frame as zero-count rows, [[PrefixSum.withRangeBucket]] derives
-    * the order-preserving bucket (global span, one-row broadcast
-    * stats, ±Inf clamped order-safe), and [[PrefixSum.inclusive]]
-    * runs the offset cascade over the ≤256-row bucket frame plus the
-    * bucket-keyed running sum — no single-partition stage ever sees a
-    * data-sized frame. Tie order at equal `__v` encodes the
-    * comparison: data before queries for `<=`, queries before data
-    * for `<`.
-    */
-  private[operators] def cumCountAt(
-      values: DataFrame,
-      queries: DataFrame,
-      strict: Boolean): DataFrame = {
-    val frame = values
-      .select(col("__v"), col("__c"), lit(0).as("__isq"))
-      .unionAll(queries.select(col("__q").as("__v"), lit(0L).as("__c"),
-        lit(1).as("__isq")))
-    val fb = PrefixSum.withRangeBucket(frame, Seq.empty, col("__v"), 256, "__b")
-    val tie = if (strict) col("__isq").desc else col("__isq").asc
-    PrefixSum.inclusive(fb, Seq.empty, "__b", Seq(col("__v"), tie),
+    // ONE tagged cascade for both rank lookups (r16 VERDICT #2: the
+    // two-pass form ran the union + bucket-stats + cascade stack TWICE,
+    // doubling the fixed stage count — at sf1 q64 spent 4.5 s on
+    // stage floors). Side 1 carries the rs-histogram with the `we`
+    // thresholds (`rs <= we`, data-before-queries tie), side 2 the
+    // re-histogram with the `ws` thresholds (`re < ws`,
+    // queries-before-data tie); [[PrefixSum]] partitions by the side
+    // tag, so one grouped stats pass + one offset cascade serve both.
+    // Query rows carry (leftKey, ±1) directly — the per-row count is
+    // sgn·cnt summed by key — which also retires the old form's two
+    // distinct passes and two value-equality join-backs entirely.
+    val keyType = left.schema(leftKey).dataType
+    val rh = r
+      .select(explode(array(
+        struct(lit(1).as("__side"), rankOf(right, rStart).as("__v")),
+        struct(lit(2).as("__side"), rankOf(right, rEnd).as("__v"))))
+        .as("__x"))
+      .groupBy(col("__x.__side").as("__side"), col("__x.__v").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__side"), col("__v"), col("__c"),
+        lit(0).as("__isq"), lit(null).cast(keyType).as("__k"),
+        lit(0L).as("__sgn"))
+    val lq = l
+      .select(col(leftKey).as("__k"), explode(array(
+        struct(lit(1).as("__side"), rankOf(left, lEnd).as("__v"),
+          lit(1L).as("__sgn")),
+        struct(lit(2).as("__side"), rankOf(left, lStart).as("__v"),
+          lit(-1L).as("__sgn")))).as("__x"))
+      .select(col("__x.__side").as("__side"), col("__x.__v").as("__v"),
+        lit(0L).as("__c"), lit(1).as("__isq"), col("__k"),
+        col("__x.__sgn").as("__sgn"))
+    // Tie order at equal __v encodes the comparison per side: data
+    // before queries for `<=` (side 1), queries before data for `<`
+    // (side 2) — folded into one ascending key so both sides ride the
+    // same window.
+    val tie = when(col("__side") === 2, lit(1) - col("__isq"))
+      .otherwise(col("__isq"))
+    val fb = PrefixSum.withRangeBucket(rh.unionAll(lq), Seq("__side"),
+      col("__v"), 256, "__b")
+    PrefixSum.inclusive(fb, Seq("__side"), "__b", Seq(col("__v"), tie),
         col("__c"), "__cnt")
       .filter(col("__isq") === 1)
-      .select(col("__v").as("__q"), col("__cnt"))
+      .groupBy(col("__k").as(leftKey))
+      .agg(sum(col("__sgn") * col("__cnt")).as("n_overlapping"))
+      .filter(col("n_overlapping") > 0)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** THE two-phase distributed prefix-sum kernel — single home for the
   * decomposition that previously lived in three drifting copies
   * (r14 VERDICT "what's wrong" #1): [[Percentiles.groupedExactFromHist]]'s
-  * bucketed cumulative histogram, [[IntervalJoin.cumCountAt]]'s
+  * bucketed cumulative histogram, [[IntervalJoin.countOverlaps]]'s
   * threshold rank lookup, and the [[graft.llm.Packing.packBlocks]] /
   * [[graft.llm.Sampling.budgetSelect]] group-offset decomposition.
   *

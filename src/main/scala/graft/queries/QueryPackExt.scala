@@ -4449,7 +4449,11 @@ object QueryPackExt {
     * fraction of bigrams with add-one probability below 1/256, and
     * the rare test is pure 64-bit integer arithmetic so every count,
     * the one-division `rare_frac`, and the keep verdict hash-compare
-    * exactly.
+    * exactly. Keys mirror the engine's hashed form (r17): the shared
+    * `tokh` 31-bit token hashes, bigram key `h1·2³¹ + h2`, unigram
+    * context key recovered as `bg // 2³¹` — identical arithmetic on
+    * both engines, so collision behavior (merging colliding counts)
+    * is mirrored too and the compare stays exact.
     */
   private val q150 = Q("q150_lm_rare_transitions",
     (s, dir) => {
@@ -4460,26 +4464,24 @@ object QueryPackExt {
         .harnessSorted(col("doc_id"))
     },
     Some(s"""
-      WITH $ToksCte,
-      pos AS (SELECT doc_id, unnest(w) AS tok,
-                     generate_subscripts(w, 1) AS ord FROM toks),
-      bg AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
-             FROM pos a JOIN pos b
-               ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
-      tbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
-              FROM bg WHERE doc_id % 20 < 16 GROUP BY 1, 2),
-      tuni AS (SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c_a
-               FROM pos WHERE doc_id % 20 < 16 GROUP BY 1),
+      WITH $ToksCte, $TokhCte,
+      bg AS (SELECT a.doc_id, a.h * 2147483648 + b.h AS bg
+             FROM tokh a JOIN tokh b
+               ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      tbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+              FROM bg WHERE doc_id % 20 < 16 GROUP BY 1),
+      tuni AS (SELECT h AS uh, CAST(count(*) AS BIGINT) AS c_a
+               FROM tokh WHERE doc_id % 20 < 16 GROUP BY 1),
       v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM tuni),
-      db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
-             FROM bg GROUP BY 1, 2, 3),
+      db AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS n
+             FROM bg GROUP BY 1, 2),
       sc AS (SELECT db.doc_id, sum(db.n) AS n_bigrams,
                     sum(CASE WHEN 256 * (COALESCE(t.c_ab, 0) + 1)
                                   < COALESCE(u.c_a, 0) + v.v
                              THEN db.n ELSE 0 END) AS n_rare
              FROM db
-             LEFT JOIN tbg t ON t.w1 = db.w1 AND t.w2 = db.w2
-             LEFT JOIN tuni u ON u.w1 = db.w1
+             LEFT JOIN tbg t ON t.bg = db.bg
+             LEFT JOIN tuni u ON u.uh = db.bg // 2147483648
              CROSS JOIN v
              GROUP BY db.doc_id)
       SELECT d.doc_id,
@@ -4674,6 +4676,73 @@ object QueryPackExt {
       FROM post
       ORDER BY query_id, mode, rnk"""))
 
+  /** 3-D Z-order key ([[graft.operators.Zorder.zkeyN]], r17 — real
+    * lakehouse clustering keys are often 3–4 columns): the stride-3
+    * Morton interleave of (custkey, order-day, whole-dollar price) at
+    * 21 bits per dim. The oracle rebuilds the identical 5-step
+    * stride-3 mask cascade in SQL — the constants are EMBEDDED from
+    * [[graft.operators.Zorder.SpreadSteps]], so a drifted mask,
+    * shift, clamp, or dim order breaks the hash. (The d-dim layout
+    * rewrite itself — range partition + sort on this key — is
+    * file-level and spec-gated in ZorderSpec's 3-D footprint tests.)
+    */
+  private val q155 = Q("q155_zorder3_key",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"),
+          lit(java.sql.Date.valueOf("1990-01-01")))
+          .cast("long").as("days"),
+        // floor, not a bare long cast: Spark's decimal->long cast
+        // truncates while DuckDB's ROUNDS — floor agrees everywhere
+        floor(col("o_totalprice")).cast("long").as("price"))
+        .withColumn("zkey", graft.operators.Zorder.zkeyN(
+          Seq(col("o_custkey"), col("days"), col("price"))))
+        .orderBy(col("zkey").desc, col("o_orderkey"))
+        .limit(20)
+        .harnessSorted(col("o_orderkey"))
+    },
+    Some {
+      val clampMax = (1L << graft.operators.Zorder.bitsFor(3)) - 1
+      // (v | v << sh) & m rewritten as (v & m) | ((v & (m >> sh)) << sh):
+      // identical bits (a v-bit reaches masked position i+sh iff bit i
+      // survives m >> sh), but the shifted operand is pre-masked so the
+      // intermediate never exceeds 63 bits — DuckDB's << range-checks
+      // and raises where Spark's shiftleft wraps-then-masks
+      def spread3(pref: String): String =
+        graft.operators.Zorder.SpreadSteps(3).zipWithIndex.map {
+          case ((sh, m), i) =>
+            s"${pref}${i + 1} AS (SELECT o_orderkey, " +
+              s"((v & $m) | ((v & ${m >>> sh}) << $sh)) AS v FROM ${pref}$i)"
+        }.mkString(",\n      ")
+      s"""
+      WITH base AS (
+        SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(datediff('day', DATE '1990-01-01', o_orderdate)
+                 AS BIGINT) AS days,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price
+        FROM orders),
+      x0 AS (SELECT o_orderkey,
+                    GREATEST(0, LEAST(o_custkey, $clampMax)) AS v
+             FROM base),
+      y0 AS (SELECT o_orderkey,
+                    GREATEST(0, LEAST(days, $clampMax)) AS v
+             FROM base),
+      z0 AS (SELECT o_orderkey,
+                    GREATEST(0, LEAST(price, $clampMax)) AS v
+             FROM base),
+      ${spread3("x")},
+      ${spread3("y")},
+      ${spread3("z")}
+      SELECT b.o_orderkey, b.o_custkey, b.days, b.price,
+             (x5.v | (y5.v << 1) | (z5.v << 2)) AS zkey
+      FROM base b
+      JOIN x5 ON x5.o_orderkey = b.o_orderkey
+      JOIN y5 ON y5.o_orderkey = b.o_orderkey
+      JOIN z5 ON z5.o_orderkey = b.o_orderkey
+      ORDER BY zkey DESC, b.o_orderkey LIMIT 20"""
+    })
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4684,7 +4753,7 @@ object QueryPackExt {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154)
+    q149, q150, q151, q152, q153, q154, q155)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

@@ -378,6 +378,14 @@ object StreamOps {
       s"levels must be in (0, ${graft.operators.DyadicCms.MaxLevels}] — " +
         "out-of-range values would silently exclude every row " +
         "(1L << 63 is negative; 0 levels explode to nothing)")
+    // validate probes UP FRONT with the rankEstimates message (r16
+    // ADVICE: duplicates silently collapsed into one rank_lt_ column
+    // via withColumn replacement, and out-of-range values only failed
+    // deep in sketchRank without naming the `probes` parameter)
+    require(probes.forall(p => p >= 0 && p < (1L << levels)),
+      s"probes must lie in [0, 2^$levels) — the dyadic tree's domain")
+    require(probes.distinct.size == probes.size,
+      "probes must be distinct — each probe names one rank_lt_ column")
     graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
     val v = col(valueCol).cast("long")
     val base = events

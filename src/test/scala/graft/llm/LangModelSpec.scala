@@ -99,4 +99,20 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assert(fracs(17L) === 1.0)
     assert(math.abs(fracs(1L) - 1.0 / 6.0) < 1e-15)
   }
+
+  test("an empty reference vocabulary raises instead of silently " +
+      "keeping everything (r16 ADVICE)") {
+    // with V = 0 and c_a = 0 the rare predicate rarity*(c_ab+1) <
+    // c_a+V is unsatisfiable — a misconfigured gate would pass every
+    // document; the operator must fail loudly at evaluation time
+    val empty = docs((0L, ""), (1L, "   "))
+    val scored = LangModel.rareTransitionScore(
+      docs((2L, "some actual text here")), empty)
+    val e = intercept[Exception](scored.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("empty vocabulary")),
+      s"expected the empty-vocabulary raise, got: ${msgs(e)}")
+  }
 }

@@ -92,6 +92,23 @@ class DyadicCmsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quantiles: a stale n or a levels mismatch fails loudly " +
+      "against the grid's own mass (r16 ADVICE)") {
+    val values = Seq.fill(500)(7L)
+    val levels = 10
+    val g = grid(values, levels, width = 1024, depth = 4)
+    // correct (n, levels) passes
+    assert(DyadicCms.quantiles(g, 500L, Seq(0.5), levels).nonEmpty)
+    // wrong n: the grid's row mass is 500*levels, not 499*levels
+    val e1 = intercept[IllegalArgumentException](
+      DyadicCms.quantiles(g, 499L, Seq(0.5), levels))
+    assert(e1.getMessage.contains("grid mass"))
+    // wrong levels: built at 10, queried at 12
+    val e2 = intercept[IllegalArgumentException](
+      DyadicCms.quantiles(g, 500L, Seq(0.5), 12))
+    assert(e2.getMessage.contains("grid mass"))
+  }
+
   test("the grid merges: two half-corpus grids sum to the full grid " +
       "bit for bit") {
     val rnd = new java.util.Random(5)

@@ -150,4 +150,94 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
     assert(zRead <= n / 2,
       s"z-layout must skip most files on the b predicate (read $zRead)")
   }
+
+  /** Reference d-dim Morton interleave: the naive bit loop every mask
+    * cascade must equal (bit i of dim j at position i·d + j).
+    */
+  private def mortonRefN(vs: Seq[Long]): Long = {
+    val d = vs.length
+    val bits = Zorder.bitsFor(d)
+    val cl = vs.map(v => math.max(0L, math.min(v, (1L << bits) - 1)))
+    var z = 0L
+    for (j <- 0 until d; i <- 0 until bits)
+      z |= ((cl(j) >> i) & 1L) << (i * d + j)
+    z
+  }
+
+  test("zkeyN equals the naive interleave for d = 3 and 4, incl clamp edges") {
+    val s = spark
+    import s.implicits._
+    val rnd = new java.util.Random(43)
+    for (d <- Seq(3, 4)) {
+      val bits = Zorder.bitsFor(d)
+      val cases = Seq.tabulate(300)(_ =>
+        Seq.fill(d)(rnd.nextLong() % (1L << (bits + 2)))) ++ Seq(
+        Seq.fill(d)(0L), Seq.fill(d)((1L << bits) - 1),
+        Seq.tabulate(d)(_.toLong), Seq.fill(d)(-9L),
+        Seq.fill(d)(Long.MaxValue))
+      val df = cases.map(vs => Tuple1(vs)).toDF("vs")
+        .withColumn("z", Zorder.zkeyN(
+          (0 until d).map(i => element_at(col("vs"), i + 1))))
+      df.select(col("vs"), col("z")).collect().foreach { r =>
+        val vs = r.getSeq[Long](0)
+        val z = r.getLong(1)
+        assert(z === mortonRefN(vs), s"zkeyN(d=$d, $vs)")
+        assert(z >= 0, "Morton codes must stay sign-safe")
+      }
+    }
+  }
+
+  test("zkeyN is monotone per axis with the others fixed, d = 3 and 4") {
+    for (d <- Seq(3, 4)) {
+      val bits = Zorder.bitsFor(d)
+      val xs = Seq(0L, 1L, 2L, 100L, 1L << (bits / 2), (1L << bits) - 1)
+      for (axis <- 0 until d) {
+        xs.sliding(2).foreach { case Seq(a, b) =>
+          def key(v: Long) = mortonRefN(Seq.tabulate(d)(j =>
+            if (j == axis) v else 77L))
+          assert(key(a) < key(b), s"d=$d axis=$axis: $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("zorderByN tightens per-file footprints in ALL THREE dimensions") {
+    val s = spark
+    import s.implicits._
+    // independent dims: a 1-D sort leaves the other two spanning the
+    // full domain in every file; the 3-D curve bounds all three
+    val n = 8192
+    val rnd = new java.util.Random(17)
+    val df = Seq.tabulate(n)(_ => (rnd.nextInt(512).toLong,
+      rnd.nextInt(512).toLong, rnd.nextInt(512).toLong)).toDF("a", "b", "c")
+    val parts = 64 // a 4x4x4 grid on the curve
+    def meanSpans(laid: org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val r = laid.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"),
+          (max("c") - min("c")).as("sc"))
+        .agg(avg("sa"), avg("sb"), avg("sc")).collect()(0)
+      (0 until 3).map(i => r.getDouble(i) / 512.0)
+    }
+    val naive = df.repartitionByRange(parts, col("a"))
+      .sortWithinPartitions(col("a"))
+    val z = Zorder.zorderByN(df, Seq("a", "b", "c"), parts)
+    val ns = meanSpans(naive)
+    val zs = meanSpans(z)
+    assert(ns(0) < 0.1, s"naive a-span ${ns(0)}")
+    assert(ns(1) > 0.8 && ns(2) > 0.8, s"naive b/c spans $ns")
+    // 64 partitions on a 3-D curve -> expected span ~1/4 per dim;
+    // allow slack for uneven range splits
+    zs.foreach(sp => assert(sp < 0.6, s"zorder spans $zs"))
+    assert(z.collect().toSet === df.collect().toSet)
+  }
+
+  test("zorderByN: a NULL in any of the three key columns lands in the sentinel bucket") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Option[Long], Option[Long], Option[Long])](
+      (Some(5L), Some(5L), Some(1L)), (None, Some(3L), Some(2L)),
+      (Some(2L), None, None), (None, None, None)).toDF("a", "b", "c")
+    assert(Zorder.zorderByN(df, Seq("a", "b", "c"), 2).count() === 4)
+  }
 }
