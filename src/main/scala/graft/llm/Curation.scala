@@ -321,17 +321,26 @@ object Curation {
     // each slice pays its gram front end ONCE: the history grams live
     // in the index's own posting arrays (document frequency = explode
     // + count over `sets` — history text is never re-shingled), and
-    // the increment's distinct gram frame is checkpointed and shared
-    // by the contamination + familiarity pass (released by the
-    // harness's Checkpoints.releaseLeaked between queries, the
-    // minhashIndex convention)
-    val (buckets, sets) = TextDedup.minhashIndex(history, shingleK)
+    // the increment is SIGNED ONCE (r17: its index is built here, the
+    // probe consumes the buckets, and the shared gram frame explodes
+    // out of the same checkpointed posting arrays — the old shape
+    // re-shingled the increment for incG and paid a second checkpoint
+    // job for it). Neither side's single-consumer signature frame
+    // checkpoints (minhashIndexImpl); the set checkpoints are released
+    // by the harness's Checkpoints.releaseLeaked between queries, the
+    // minhashIndex convention.
+    val (buckets, sets) = TextDedup.minhashIndexImpl(history, shingleK,
+      nHashes = 12, bands = 4, maxBucketWidth = None,
+      checkpointSignatures = false)
+    val (incB, incS) = TextDedup.minhashIndexImpl(increment, shingleK,
+      nHashes = 12, bands = 4, maxBucketWidth = None,
+      checkpointSignatures = false)
     val dupIds = TextDedup
-      .probeMinhashIndex(increment, buckets, sets, shingleK)
+      .probePrebuilt(incB, incS, buckets, sets, threshold = 0.5)
       .select(col("new_id").as("doc_id")).distinct()
       .withColumn("__dup", lit(true))
-    val incG = TextDedup.gramHashes(increment, shingleK).distinct()
-      .localCheckpoint()
+    // the shared distinct gram frame IS the increment's posting arrays
+    val incG = incS.select(col("doc_id"), explode(col("sh")).as("gh"))
     val evalG = TextDedup.gramHashes(evalDocs, shingleK)
       .select(col("gh")).distinct()
     val histDf = sets.select(explode(col("sh")).as("gh"))

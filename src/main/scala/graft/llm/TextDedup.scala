@@ -351,7 +351,26 @@ object TextDedup {
       shingleK: Int = 3,
       nHashes: Int = 12,
       bands: Int = 4,
-      maxBucketWidth: Option[Int] = None): (DataFrame, DataFrame) = {
+      maxBucketWidth: Option[Int] = None): (DataFrame, DataFrame) =
+    minhashIndexImpl(docs, shingleK, nHashes, bands, maxBucketWidth,
+      checkpointSignatures = true)
+
+  /** [[minhashIndex]] with the signature checkpoint OPTIONAL (r17, the
+    * q146 stage-floor cut): the `mh` checkpoint exists for consumers
+    * that read the bucket frame more than once (the LSH SELF-join
+    * reads it twice), but a single-consumer caller — an increment
+    * probe, a one-shot gate — pays the checkpoint job and its pinned
+    * blocks for nothing. `sets` always checkpoints: every caller
+    * reads it at least twice (signatures + rerank, or + document
+    * frequency).
+    */
+  private[llm] def minhashIndexImpl(
+      docs: DataFrame,
+      shingleK: Int,
+      nHashes: Int,
+      bands: Int,
+      maxBucketWidth: Option[Int],
+      checkpointSignatures: Boolean): (DataFrame, DataFrame) = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
     val sets = shingleSets(docs, shingleK).localCheckpoint()
@@ -364,14 +383,14 @@ object TextDedup {
     // array-transform formulation keeps it shuffle-free but generates
     // 13 nested array loops per row — measured 3-6x slower in
     // codegen+exec than this partial-agg shape.)
-    val mh = sets
+    val mh0 = sets
       .select(col("doc_id"), explode(col("sh")).as("gh"))
       .groupBy(col("doc_id"))
       .agg(
         min(TextFns.minhashPerm(0, col("gh"))).as("mh_0"),
         (1 until nHashes).map(s =>
           min(TextFns.minhashPerm(s, col("gh"))).as(s"mh_$s")): _*)
-      .localCheckpoint()
+    val mh = if (checkpointSignatures) mh0.localCheckpoint() else mh0
     // one 128-bit bucket key per band: md5 of the band's minhash values
     // in seed order (order-independent aggregate inputs ⇒ deterministic)
     val bandStructs = (0 until bands).map { b =>
@@ -472,14 +491,31 @@ object TextDedup {
       nHashes: Int = 12,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val (nb, ns) = minhashIndex(newDocs, shingleK, nHashes, bands, None)
+    // probe-side signatures feed ONE bucket join: skip their checkpoint
+    val (nb, ns) = minhashIndexImpl(newDocs, shingleK, nHashes, bands,
+      None, checkpointSignatures = false)
+    probePrebuilt(nb, ns, indexBuckets, indexSets, threshold)
+  }
+
+  /** [[probeMinhashIndex]] against an ALREADY-SIGNED batch — for
+    * callers that build the batch's `(buckets, sets)` once and reuse
+    * the sets for other gram work ([[graft.llm.Curation.incrementGate]]
+    * derives its shared gram frame from the same checkpoint, so the
+    * increment is shingled exactly once across every verdict).
+    */
+  private[llm] def probePrebuilt(
+      newBuckets: DataFrame,
+      newSets: DataFrame,
+      indexBuckets: DataFrame,
+      indexSets: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = indexBuckets.as("a")
-      .join(nb.as("b"),
+      .join(newBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("corpus_id"))
       .distinct()
-    jaccardRerank(cand, ns, indexSets, "new_id", "corpus_id", threshold)
+    jaccardRerank(cand, newSets, indexSets, "new_id", "corpus_id", threshold)
   }
 
   /** MinHash-LSH near-dedup: deterministic seeded signatures, banded
