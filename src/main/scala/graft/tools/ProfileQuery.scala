@@ -12,7 +12,9 @@ import scala.collection.mutable
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = args.drop(1).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(ToolSpark.master)
       .config("spark.sql.shuffle.partitions", "4")
