@@ -40,7 +40,7 @@ object Plans {
     "q54_dedup_pipeline" ->
       "all three stages equi-keyed; LSH join keyed on (band, bucket); left_anti drop — no CartesianProduct",
     "q58_interval_join" ->
-      "interval join (r14 dual regime): this default-small plan is the pair-level bucket demo — equi-join on bucket id with the exactly-once residual, Generate only for bucket replication. The forced/large form is the RANK reshape (see q64): no Generate, no pairs, plan-asserted",
+      "interval join (r14 dual regime): this default-small plan is the pair-level bucket demo — equi-join on bucket id with the exactly-once residual, Generate only for bucket replication. The forced/large form is the RANK reshape (see q64): no sequence-replication Generate, no pairs — only the fused cascade's two fixed 2-way side taggers (plan-asserted)",
     "q64_count_overlaps" ->
       "overlap count, RANK FORM (r14; fused r17): n = #(rs<=we) - #(re<ws) via ONE side-tagged prefix-sum cascade — both histograms and both signed threshold sets ride a single union frame partitioned by the side tag, so there is one bucket-stats pass, one 512-row cascade window, one bucket-keyed running sum, and NO join-back at all (each left row's two query rows carry (key, ±1) and the count is sum(sgn*cnt)). Still zero pairs formed, so interval density cannot enter the cost",
     "q67_stream_neardedup_twin" ->

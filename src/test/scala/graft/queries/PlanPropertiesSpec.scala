@@ -182,27 +182,42 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     val p = planExt("q64_count_overlaps")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p) // map-side partial aggregation
-    // r14 rank form: the quadratic candidate loop's signature was the
-    // bucket-replication Generate (explode over sequence). Its absence
-    // IS the scale property — no pair candidate is ever formed, so
-    // interval density cannot enter the cost.
-    assert(!p.contains("Generate"), p)
+    // r14 rank form: the quadratic candidate loop's signature is the
+    // bucket-REPLICATION Generate — explode over `sequence(lo, hi)`,
+    // whose output grows with interval length/density. Its absence IS
+    // the scale property: no pair candidate is ever formed. The r17
+    // fused cascade DOES carry fixed 2-way explodes (the side
+    // taggers — one histogram union, one signed-threshold union; the
+    // plan TEXT repeats them once per stats/offset re-reference of
+    // the frame), so the assert pins "no sequence replication" plus
+    // "every Generate is the constant-fan-out side tagger", not "no
+    // Generate at all".
+    assert(!p.contains("sequence("), p)
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.nonEmpty &&
+      gens.forall(_.contains("explode(array(struct(__side")), p)
   }
 
   test("q58: pair-level bucket join under the probe, pair-free rank form when forced") {
     // default at sf0.001 routes the pair-level operator demo — the
-    // bucket-replication Generate present, each pair exactly once
+    // bucket-replication Generate (explode over sequence) present,
+    // each pair exactly once
     val dflt = planExt("q58_interval_join")
     assert(dflt.contains("Generate"), dflt)
+    assert(dflt.contains("sequence("), dflt)
     assert(!dflt.contains("CartesianProduct"), dflt)
     // forced = the 100 TB form: same values (oracle-certified), ZERO
-    // pair candidates — no Generate anywhere in the plan
+    // pair candidates — no sequence replication anywhere; every
+    // Generate is the rank form's fixed 2-way side tagger
     val forced = {
       sys.props("spark.graft.forceDistributed") = "true"
       try planExt("q58_interval_join")
       finally sys.props.remove("spark.graft.forceDistributed")
     }
-    assert(!forced.contains("Generate"), forced)
+    assert(!forced.contains("sequence("), forced)
+    val fGens = forced.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(fGens.nonEmpty &&
+      fGens.forall(_.contains("explode(array(struct(__side")), forced)
     assert(!forced.contains("CartesianProduct"), forced)
   }
 
