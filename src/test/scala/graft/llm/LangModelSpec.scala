@@ -104,11 +104,13 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
       "keeping everything (r16 ADVICE)") {
     // with V = 0 and c_a = 0 the rare predicate rarity*(c_ab+1) <
     // c_a+V is unsatisfiable — a misconfigured gate would pass every
-    // document; the operator must fail loudly at evaluation time
+    // document; the operator must fail loudly (at model-BUILD time in
+    // the probe regime, at evaluation in the join regime)
     val empty = docs((0L, ""), (1L, "   "))
-    val scored = LangModel.rareTransitionScore(
-      docs((2L, "some actual text here")), empty)
-    val e = intercept[Exception](scored.collect())
+    val e = intercept[Exception] {
+      LangModel.rareTransitionScore(
+        docs((2L, "some actual text here")), empty).collect()
+    }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ msgs(x.getCause))
