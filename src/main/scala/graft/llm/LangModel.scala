@@ -84,12 +84,19 @@ object LangModel {
     *               ~an order of magnitude below a uniform-ish floor
     *               for the test vocabularies while staying overflow-
     *               safe for any train count that fits a long / 2^20
+    * @param broadcastModelMaxRows model-entry bound above which the
+    *               count-map probe regime yields to the shuffle-join
+    *               form (see [[BroadcastModelMaxRows]]); exposed so a
+    *               deployment with tighter executor budgets can lower
+    *               it — and so the spec can exercise the oversized
+    *               path on a small fixture
     */
   def rareTransitionScore(
       docs: DataFrame,
       refDocs: DataFrame,
       rarity: Long = 256,
-      maxRareFrac: Double = 0.5): DataFrame = {
+      maxRareFrac: Double = 0.5,
+      broadcastModelMaxRows: Int = BroadcastModelMaxRows): DataFrame = {
     require(rarity > 0 && rarity <= (1L << 20),
       "rarity must be in (0, 2^20] (keeps rarity*(c_ab+1) exact)")
     require(maxRareFrac >= 0.0 && maxRareFrac <= 1.0,
@@ -150,10 +157,10 @@ object LangModel {
       if (graft.Regimes.forceDistributed) ""
       else Decontaminate.ProbeMemo.getOrBuild(spark, ("lmcountmap",
           modelFrame.queryExecution.analyzed.canonicalized,
-          Similarity.sourceVersion(modelFrame))) {
+          Similarity.sourceVersion(modelFrame), broadcastModelMaxRows)) {
         val ck = modelFrame.localCheckpoint()
-        val bounded = ck.limit(BroadcastModelMaxRows + 1).count() <=
-          BroadcastModelMaxRows.toLong
+        val bounded = ck.limit(broadcastModelMaxRows + 1).count() <=
+          broadcastModelMaxRows.toLong
         if (!bounded) {
           spilled = Some(ck) // reuse the checkpoint; "" never memo-hits
           ""

@@ -100,6 +100,26 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(fracs(1L) - 1.0 / 6.0) < 1e-15)
   }
 
+  test("oversized-model regime: the shuffle-join path matches the " +
+      "count-map probe path row for row (r17)") {
+    // broadcastModelMaxRows = 1 forces every model over the bound —
+    // exercising the memo's oversized branch (the "" sentinel that
+    // must never stick, plus the spilled-checkpoint handoff) against
+    // the default probe regime on identical inputs; run the oversized
+    // form twice so a wrongly-memoized sentinel would surface
+    val corpus = docs((0L until 40L).map(i =>
+      i -> (if (i % 7 == 3) s"qq$i zz$i qq$i" else "the cat sat on the mat")): _*)
+    val train = corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    def rows(bound: Int) = LangModel
+      .rareTransitionScore(corpus, train, rarity = 16,
+        broadcastModelMaxRows = bound)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val probe = rows(2000000)
+    assert(rows(1) === probe)
+    assert(rows(1) === probe) // second oversized pass: "" never sticks
+  }
+
   test("an empty reference vocabulary raises instead of silently " +
       "keeping everything (r16 ADVICE)") {
     // with V = 0 and c_a = 0 the rare predicate rarity*(c_ab+1) <
