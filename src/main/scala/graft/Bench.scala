@@ -217,7 +217,11 @@ object Bench {
     // rounded to 0.1 ms: ~5 KB for 154 queries, which survives any
     // reasonable tail window. The full-precision line with all run
     // vectors is the FILE artifact below — the bench of record.
-    def r4(v: Double): String = f"$v%.4f"
+    // Locale.ROOT pins the decimal separator: under a comma-decimal
+    // default locale (de_DE) an f-interpolator would emit "0,1234"
+    // and the stdout line would stop being JSON (r17 ADVICE).
+    def r4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qsShort = results.map { case (k, v, _) => s"${jstr(k)}:${r4(v)}" }
       .mkString("{", ",", "}")
     println(

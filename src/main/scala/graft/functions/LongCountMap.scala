@@ -45,10 +45,23 @@ object LongCountMap {
     * count (callers know it from the aggregation that produced the
     * pairs).
     */
+  /** Largest supported pair count: the biggest `n` whose table
+    * (`cap` = next power of two with load ≤ 0.7, array of `1 + 2·cap`
+    * longs) still fits a JVM array — cap tops out at 2²⁹ slots, so
+    * n ≤ 0.7·2²⁹. Guarded loudly because the sizing loop below runs
+    * in Long arithmetic but the ARRAY length is an Int (r17 ADVICE:
+    * the old Int-arithmetic loop wrapped `n * 10` negative past
+    * ~214M pairs and then linear-probed a full 2-slot table forever).
+    */
+  val MaxPairs: Int = ((1L << 29) * 7 / 10).toInt
+
   def build(pairs: Iterator[(Long, Long)], n: Int): Array[Long] = {
     require(n >= 0, "pair count must be non-negative")
+    require(n <= MaxPairs,
+      s"count map supports at most $MaxPairs pairs, got $n — a table " +
+        "this size should stay in the join regime, not broadcast")
     var cap = 2
-    while (cap * 7 < n * 10) cap <<= 1 // load factor <= 0.7
+    while (cap.toLong * 7 < n.toLong * 10) cap <<= 1 // load <= 0.7
     val table = new Array[Long](1 + 2 * cap) // values default to 0
     table(0) = cap
     var i = 1

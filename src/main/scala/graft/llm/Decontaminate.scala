@@ -52,6 +52,18 @@ object Decontaminate {
     * a cloned/reset registry rebuilds instead of failing at analysis.
     */
   private[graft] object ProbeMemo {
+    /** Distinguished memo value for a DECLINED build — "this source is
+      * oversized, stay in the join regime". Memoized like a name so
+      * repeated calls against the unchanged source skip the
+      * limit/count probe (and its checkpoint) instead of re-running
+      * them every call (r17 ADVICE: the old `""` convention never
+      * memo-hit, so every oversized call paid a fresh probe job and
+      * pinned a fresh checkpoint). The NUL bytes keep it outside any
+      * registrable function name; callers compare against it and take
+      * their distributed form.
+      */
+    val Negative = "\u0000negative-verdict\u0000"
+
     private val cache = new java.util.LinkedHashMap[Any, String](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Any, String]): Boolean = size > 8
@@ -60,9 +72,13 @@ object Decontaminate {
         build: => String): String = {
       val fullKey = (System.identityHashCode(spark.sessionState),
         spark.sparkContext.applicationId, spark.sparkContext.startTime, key)
+      // a Negative verdict is session-scoped data, not a registry
+      // name — valid on its own; real names re-validate against the
+      // live registry (a cloned/reset registry rebuilds)
       val hit = cache.synchronized(Option(cache.get(fullKey))).filter { n =>
-        spark.sessionState.functionRegistry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+        n == Negative ||
+          spark.sessionState.functionRegistry.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(n))
       }
       hit match {
         case Some(name) => name

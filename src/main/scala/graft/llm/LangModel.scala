@@ -153,8 +153,8 @@ object LangModel {
     // the gate would silently keep everything) and through the lazy
     // vocab raise_error in the join regime.
     var spilled: Option[DataFrame] = None // oversized build -> join path
-    val probeName: String =
-      if (graft.Regimes.forceDistributed) ""
+    val memoed: String =
+      if (graft.Regimes.forceDistributed) Decontaminate.ProbeMemo.Negative
       else Decontaminate.ProbeMemo.getOrBuild(spark, ("lmcountmap",
           modelFrame.queryExecution.analyzed.canonicalized,
           Similarity.sourceVersion(modelFrame), broadcastModelMaxRows)) {
@@ -162,8 +162,16 @@ object LangModel {
         val bounded = ck.limit(broadcastModelMaxRows + 1).count() <=
           broadcastModelMaxRows.toLong
         if (!bounded) {
-          spilled = Some(ck) // reuse the checkpoint; "" never memo-hits
-          ""
+          // the OVERSIZED verdict memoizes (r17 ADVICE: the old ""
+          // sentinel never memo-hit, so every call on an unchanged
+          // oversized reference re-ran this limit/count probe and
+          // pinned one more checkpoint) — THIS call hands its
+          // already-materialized checkpoint to the join regime below;
+          // later calls memo-hit the verdict and go straight there,
+          // paying exactly one checkpoint per call like any other
+          // forced-distributed run (released by the harness broom)
+          spilled = Some(ck)
+          Decontaminate.ProbeMemo.Negative
         } else {
           val rows = ck.collect()
           graft.operators.Checkpoints.release(ck)
@@ -181,6 +189,8 @@ object LangModel {
               graft.functions.LongCountMap.build(pairs, rows.length + 1)))
         }
       }
+    val probeName: String =
+      if (memoed == Decontaminate.ProbeMemo.Negative) "" else memoed
 
     val perDoc =
       if (probeName.nonEmpty) {

@@ -39,6 +39,12 @@ class LongCountMapSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { // declared count must match
       LongCountMap.build(Iterator(1L -> 1L), 2)
     }
+    // a pair count past the array-size ceiling raises up front (r17
+    // ADVICE: the old Int-arithmetic sizing loop wrapped negative for
+    // n > ~214M and linear-probed a full 2-slot table forever)
+    intercept[IllegalArgumentException] {
+      LongCountMap.build(Iterator.empty, LongCountMap.MaxPairs + 1)
+    }
   }
 
   test("registered probe: codegen'd column path matches the driver get, nulls propagate") {

@@ -103,10 +103,12 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
   test("oversized-model regime: the shuffle-join path matches the " +
       "count-map probe path row for row (r17)") {
     // broadcastModelMaxRows = 1 forces every model over the bound —
-    // exercising the memo's oversized branch (the "" sentinel that
-    // must never stick, plus the spilled-checkpoint handoff) against
-    // the default probe regime on identical inputs; run the oversized
-    // form twice so a wrongly-memoized sentinel would surface
+    // exercising the memo's oversized branch (the Negative verdict
+    // that memoizes by design since r18, plus the spilled-checkpoint
+    // handoff on the first call) against the default probe regime on
+    // identical inputs; run the oversized form twice so BOTH the
+    // probe-and-spill first call and the memo-hit second call are
+    // certified to match the probe regime
     val corpus = docs((0L until 40L).map(i =>
       i -> (if (i % 7 == 3) s"qq$i zz$i qq$i" else "the cat sat on the mat")): _*)
     val train = corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
@@ -117,7 +119,7 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
         r.getDouble(3), r.getBoolean(4))).toSet
     val probe = rows(2000000)
     assert(rows(1) === probe)
-    assert(rows(1) === probe) // second oversized pass: "" never sticks
+    assert(rows(1) === probe) // memo-hit pass: same rows, no re-probe
   }
 
   test("an empty reference vocabulary raises instead of silently " +
