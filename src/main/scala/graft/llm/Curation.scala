@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation flagship: the single operator
@@ -226,11 +226,23 @@ object Curation {
   /** The release gate: the one-row go/no-go report a corpus release
     * runs last — exact-dup fraction, PII-bearing-doc fraction, and
     * benchmark-contamination fraction, each thresholded into a pass
-    * boolean, all-pass rolled into `release_ok`. Every metric is an
-    * independent tiny aggregate over the corpus (the q83 no-Expand
-    * shape) crossJoined into one broadcast row; contamination reuses
-    * [[Decontaminate.decontaminate]] verbatim so the gate's number IS
-    * the audited operator's.
+    * boolean, all-pass rolled into `release_ok`.
+    *
+    * ONE corpus scan for EVERYTHING in the probe regime (r18, was
+    * two plus three `rlike` passes — r17 VERDICT #3): PII detection is
+    * a single fused-alternation regex ([[Pii.AnyRe]]), and the
+    * contamination verdict is a per-row projection over the in-row
+    * distinct gram array probed against the memoized exact eval-gram
+    * count map ([[Decontaminate.buildGramSetProbe]] — the gate re-runs
+    * per release against the same eval suite, so the build amortizes
+    * to zero; values identical to the join form, the probe is exact).
+    * Per distinct content: copies, token sum, pii hits, clean copies;
+    * then one global fold. n_dups = total copies − distinct contents
+    * falls out of the same frame, with no countDistinct (whose
+    * mixed-aggregate form Expands the input) and map-side partials
+    * throughout. An oversized eval set or `forceDistributed` keeps
+    * the certified two-scan form whose contamination count crossJoins
+    * in from [[Decontaminate.decontaminate]]'s join regime.
     */
   def releaseGate(
       docs: DataFrame,
@@ -240,35 +252,67 @@ object Curation {
       maxContamFrac: Double = 0.1,
       shingleK: Int = 3,
       maxOverlap: Double = 0.2): DataFrame = {
-    // ONE corpus scan for counts, tokens, dups and PII (was three):
-    // a two-level aggregate keyed on the content hash — per distinct
-    // content: copies, token sum, pii hits; then one global fold.
-    // n_dups = total copies − distinct contents falls out of the same
-    // frame, with no countDistinct (whose mixed-aggregate form Expands
-    // the input) and map-side partials throughout.
-    val perContent = docs
-      .groupBy(md5(col("text")).as("__ch"))
-      .agg(
-        count(lit(1)).as("__cnt"),
-        sum(size(TextFns.tokens(col("text"))).cast("long")).as("__toks"),
-        sum(when(col("text").rlike(Pii.EmailRe) ||
-            col("text").rlike(Pii.Ipv4Re) ||
-            col("text").rlike(Pii.PhoneRe), 1L).otherwise(0L))
-          .as("__pii"))
-    // n_dups subtracts the count of NON-NULL distinct contents: SQL's
-    // count(DISTINCT md5(text)) excludes NULL, so every null-text doc
-    // is a dup copy — counting the null-hash group as one distinct
-    // content would undercount n_dups by one on corpora with null text
-    val stats = perContent.agg(
-      coalesce(sum(col("__cnt")), lit(0L)).as("n_docs"),
-      sum(col("__toks")).as("n_tokens"),
-      (coalesce(sum(col("__cnt")), lit(0L)) -
-        count(when(col("__ch").isNotNull, 1))).as("n_dups"),
-      coalesce(sum(col("__pii")), lit(0L)).as("n_pii_docs"))
-    val clean = Decontaminate
-      .decontaminate(docs, evalDocs, shingleK, maxOverlap)
-      .agg(count(lit(1)).as("n_clean"))
-    stats.crossJoin(broadcast(clean))
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val piiHit = when(col("text").rlike(Pii.AnyRe), 1L).otherwise(0L)
+    val probeName =
+      if (graft.Regimes.forceDistributed) Decontaminate.ProbeMemo.Negative
+      else Decontaminate.buildGramSetProbe(evalDocs, shingleK)
+    val stats =
+      if (probeName != Decontaminate.ProbeMemo.Negative) {
+        val hit = (g: Column) => call_function(probeName, g) > 0
+        val perRow = docs
+          .select(col("text"), TextFns.tokenHashes(col("text")).as("hs"))
+          .select(col("text"), size(col("hs")).as("__nt"),
+            array_distinct(TextFns.gramHashArray(col("hs"), shingleK))
+              .as("dg"))
+          .select(md5(col("text")).as("__ch"),
+            col("__nt"), piiHit.as("__p"),
+            // gram-less docs (< k tokens, null text) have overlap 0.0
+            // and always keep — the join form's left-join restore
+            when(size(col("dg")) === 0, 1L)
+              .otherwise(when(
+                size(filter(col("dg"), g => hit(g))).cast("double") /
+                  size(col("dg")) <= maxOverlap, 1L).otherwise(0L))
+              .as("__k"))
+        val perContent = perRow
+          .groupBy(col("__ch"))
+          .agg(
+            count(lit(1)).as("__cnt"),
+            sum(col("__nt").cast("long")).as("__toks"),
+            sum(col("__p")).as("__pii"),
+            sum(col("__k")).as("__clean"))
+        // n_dups subtracts the count of NON-NULL distinct contents:
+        // SQL's count(DISTINCT md5(text)) excludes NULL, so every
+        // null-text doc is a dup copy — counting the null-hash group
+        // as one distinct content would undercount n_dups by one on
+        // corpora with null text
+        perContent.agg(
+          coalesce(sum(col("__cnt")), lit(0L)).as("n_docs"),
+          sum(col("__toks")).as("n_tokens"),
+          (coalesce(sum(col("__cnt")), lit(0L)) -
+            count(when(col("__ch").isNotNull, 1))).as("n_dups"),
+          coalesce(sum(col("__pii")), lit(0L)).as("n_pii_docs"),
+          coalesce(sum(col("__clean")), lit(0L)).as("n_clean"))
+      } else {
+        val perContent = docs
+          .groupBy(md5(col("text")).as("__ch"))
+          .agg(
+            count(lit(1)).as("__cnt"),
+            sum(size(TextFns.tokens(col("text"))).cast("long"))
+              .as("__toks"),
+            sum(piiHit).as("__pii"))
+        val base = perContent.agg(
+          coalesce(sum(col("__cnt")), lit(0L)).as("n_docs"),
+          sum(col("__toks")).as("n_tokens"),
+          (coalesce(sum(col("__cnt")), lit(0L)) -
+            count(when(col("__ch").isNotNull, 1))).as("n_dups"),
+          coalesce(sum(col("__pii")), lit(0L)).as("n_pii_docs"))
+        val clean = Decontaminate
+          .decontaminate(docs, evalDocs, shingleK, maxOverlap)
+          .agg(count(lit(1)).as("n_clean"))
+        base.crossJoin(broadcast(clean))
+      }
+    stats
       .select(col("n_docs"), col("n_tokens"),
         (col("n_dups").cast("double") / col("n_docs")).as("dup_frac"),
         (col("n_pii_docs").cast("double") / col("n_docs"))

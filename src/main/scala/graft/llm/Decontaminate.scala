@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the third curation pillar next to dedup
@@ -103,23 +103,155 @@ object Decontaminate {
       maxOverlap: Double = 0.0): DataFrame = {
     require(maxOverlap >= 0.0 && maxOverlap < 1.0,
       "maxOverlap must be in [0, 1)")
-    decontaminateAudit(docs, evalDocs, shingleK)
-      .filter(col("overlap") <= maxOverlap)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val probeName =
+      if (graft.Regimes.forceDistributed) ProbeMemo.Negative
+      else buildGramSetProbe(evalDocs, shingleK)
+    if (probeName != ProbeMemo.Negative)
+      probeAuditKept(docs, shingleK,
+        gh => call_function(probeName, gh) > 0, maxOverlap)
+    else
+      decontaminateAudit(docs, evalDocs, shingleK)
+        .filter(col("overlap") <= maxOverlap)
   }
 
   /** The unfiltered form of [[decontaminate]]: the same
     * `(doc_id, n_grams, n_hit, overlap)` row for EVERY document —
     * what an audit/report pass wants (how contaminated is the corpus,
     * and by how much per doc) before any keep rule is chosen.
+    *
+    * Dual regime (r18, the q150/L128 serve-once pattern applied to the
+    * gram-audit family — r17 VERDICT #5): the common case — a BOUNDED
+    * eval gram set (benchmark suites are small by construction) —
+    * compiles the distinct eval grams into an exact
+    * [[graft.functions.LongCountMap]] broadcast probe (memoized per
+    * plan + source fingerprint: build once, audit every corpus/
+    * increment), and the corpus pass becomes a ZERO-SHUFFLE projection
+    * ([[probeAudit]]): per-row gram array, in-row distinct, probe-hit
+    * count — no gram window exchange+sort, no corpus-wide distinct, no
+    * doc_id groupBy, no join-back. Values are IDENTICAL to the join
+    * form (the probe is exact membership, not a sketch — same oracle).
+    * An OVERSIZED eval set (decontaminating against a prior training
+    * corpus) or `forceDistributed` keeps the certified join form,
+    * whose eval side shuffles instead of broadcasting.
     */
   def decontaminateAudit(
       docs: DataFrame,
       evalDocs: DataFrame,
-      shingleK: Int = 3): DataFrame =
-    overlapFromGrams(
-      docs.select(col("doc_id")),
-      TextDedup.gramHashes(docs, shingleK).distinct(),
-      TextDedup.gramHashes(evalDocs, shingleK).select(col("gh")).distinct())
+      shingleK: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val probeName =
+      if (graft.Regimes.forceDistributed) ProbeMemo.Negative
+      else buildGramSetProbe(evalDocs, shingleK)
+    if (probeName != ProbeMemo.Negative)
+      probeAudit(docs, shingleK,
+        gh => call_function(probeName, gh) > 0)
+    else
+      overlapFromGrams(
+        docs.select(col("doc_id")),
+        TextDedup.gramHashes(docs, shingleK).distinct(),
+        TextDedup.gramHashes(evalDocs, shingleK).select(col("gh")).distinct())
+  }
+
+  /** Above this many distinct eval grams the exact membership map
+    * stays in the join regime instead of compiling into a broadcast
+    * probe: 2M entries ≈ a ~48 MB open-addressing image per executor
+    * (the [[graft.llm.LangModel]] bound, same accounting) — far above
+    * any benchmark suite's gram set, and a hard stop before a
+    * prior-corpus-scale eval side would try to ship per executor
+    * (that is [[bloomDecontaminate]]'s territory: fixed-size filter,
+    * superset semantics).
+    */
+  private val GramSetProbeMaxRows = 2000000
+
+  /** Compile `evalDocs`' DISTINCT k-gram hashes into an exact
+    * membership probe ([[graft.functions.LongCountMap]], count 1 per
+    * gram; absent → 0): returns the registered probe name, or
+    * [[ProbeMemo.Negative]] when the set exceeds `maxRows` (callers
+    * then take their join regime). Memoized per (plan, source
+    * fingerprint, bound) like every serve-many artifact — the filter
+    * builds once and every corpus/increment probed against the same
+    * unchanged eval set reuses it, including the oversized VERDICT
+    * itself (no repeated limit/count probes — the r17 LM lesson).
+    */
+  private[llm] def buildGramSetProbe(
+      evalDocs: DataFrame,
+      shingleK: Int,
+      maxRows: Int = GramSetProbeMaxRows): String = {
+    val spark = evalDocs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val grams = TextDedup.gramHashes(evalDocs, shingleK)
+      .select(col("gh")).distinct()
+    ProbeMemo.getOrBuild(spark, ("gramset",
+        grams.queryExecution.analyzed.canonicalized,
+        Similarity.sourceVersion(grams), maxRows)) {
+      val ck = grams.localCheckpoint()
+      val bounded =
+        ck.limit(maxRows + 1).count() <= maxRows.toLong
+      val verdict =
+        if (!bounded) ProbeMemo.Negative
+        else {
+          val rows = ck.collect()
+          graft.functions.LongCountMap.registerProbe(spark,
+            spark.sparkContext.broadcast(graft.functions.LongCountMap.build(
+              rows.iterator.map(_.getLong(0) -> 1L), rows.length)))
+        }
+      graft.operators.Checkpoints.release(ck)
+      verdict
+    }
+  }
+
+  /** The ZERO-SHUFFLE audit kernel: one row per doc with the standard
+    * `(doc_id, n_grams, n_hit, overlap)` statistics, computed entirely
+    * in-row — token hashes ([[TextFns.tokenHashes]]), the per-row gram
+    * array ([[TextFns.gramHashArray]]), `array_distinct`, and a
+    * caller-supplied per-gram hit predicate (an exact count-map probe
+    * or a Bloom bit test — any broadcast-handle function of the gram
+    * hash). The whole plan is scan → two projections; nothing
+    * exchanges, nothing joins, nothing aggregates across rows — the
+    * shape that holds unchanged from sf0.01 to 100 TB. Gram-less docs
+    * (< k tokens, null text) report `(0, 0, 0.0)` directly — no
+    * doc_id join-back needed.
+    */
+  private[llm] def probeAudit(
+      docs: DataFrame,
+      shingleK: Int,
+      hit: Column => Column): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(TextFns.gramHashArray(col("hs"), shingleK)).as("dg"))
+      .select(col("doc_id"),
+        size(col("dg")).cast("long").as("n_grams"),
+        size(filter(col("dg"), g => hit(g))).cast("long").as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_grams"))
+          .as("overlap"))
+
+  /** [[probeAudit]] with the keep rule applied — rows with
+    * `overlap > maxOverlap` DROPPED via a when-guarded `explode`
+    * (null array → no row), NEVER a `Filter` above the projection
+    * chain: predicate pushdown substitutes a filtered alias's whole
+    * expression tree into the pushed-down condition, so a plain
+    * `.filter(overlap <= t)` over these per-row stats re-inlines the
+    * entire tokenize+md5+gram+probe pipeline ~6× into one Filter node
+    * (measured 0.46 → 7.5 s on q60 at sf0.1 — the q67 lesson, hit
+    * again r18). The explode keeps every stage a single-evaluation
+    * projection.
+    */
+  private[llm] def probeAuditKept(
+      docs: DataFrame,
+      shingleK: Int,
+      hit: Column => Column,
+      maxOverlap: Double): DataFrame =
+    probeAudit(docs, shingleK, hit)
+      .select(col("doc_id"),
+        explode(when(col("overlap") <= maxOverlap,
+          array(struct(col("n_grams"), col("n_hit"), col("overlap")))))
+          .as("__s"))
+      .select(col("doc_id"), col("__s.n_grams").as("n_grams"),
+        col("__s.n_hit").as("n_hit"), col("__s.overlap").as("overlap"))
 
   /** The audit KERNEL on pre-built gram frames — one implementation of
     * the sizes/hits/overlap arithmetic for every caller that already
@@ -202,8 +334,26 @@ object Decontaminate {
       numHashes: Int = 5): DataFrame = {
     require(maxOverlap >= 0.0 && maxOverlap < 1.0,
       "maxOverlap must be in [0, 1)")
-    bloomDecontaminateAudit(docs, evalDocs, shingleK, numBits, numHashes)
-      .filter(col("overlap") <= maxOverlap)
+    bloomAuditKeptWithProbe(docs,
+      buildGramBloomProbe(evalDocs, shingleK, numBits, numHashes),
+      shingleK, maxOverlap)
+  }
+
+  /** [[bloomAuditWithProbe]] with the keep rule applied — the
+    * explode-guarded drop of [[probeAuditKept]] (a `Filter` over the
+    * per-row stats would re-inline the gram pipeline into its pushed
+    * predicate). The serve-many form for gates that keep, not audit:
+    * [[graft.streaming.StreamOps.streamingContaminationGate]] runs
+    * this per micro-batch.
+    */
+  def bloomAuditKeptWithProbe(
+      docs: DataFrame,
+      probeName: String,
+      shingleK: Int = 3,
+      maxOverlap: Double = 0.0): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    probeAuditKept(docs, shingleK,
+      gh => call_function(probeName, gh), maxOverlap)
   }
 
   /** Build the eval-side gram Bloom filter and register a probe bound
@@ -272,19 +422,14 @@ object Decontaminate {
       docs: DataFrame,
       probeName: String,
       shingleK: Int = 3): DataFrame = {
-    val hit = call_function(probeName, col("gh"))
-    val perDoc = TextDedup.gramHashes(docs, shingleK).distinct()
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        when(col("n_grams").isNull, lit(0.0))
-          .otherwise(col("n_hit").cast("double") / col("n_grams"))
-          .as("overlap"))
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // r18: the corpus pass is the zero-shuffle [[probeAudit]] kernel —
+    // the filter is already a fixed-size broadcast at ANY eval
+    // cardinality, so unlike the exact form there is no oversized
+    // regime to fall back to; the former gram-window + distinct +
+    // groupBy + join-back plan paid four exchanges for statistics that
+    // are pure per-row functions of (text, filter).
+    probeAudit(docs, shingleK, gh => call_function(probeName, gh))
   }
 
   /** Calibration audit — the exact join AND the Bloom probe from ONE
@@ -315,28 +460,60 @@ object Decontaminate {
       shingleK: Int = 3,
       numBits: Long = 1L << 22,
       numHashes: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val probe = buildGramBloomProbe(evalDocs, shingleK, numBits, numHashes)
-    val evalDistinct = TextDedup.gramHashes(evalDocs, shingleK)
-      .select(col("gh")).distinct()
-      .withColumn("ex", lit(1))
-    val hit = call_function(probe, col("gh"))
-    val perDoc = TextDedup.gramHashes(docs, shingleK).distinct()
-      .join(evalDistinct, Seq("gh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_hit"),
-        sum(when(hit, 1L).otherwise(0L)).as("bloom_hit"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        when(col("n_grams").isNull, lit(0.0))
-          .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") /
-            col("n_grams"))
-          .as("overlap"),
-        coalesce(col("bloom_hit"), lit(0L)).as("bloom_hit"))
-      .localCheckpoint()
+    val bloomHit = (gh: Column) => call_function(probe, gh)
+    // r18: both the exact and the Bloom side of the calibration ride
+    // ONE zero-shuffle projection over the per-row distinct gram array
+    // — the exact side through the memoized count-map membership probe
+    // (values identical to the former eval-distinct broadcast join).
+    // A calibration runs on a SAMPLE by contract, so the eval set is
+    // bounded in every real use; an oversized set (or the forced-
+    // distributed certification) keeps the join form below.
+    val exactProbe =
+      if (graft.Regimes.forceDistributed) ProbeMemo.Negative
+      else buildGramSetProbe(evalDocs, shingleK)
+    val audited =
+      if (exactProbe != ProbeMemo.Negative) {
+        val exHit = (gh: Column) =>
+          call_function(exactProbe, gh) > 0
+        docs
+          .select(col("doc_id"), TextFns.tokenHashes(col("text")).as("hs"))
+          .select(col("doc_id"),
+            array_distinct(TextFns.gramHashArray(col("hs"), shingleK))
+              .as("dg"))
+          .select(col("doc_id"),
+            size(col("dg")).cast("long").as("n_grams"),
+            size(filter(col("dg"), g => exHit(g))).cast("long").as("n_hit"),
+            size(filter(col("dg"), g => bloomHit(g))).cast("long")
+              .as("bloom_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            when(col("n_grams") === 0L, lit(0.0))
+              .otherwise(col("n_hit").cast("double") / col("n_grams"))
+              .as("overlap"),
+            col("bloom_hit"))
+      } else {
+        val evalDistinct = TextDedup.gramHashes(evalDocs, shingleK)
+          .select(col("gh")).distinct()
+          .withColumn("ex", lit(1))
+        val perDoc = TextDedup.gramHashes(docs, shingleK).distinct()
+          .join(evalDistinct, Seq("gh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+            sum(when(bloomHit(col("gh")), 1L).otherwise(0L)).as("bloom_hit"))
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            when(col("n_grams").isNull, lit(0.0))
+              .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") /
+                col("n_grams"))
+              .as("overlap"),
+            coalesce(col("bloom_hit"), lit(0L)).as("bloom_hit"))
+      }
+    audited.localCheckpoint()
   }
 
   /** Surgical decontamination — strip the leaked SPANS, keep the

@@ -271,7 +271,7 @@ object LangModel {
     * null array, so `explode` is the row filter and no predicate ever
     * carries the gram pipeline.
     */
-  private def bigramKeys(hs: Column): Column =
+  private[llm] def bigramKeys(hs: Column): Column =
     when(size(hs) >= 2, zip_with(
       slice(hs, lit(1), size(hs) - 1),
       slice(hs, lit(2), size(hs) - 1),

@@ -25,6 +25,16 @@ object Pii {
   /** 9+ total chars of digits/space/dash with digit ends, optional +. */
   val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
 
+  /** Any-PII detector: the three category patterns as ONE alternation,
+    * for gates that only need "does this doc carry PII at all"
+    * ([[Curation.releaseGate]]'s pii fraction) — one regex scan of the
+    * text instead of three (r17 VERDICT #3: the 3× `rlike` chain was
+    * a measured slice of q100's gap). `rlike(AnyRe)` ≡
+    * `rlike(EmailRe) || rlike(Ipv4Re) || rlike(PhoneRe)` — alternation
+    * of the unanchored patterns detects exactly the union.
+    */
+  val AnyRe = s"(?:$EmailRe)|(?:$Ipv4Re)|(?:$PhoneRe)"
+
   val EmailTag = "<EMAIL>"
   val IpTag = "<IP>"
   val PhoneTag = "<PHONE>"

@@ -120,6 +120,29 @@ object TextFns {
     when(size(hs) >= k, array_min(packed)).otherwise(lit(null).cast("long"))
   }
 
+  /** ALL polynomial k-gram hashes of one CONCRETE token-hash array
+    * column, assembled IN-ROW (`element_at` lookups over the array —
+    * no posexplode, no per-doc window, no exchange): the array twin of
+    * [[graft.llm.TextDedup.gramHashes]]'s window form, emitting the
+    * IDENTICAL `gh` values (same [[shingleCoef]] family, same mod-p
+    * fold — asserted in LlmLayerSpec), so per-document gram statistics
+    * (decontamination overlap, distinct-gram counts) become pure
+    * projections: a 100 TB corpus audit runs as ONE scan with zero
+    * shuffles when the lookup side rides a broadcast probe. Empty (not
+    * null) for docs with fewer than k tokens or null text — `size`/
+    * `filter` over the result then yield 0-valued stats, the same
+    * "too short to leak an n-gram" semantics as the join form's
+    * left-join restore. Like [[fingerprintFromHashes]], call this on a
+    * MATERIALIZED hash-array column only (see [[tokenHashes]]).
+    */
+  def gramHashArray(hs: Column, k: Int): Column = {
+    def gram(i: Column) = (0 until k).map(j =>
+        (element_at(hs, i + lit(j + 1)) * lit(shingleCoef(j))) % lit(MinhashP))
+      .reduce(_ + _) % lit(MinhashP)
+    when(size(hs) >= k, transform(sequence(lit(0), size(hs) - k), gram(_)))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** Single-expression convenience form of the fingerprint. ONLY for
     * one-off scalar use (e.g. fingerprinting a literal): on a table
     * scan the inlined token-hash array makes it quadratic — use

@@ -3316,35 +3316,42 @@ object QueryPackExt {
     * rational lift `n_ab·N/(c_a·c_b)` casts each FACTOR to double
     * before multiplying (no Long-product wrap at corpus scale), so the
     * oracle hash-compares the doubles OUTRIGHT — no band, no rounding
-    * (see the operator's scaladoc for why).
+    * (see the operator's scaladoc for why). r18: both engines count on
+    * the PACKED 62-BIT md5 token-hash keys (the q150/L128 convention)
+    * and tie-break the top-k on `(lift desc, h1, h2)` — string pairs
+    * appear only in the vocab frame and the report-sized join-back, so
+    * a 31-bit collision merges counts identically on both sides.
     */
   private val q126 = Q("q126_bigram_pmi",
     (s, dir) => TextAnalysis.bigramPmi(t(s, dir, "documents"),
       minCount = 5, topK = 20)
       .harnessSorted(col("w1"), col("w2")),
     Some(s"""
-      WITH $ToksCte,
-      pos AS (SELECT doc_id, unnest(w) AS tok,
-                     generate_subscripts(w, 1) AS ord FROM toks),
-      bg AS (SELECT a.tok AS w1, b.tok AS w2
-             FROM pos a JOIN pos b
-               ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
-      bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
-              FROM bg GROUP BY w1, w2),
+      WITH $ToksCte, $TokhCte,
+      bg AS (SELECT a.h * 2147483648 + b.h AS bg
+             FROM tokh a JOIN tokh b
+               ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_ab
+              FROM bg GROUP BY bg),
       nt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM bgc),
       uni AS (SELECT unnest(w) AS tok FROM toks),
-      uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+      uc AS (SELECT tok, ${h60("tok")} & 2147483647 AS h,
+                    CAST(count(*) AS BIGINT) AS c
              FROM uni GROUP BY tok),
       top AS (
-        SELECT bgc.w1, bgc.w2, bgc.n_ab,
+        SELECT bgc.bg // 2147483648 AS h1, bgc.bg % 2147483648 AS h2,
+               bgc.n_ab,
                (CAST(bgc.n_ab AS DOUBLE) * CAST(nt.n_total AS DOUBLE)) /
                  (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS pmi_lift
         FROM bgc CROSS JOIN nt
-        JOIN uc ca ON ca.tok = bgc.w1
-        JOIN uc cb ON cb.tok = bgc.w2
+        JOIN uc ca ON ca.h = bgc.bg // 2147483648
+        JOIN uc cb ON cb.h = bgc.bg % 2147483648
         WHERE bgc.n_ab >= 5
-        ORDER BY pmi_lift DESC, bgc.w1, bgc.w2 LIMIT 20)
-      SELECT * FROM top ORDER BY w1, w2"""))
+        ORDER BY pmi_lift DESC, h1, h2 LIMIT 20)
+      SELECT wa.tok AS w1, wb.tok AS w2, top.n_ab, top.pmi_lift
+      FROM top JOIN uc wa ON wa.h = top.h1
+               JOIN uc wb ON wb.h = top.h2
+      ORDER BY w1, w2"""))
 
   /** Corpus-slice divergence ([[TextAnalysis.langDivergence]]): TV +
     * squared Hellinger between per-language unigram distributions —

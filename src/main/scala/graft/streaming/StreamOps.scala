@@ -431,8 +431,8 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(graft.llm.Decontaminate
-          .bloomAuditWithProbe(batch, probeName, shingleK)
-          .filter(col("overlap") <= maxOverlap), id)
+          .bloomAuditKeptWithProbe(batch, probeName, shingleK, maxOverlap),
+          id)
       }
       .start()
 

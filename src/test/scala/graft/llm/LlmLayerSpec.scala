@@ -152,6 +152,61 @@ class LlmLayerSpec extends AnyFunSuite with SparkSpec {
       .decontaminate(part, eval_, shingleK = 3, maxOverlap = 0.0).count() === 0)
   }
 
+  test("gramHashArray: in-row gram assembly ≡ the window form, multiplicity included (r18)") {
+    // the zero-shuffle audit kernel stands on this identity: the
+    // per-row array must emit exactly the window form's gh stream
+    // (same polynomial, same coef family), repeats and all
+    val d = docs(
+      1L -> "a b c d e a b c d", // repeated grams within the doc
+      2L -> "x y z",
+      3L -> "p q",               // < k tokens: empty array / no rows
+      4L -> null.asInstanceOf[String])
+    val win = TextDedup.gramHashes(d, 3)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("gh"))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val arr = d
+      .select(col("doc_id"), TextFns.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        sort_array(TextFns.gramHashArray(col("hs"), 3)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(arr(1L) === win(1L))
+    assert(arr(1L).length === 7) // 9 tokens -> 7 grams, repeats kept
+    assert(arr(2L) === win(2L) && arr(2L).length === 1)
+    assert(arr(3L) === Seq.empty && !win.contains(3L))
+    assert(arr(4L) === Seq.empty && !win.contains(4L))
+  }
+
+  test("decontaminate: probe and join regimes are value-identical; keep rule is explode, not Filter (r18)") {
+    val train = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely different content about spark engines here",
+      3L -> "ab",
+      4L -> "the quick brown fox likes calm spark engines mostly")
+    val eval_ = docs(100L -> "the quick brown fox jumps over the lazy dog")
+    def run(): Seq[Seq[Any]] = Decontaminate
+      .decontaminate(train, eval_, shingleK = 3, maxOverlap = 0.2)
+      .orderBy(col("doc_id")).collect().toSeq.map(_.toSeq)
+    val probe = run()
+    sys.props("spark.graft.forceDistributed") = "true"
+    val joined = try run()
+      finally sys.props.remove("spark.graft.forceDistributed")
+    assert(probe === joined)
+    // the probe-regime keep rule must NOT be a Filter above the stats
+    // projection: pushdown would substitute the whole tokenize+md5+
+    // gram+probe pipeline into the predicate (~6x re-evaluation,
+    // measured 0.46 -> 7.5 s on q60 at sf0.1)
+    val plan = Decontaminate
+      .decontaminate(train, eval_, shingleK = 3, maxOverlap = 0.2)
+      .queryExecution.executedPlan.toString
+    // (the probe itself constant-folds into a LocalTableScan on this
+    // micro corpus; the parquet-backed zero-shuffle plan is asserted
+    // in PlanPropertiesSpec's q60 test)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("graft_hash60")), plan)
+  }
+
   test("duplicateComponents: transitive chains close; greedy would differ") {
     val s = spark
     import s.implicits._

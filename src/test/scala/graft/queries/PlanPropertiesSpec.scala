@@ -427,6 +427,29 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), p) // repeat/coverage aggs combine map-side
+    // r18: covered positions come from the lag interval-union windows,
+    // never the k-fold explode(sequence) + corpus distinct (r17 #1);
+    // the one remaining join is the doc_id-keyed token-count restore
+    assert(!p.contains("explode(sequence"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q60: probe-regime gram audit is zero-shuffle — scan to stats with no join/window/groupBy (r18)") {
+    val p = planExt("q60_decontaminate")
+    // the ONLY exchange is the harness determinism sort; the corpus
+    // pass itself is scan -> projections -> explode keep-guard
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("graft_count_map"), p) // exact broadcast membership probe
+  }
+
+  test("q100: probe-regime release gate is ONE corpus scan (r18)") {
+    val p = planExt("q100_release_gate")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("graft_count_map"), p)
   }
 
   test("q118: centroids and thresholds broadcast — the corpus is never shuffled") {

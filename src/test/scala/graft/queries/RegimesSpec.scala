@@ -61,6 +61,21 @@ class RegimesSpec extends AnyFunSuite with SparkSpec {
     assert(forced { rows("q29_ena_flagship") } == rows("q29_ena_flagship"))
   }
 
+  test("q60/q100/q130 gram audits: forced join regime is value-identical (r18)") {
+    val default60 = rows("q60_decontaminate")
+    val (dist60, plan60) = forced {
+      val df = QueryPackExt.queries("q60_decontaminate")(spark, sf)
+      (df.collect().toSeq.map(_.toSeq), df.queryExecution.executedPlan.toString)
+    }
+    assert(dist60 == default60)
+    // forced = the certified eval-gram equi-join form, not the probe
+    assert(plan60.contains("Join"), plan60)
+    assert(!plan60.contains("graft_count_map"), plan60)
+    assert(forced { rows("q100_release_gate") } == rows("q100_release_gate"))
+    assert(forced { rows("q130_bloom_decontaminate") } ==
+      rows("q130_bloom_decontaminate"))
+  }
+
   test("chooseBroadcastRegime always shuffles when forced") {
     val tiny = spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row("a", "b")),
