@@ -1143,13 +1143,19 @@ object TextDedup {
     require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
     require(dampNum > 0 && dampDen > dampNum, "damping must be in (0, 1)")
     // ONE execution of the (expensive — LSH candidate join + rerank)
-    // pairs lineage: the symmetric edge set checkpoints first, and
-    // degrees, the degree-annotated edges, and the node set all
-    // derive from that checkpoint — not from pairs again
-    val sym = pairs.select(col("da").as("a"), col("db").as("b"))
-      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+    // pairs lineage: pairs checkpoints FIRST, then symmetrization,
+    // degrees, the degree-annotated edges, and the node set all derive
+    // from checkpoints — never from the pairs plan again. (r18, the
+    // r17 #4 attribution: the old form checkpointed only the SYMMETRIC
+    // set, whose union's two branches each executed the full LSH
+    // lineage — measured 2.4 s of the 3.3 s sf1 total for a 2.5k-edge
+    // graph; re-running the lineage twice was the whole "drift".)
+    val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
+    val sym = p0.select(col("da").as("a"), col("db").as("b"))
+      .union(p0.select(col("db").as("a"), col("da").as("b")))
       .distinct()
       .localCheckpoint()
+    graft.operators.Checkpoints.release(p0)
     val edges = sym
       .join(sym.groupBy(col("a")).agg(count(lit(1)).as("deg")), Seq("a"))
       .localCheckpoint()
