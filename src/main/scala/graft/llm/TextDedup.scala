@@ -1128,10 +1128,19 @@ object TextDedup {
     *
     * Scope: nodes are the docs that appear in ≥ 1 pair (an undirected
     * pair graph has no dangling nodes — every node has degree ≥ 1).
-    * Shape: the degree-annotated edge list is localCheckpointed once
-    * (released before return); each round is one broadcast-free
-    * equi-join + keyed sum over node-sized frames — k rounds, k
-    * bounded shuffles, no iteration ever touches the corpus.
+    *
+    * Dual regime (r18, the [[duplicateComponents]] union-find
+    * convention — r17 VERDICT called q144 "the suite's most
+    * leg-sensitive timing": the k per-round checkpoint jobs dominate
+    * and disperse when the graph is small): a pair list within
+    * `maxDriverEdges` collects once and the k integer-mass rounds run
+    * as plain Long loops on the driver — the arithmetic is the same
+    * order-free integer sum, so values are IDENTICAL, and the query
+    * costs exactly the pairs lineage + one collect. A larger graph —
+    * or [[graft.Regimes.forceDistributed]] — takes the distributed
+    * loop: each round one broadcast-free equi-join + keyed sum over
+    * node-sized frames, k rounds, k bounded shuffles, per-round
+    * checkpoints released, no iteration ever touches the corpus.
     * Output: `(doc_id, mass, n_neighbors)`.
     */
   def pairGraphCentrality(
@@ -1151,6 +1160,18 @@ object TextDedup {
     // lineage — measured 2.4 s of the 3.3 s sf1 total for a 2.5k-edge
     // graph; re-running the lineage twice was the whole "drift".)
     val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
+
+    // bounded regime: run the k rounds as driver Long loops — same
+    // order-free integer arithmetic, zero iteration jobs (see scaladoc)
+    val probe =
+      if (graft.Regimes.forceDistributed) Array.empty[org.apache.spark.sql.Row]
+      else p0.limit(MaxDriverEdges + 1).collect()
+    if (!graft.Regimes.forceDistributed && probe.length <= MaxDriverEdges) {
+      graft.operators.Checkpoints.release(p0)
+      return driverCentrality(pairs.sparkSession, probe, iters, initMass,
+        dampNum, dampDen)
+    }
+
     val sym = p0.select(col("da").as("a"), col("db").as("b"))
       .union(p0.select(col("db").as("a"), col("da").as("b")))
       .distinct()
@@ -1197,6 +1218,65 @@ object TextDedup {
     graft.operators.Checkpoints.release(mass)
     graft.operators.Checkpoints.release(edges)
     out
+  }
+
+  /** Above this many pair rows the centrality iterations stay in the
+    * distributed join loop instead of collecting to the driver: 4M
+    * undirected pairs ≈ two 8-byte longs each ≈ 64 MB of driver
+    * arrays plus the adjacency overhead — the same order as the
+    * [[duplicateComponents]] union-find bound, far above any real
+    * near-dup graph at bench scales and a hard stop before a
+    * web-corpus dup graph would try to land on one JVM.
+    */
+  private val MaxDriverEdges = 4000000
+
+  /** The bounded regime of [[pairGraphCentrality]]: the identical
+    * integer-mass rounds as plain Long loops over a driver adjacency
+    * map. Longs sum order-free, `/` on non-negative longs is the same
+    * truncating division as SQL `div`, and the base mass joins each
+    * round's sum exactly as the distributed aggregate adds it — so
+    * the output relation is value-identical (RegimesSpec pins
+    * forced-distributed ≡ default on q144).
+    */
+  private def driverCentrality(
+      spark: org.apache.spark.sql.SparkSession,
+      pairRows: Array[org.apache.spark.sql.Row],
+      iters: Int,
+      initMass: Long,
+      dampNum: Long,
+      dampDen: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+    def add(a: Long, b: Long): Unit =
+      adj.computeIfAbsent(a, _ => new java.util.HashSet[Long]()).add(b)
+    pairRows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1); add(a, b); add(b, a)
+    }
+    val nNodes = adj.size.toLong
+    require(nNodes <= Long.MaxValue / dampNum / initMass,
+      s"$nNodes nodes at initMass=$initMass would overflow the " +
+        s"per-edge multiply; lower initMass (max nodes at this mass: " +
+        s"${Long.MaxValue / dampNum / initMass})")
+    val base = initMass * (dampDen - dampNum) / dampDen
+    var mass = new java.util.HashMap[Long, Long]()
+    adj.keySet.forEach(k => mass.put(k, initMass))
+    var i = 0
+    while (i < iters) {
+      val next = new java.util.HashMap[Long, Long]()
+      adj.forEach { (a, nbrs) =>
+        val c = (mass.get(a) * dampNum / dampDen) / nbrs.size
+        nbrs.forEach(b => next.merge(b, c, (x, y) => x + y))
+      }
+      next.replaceAll((_, v) => v + base)
+      mass = next
+      i += 1
+    }
+    val out = adj.entrySet.asScala.iterator.map { e =>
+      (e.getKey.longValue, mass.get(e.getKey).longValue,
+        e.getValue.size.toLong)
+    }.toSeq
+    import spark.implicits._
+    out.toDF("doc_id", "mass", "n_neighbors")
   }
 
   /** The full dedup PIPELINE a training-data build runs, composed from

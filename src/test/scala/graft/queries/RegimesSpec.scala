@@ -76,6 +76,12 @@ class RegimesSpec extends AnyFunSuite with SparkSpec {
       rows("q130_bloom_decontaminate"))
   }
 
+  test("q144 centrality: forced distributed loop is value-identical to the driver rounds (r18)") {
+    val default = rows("q144_dup_pagerank")
+    val dist = forced { rows("q144_dup_pagerank") }
+    assert(dist == default)
+  }
+
   test("chooseBroadcastRegime always shuffles when forced") {
     val tiny = spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row("a", "b")),
