@@ -119,6 +119,26 @@ if [[ "${GATE_SKIP_PAIRED:-0}" != "1" ]]; then
   echo "== gate 5/6: paired bench @ $PSF x${NRUNS} legs =="
   for i in $(seq 1 "$NRUNS"); do
     echo "-- paired leg $i/$NRUNS --"
+    # LOAD GUARD (r19, VERDICT r18 #3): sample CPU busy/steal for 3 s
+    # while the gate itself is idle — instantaneous busy% here is
+    # FOREIGN load (loadavg alone can't separate another job from the
+    # decay tail of our own previous leg). A contended box gets a
+    # refusal, not a silently-drifted committed artifact; the sample is
+    # embedded in the leg's paired JSON either way. Abort rule (see
+    # BASELINE.md): busy_pct > GATE_MAX_FOREIGN_BUSY (default 25) or
+    # steal_pct > 2 refuses the run; GATE_LOAD_OVERRIDE=1 downgrades
+    # the refusal to the loud annotation.
+    python3 scripts/boxstate.py 3 > "/tmp/gate_boxstate_$i.json" \
+      || fail "boxstate probe (leg $i)"
+    python3 - "$i" <<'EOF' || { [[ "${GATE_LOAD_OVERRIDE:-0}" == "1" ]] \
+      && echo "!! GATE_LOAD_OVERRIDE=1: contended leg annotated, not refused" \
+      || fail "box contended before paired leg (see /tmp/gate_boxstate_*.json; rerun idle or GATE_LOAD_OVERRIDE=1)"; }
+import json, os, sys
+b = json.load(open(f"/tmp/gate_boxstate_{sys.argv[1]}.json"))
+maxbusy = float(os.environ.get("GATE_MAX_FOREIGN_BUSY", "25"))
+print(f"boxstate leg {sys.argv[1]}: busy {b['busy_pct']}% steal {b['steal_pct']}% load1 {b['load1']}")
+sys.exit(1 if b["busy_pct"] > maxbusy or b["steal_pct"] > 2 else 0)
+EOF
     SPARK_GRAFT_SF_DIR="$PSF" \
       SPARK_GRAFT_BENCH_JSON="/tmp/gate_paired_spark_$i.json" \
       sbt -batch "runMain graft.Bench" || fail "paired bench (spark, leg $i)"
@@ -126,6 +146,7 @@ if [[ "${GATE_SKIP_PAIRED:-0}" != "1" ]]; then
       > "/tmp/gate_paired_duck_$i.json" || fail "paired bench (duckdb, leg $i)"
     python3 scripts/make_paired.py "/tmp/gate_paired_spark_$i.json" \
       "/tmp/gate_paired_duck_$i.json" "/tmp/gate_paired_$i.json" \
+      "/tmp/gate_boxstate_$i.json" \
       || fail "paired merge (leg $i)"
   done
   python3 scripts/pick_median_paired.py "$NRUNS" "$ROUND" \

@@ -3,13 +3,20 @@
 paired artifact the round report quotes (VERDICT r14 #8: the paired
 run is gate-produced, not a manual step).
 
-Usage: make_paired.py <spark_bench.json> <duck_bench.json> <out.json>
+Usage: make_paired.py <spark_bench.json> <duck_bench.json> <out.json> \
+                      [boxstate.json]
 
 Per query: spark best, duckdb best, ratio spark/duck. Whole-suite:
 totals over queries positive on BOTH sides, total ratio, median ratio,
 and the weak set (ratio > 2 AND spark >= 1 s absolute — the VERDICT
 weak-row criterion). Failures on either side are listed, never
 silently dropped from the denominator.
+
+The optional boxstate.json (scripts/boxstate.py output, sampled while
+the gate was idle immediately before the leg) is embedded verbatim as
+"box" — the r19 load guard: a leg whose pre-leg idle-window busy_pct
+or steal_pct is high was contended by FOREIGN load, and the committed
+artifact records that fact instead of absorbing it as engine drift.
 """
 import json
 import sys
@@ -18,6 +25,7 @@ import sys
 def main() -> None:
     spark = json.load(open(sys.argv[1]))
     duck = json.load(open(sys.argv[2]))
+    box = json.load(open(sys.argv[4])) if len(sys.argv) > 4 else None
     sq, dq = spark["queries"], duck["queries"]
     rows = {}
     skipped = []
@@ -47,6 +55,8 @@ def main() -> None:
         "skipped": skipped,
         "queries": rows,
     }
+    if box is not None:
+        out["box"] = box
     json.dump(out, open(sys.argv[3], "w"), indent=1, sort_keys=True)
     print(f"paired: {len(rows)} queries, spark {st:.1f}s vs duck {dt:.1f}s "
           f"= {st / dt:.2f}x total, median {median}x, "

@@ -35,10 +35,18 @@ def main() -> None:
              "duck_total_sec": p["duck_total_sec"],
              "total_ratio": p["total_ratio"],
              "median_ratio": p["median_ratio"],
-             "weak": sorted(p["weak"])}
+             "weak": sorted(p["weak"]),
+             "box": p.get("box")}
             for i, p in legs
         ],
     }
+    # r19 load guard: surface any leg that started on a contended box
+    for i, p in legs:
+        b = p.get("box") or {}
+        if b.get("busy_pct", 0) > 25 or b.get("steal_pct", 0) > 2:
+            print(f"WARNING: leg {i} pre-leg idle-window busy "
+                  f"{b.get('busy_pct')}% / steal {b.get('steal_pct')}% — "
+                  "foreign load; see BASELINE.md load-guard rule")
     shutil.copy(f"/tmp/gate_paired_spark_{mid_i}.json",
                 f"BENCH_FULL_r{rnd}.json")
     shutil.copy(f"/tmp/gate_paired_duck_{mid_i}.json", f"DUCK_r{rnd}.json")

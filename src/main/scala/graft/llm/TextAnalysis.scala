@@ -656,9 +656,16 @@ object TextAnalysis {
     * string join-backs; without the checkpoint each consumer re-runs
     * the corpus tokenize pipeline). Top-k selection orders on
     * `(lift desc, h1, h2)` and only the report-sized k rows join back
-    * to strings. The SQL oracle mirrors the identical md5 hashes, so
-    * 31-bit collisions (which merely merge counts) cannot diverge the
-    * compare.
+    * to strings. Collisions GENUINELY merge (r19 ADVICE — the r18
+    * form kept `tok` in the unigram key, so a 31-bit collision
+    * duplicated the count-join row per colliding token and the string
+    * join-back could overflow topK with phantom pairs): the
+    * vocabulary frame is re-aggregated BY HASH ALONE before the count
+    * joins (`sum(c)` per h — colliding tokens contribute one merged
+    * c_a), and string recovery picks `min(tok)` per hash, so the
+    * output is always exactly ≤ topK rows. The SQL oracle mirrors the
+    * identical md5 hashes and the same hash-level merge, so
+    * collisions cannot diverge the compare.
     *
     * Scale: bigram keys assemble per-row with `zip_with` over the
     * token-hash array (codegen, no posexplode/self-join); both count
@@ -697,8 +704,14 @@ object TextAnalysis {
       .select(col("k").as("bg"), col("c").as("n_ab"))
     // total bigram mass — includes the sub-minCount tail by definition
     val nTotal = bgc.agg(sum(col("n_ab")).as("n_total"))
+    // hash-level merge (r19 ADVICE): colliding tokens sum into ONE
+    // count row and elect min(tok) as the reported string, so the
+    // h1/h2 joins below are guaranteed key-unique — no row duplication,
+    // no topK overflow. Vocabulary-bounded agg over the checkpointed
+    // model frame; cheap for all four consumers.
     val uni = model.filter(col("t") === 0)
-      .select(col("tok"), col("c"), col("k").as("h"))
+      .groupBy(col("k").as("h"))
+      .agg(sum(col("c")).as("c"), min(col("tok")).as("tok"))
     val topHashed = bgc.filter(col("n_ab") >= minCount)
       .select(shiftright(col("bg"), 31).as("h1"),
         col("bg").bitwiseAND(lit((1L << 31) - 1)).as("h2"),

@@ -1162,11 +1162,15 @@ object TextDedup {
     val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
 
     // bounded regime: run the k rounds as driver Long loops — same
-    // order-free integer arithmetic, zero iteration jobs (see scaladoc)
-    val probe =
-      if (graft.Regimes.forceDistributed) Array.empty[org.apache.spark.sql.Row]
-      else p0.limit(MaxDriverEdges + 1).collect()
-    if (!graft.Regimes.forceDistributed && probe.length <= MaxDriverEdges) {
+    // order-free integer arithmetic, zero iteration jobs (see scaladoc).
+    // The probe COUNTS first (the buildGramSetProbe convention, r19
+    // ADVICE): an oversized graph costs one count job over the
+    // checkpointed pair list and never materializes a single Row on
+    // the driver; the collect happens only on a bounded verdict.
+    val bounded = !graft.Regimes.forceDistributed &&
+      p0.limit(MaxDriverEdges + 1).count() <= MaxDriverEdges
+    if (bounded) {
+      val probe = p0.collect()
       graft.operators.Checkpoints.release(p0)
       return driverCentrality(pairs.sparkSession, probe, iters, initMass,
         dampNum, dampDen)
@@ -1221,14 +1225,20 @@ object TextDedup {
   }
 
   /** Above this many pair rows the centrality iterations stay in the
-    * distributed join loop instead of collecting to the driver: 4M
-    * undirected pairs ≈ two 8-byte longs each ≈ 64 MB of driver
-    * arrays plus the adjacency overhead — the same order as the
-    * [[duplicateComponents]] union-find bound, far above any real
-    * near-dup graph at bench scales and a hard stop before a
-    * web-corpus dup graph would try to land on one JVM.
+    * distributed join loop instead of collecting to the driver.
+    * Honest accounting (r19 ADVICE — the old "two 8-byte longs ≈
+    * 64 MB" note ignored object overhead): the driver adjacency is a
+    * boxed `HashMap[Long, HashSet[Long]]`, so each of the 2·E directed
+    * entries costs a boxed Long + hash-set node (~50–100 B with
+    * headers and table slack), and the collected `GenericRow`s add
+    * ~50 B each transiently — at this 1M-pair bound that is roughly
+    * 150–300 MB peak, a deliberate ceiling well inside any sane
+    * driver heap. An OVERSIZED graph never pays any of it: the probe
+    * counts before it collects. Still far above any real near-dup
+    * pair graph at bench scales (sf1's is ~2.5k edges) and a hard
+    * stop before a web-corpus dup graph would try to land on one JVM.
     */
-  private val MaxDriverEdges = 4000000
+  private val MaxDriverEdges = 1000000
 
   /** The bounded regime of [[pairGraphCentrality]]: the identical
     * integer-mass rounds as plain Long loops over a driver adjacency

@@ -260,10 +260,18 @@ object IntervalJoin {
       .select(col("__x.__side").as("__side"), col("__x.__v").as("__v"),
         lit(0L).as("__c"), lit(1).as("__isq"), col("__k"),
         col("__x.__sgn").as("__sgn"))
-    // Tie order at equal __v encodes the comparison per side: data
-    // before queries for `<=` (side 1), queries before data for `<`
-    // (side 2) — folded into one ascending key so both sides ride the
-    // same window.
+    cascadeCount(rh, lq, leftKey)
+  }
+
+  /** The shared tail of the rank-form count: one side-tagged prefix-sum
+    * cascade over histogram + query rows, then the signed per-key sum.
+    * Tie order at equal __v encodes the comparison per side: data
+    * before queries for `<=` (side 1), queries before data for `<`
+    * (side 2) — folded into one ascending key so both sides ride the
+    * same window.
+    */
+  private def cascadeCount(
+      rh: DataFrame, lq: DataFrame, leftKey: String): DataFrame = {
     val tie = when(col("__side") === 2, lit(1) - col("__isq"))
       .otherwise(col("__isq"))
     val fb = PrefixSum.withRangeBucket(rh.unionAll(lq), Seq("__side"),
@@ -274,5 +282,80 @@ object IntervalJoin {
       .groupBy(col("__k").as(leftKey))
       .agg(sum(col("__sgn") * col("__cnt")).as("n_overlapping"))
       .filter(col("n_overlapping") > 0)
+  }
+
+  /** Build-once endpoint histogram of a right-side interval table —
+    * the WRITE-SIDE LAYOUT answer for repeated [[countOverlaps]]
+    * queries (r19, VERDICT r18 #2; the L52 index-once/probe-many
+    * stance): the histogram is value-bounded (one row per distinct
+    * endpoint per side — days, not interval rows), so persisting it
+    * retires the raw-table scan, the endpoint explode, AND the
+    * (side, value) count shuffle from every subsequent query. At
+    * 100 TB the raw intervals are the corpus; this is the only part
+    * of the cascade whose cost grows with them.
+    *
+    * INTEGRAL BOUNDS ONLY (the exact-long rank regime — see the
+    * precision contract on [[countOverlaps]]): the persisted ranks
+    * must order identically for every future left side, which only
+    * the lossless long cast guarantees. Fractional/decimal/timestamp
+    * bounds must stay on the single-shot path where the rank encoding
+    * is chosen per query from all four column types.
+    *
+    * Output schema: `(__side, __v, __c)` — feed to
+    * [[countOverlapsFromHistogram]].
+    */
+  def overlapHistogram(
+      right: DataFrame, rStart: String, rEnd: String): DataFrame = {
+    requireIntegral(right, Seq(rStart, rEnd), "overlapHistogram")
+    right.filter(col(rStart) <= col(rEnd))
+      .select(explode(array(
+        struct(lit(1).as("__side"), col(rStart).cast("long").as("__v")),
+        struct(lit(2).as("__side"), col(rEnd).cast("long").as("__v"))))
+        .as("__x"))
+      .groupBy(col("__x.__side").as("__side"), col("__x.__v").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** [[countOverlaps]] served from a persisted [[overlapHistogram]]:
+    * identical output relation (spec-pinned), but the per-query plan
+    * never touches the raw right table — its only inputs are the
+    * value-bounded histogram and the left windows, so the cascade's
+    * exchanges all operate on report-scale frames. Integral bounds
+    * only, matching the histogram's rank encoding.
+    */
+  def countOverlapsFromHistogram(
+      left: DataFrame,
+      hist: DataFrame,
+      lStart: String, lEnd: String,
+      leftKey: String): DataFrame = {
+    requireIntegral(left, Seq(lStart, lEnd), "countOverlapsFromHistogram")
+    val keyType = left.schema(leftKey).dataType
+    val rh = hist.select(col("__side"), col("__v"),
+      col("__c").cast("long").as("__c"),
+      lit(0).as("__isq"), lit(null).cast(keyType).as("__k"),
+      lit(0L).as("__sgn"))
+    val lq = left.filter(col(lStart) <= col(lEnd))
+      .select(col(leftKey).as("__k"), explode(array(
+        struct(lit(1).as("__side"), col(lEnd).cast("long").as("__v"),
+          lit(1L).as("__sgn")),
+        struct(lit(2).as("__side"), col(lStart).cast("long").as("__v"),
+          lit(-1L).as("__sgn")))).as("__x"))
+      .select(col("__x.__side").as("__side"), col("__x.__v").as("__v"),
+        lit(0L).as("__c"), lit(1).as("__isq"), col("__k"),
+        col("__x.__sgn").as("__sgn"))
+    cascadeCount(rh, lq, leftKey)
+  }
+
+  private def requireIntegral(
+      df: DataFrame, cols: Seq[String], op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"$op requires integral interval bounds (exact-long ranks); " +
+          s"column $c is $dt — use countOverlaps for fractional bounds")
+    }
   }
 }

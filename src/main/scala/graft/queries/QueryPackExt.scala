@@ -3318,9 +3318,11 @@ object QueryPackExt {
     * oracle hash-compares the doubles OUTRIGHT — no band, no rounding
     * (see the operator's scaladoc for why). r18: both engines count on
     * the PACKED 62-BIT md5 token-hash keys (the q150/L128 convention)
-    * and tie-break the top-k on `(lift desc, h1, h2)` — string pairs
-    * appear only in the vocab frame and the report-sized join-back, so
-    * a 31-bit collision merges counts identically on both sides.
+    * and tie-break the top-k on `(lift desc, h1, h2)`. r19 (ADVICE):
+    * both engines re-aggregate the unigram frame BY HASH ALONE
+    * (sum of counts, min(tok) for string recovery) before the count
+    * joins, so a 31-bit collision genuinely merges on both sides —
+    * the joins are key-unique and the output is always ≤ topK rows.
     */
   private val q126 = Q("q126_bigram_pmi",
     (s, dir) => TextAnalysis.bigramPmi(t(s, dir, "documents"),
@@ -3335,9 +3337,11 @@ object QueryPackExt {
               FROM bg GROUP BY bg),
       nt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_total FROM bgc),
       uni AS (SELECT unnest(w) AS tok FROM toks),
-      uc AS (SELECT tok, ${h60("tok")} & 2147483647 AS h,
-                    CAST(count(*) AS BIGINT) AS c
-             FROM uni GROUP BY tok),
+      uc0 AS (SELECT tok, ${h60("tok")} & 2147483647 AS h,
+                     count(*) AS c
+              FROM uni GROUP BY tok),
+      uc AS (SELECT h, CAST(sum(c) AS BIGINT) AS c, min(tok) AS tok
+             FROM uc0 GROUP BY h),
       top AS (
         SELECT bgc.bg // 2147483648 AS h1, bgc.bg % 2147483648 AS h2,
                bgc.n_ab,

@@ -39,7 +39,11 @@ object GenSf1 {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String, df: DataFrame, parts: Int = 32): Unit = {
       val out = s"$Root/$t.parquet"
-      if (new java.io.File(out).exists()) { println(s"GENSF1 skip $t"); return }
+      // _SUCCESS-gated skip (r19 ADVICE, same fix as GenSf10): a bare
+      // directory left by an interrupted run must not read as complete
+      if (new java.io.File(out, "_SUCCESS").exists()) {
+        println(s"GENSF1 skip $t"); return
+      }
       df.repartition(parts).write.mode("overwrite").parquet(out)
       println(s"GENSF1 wrote $t")
     }

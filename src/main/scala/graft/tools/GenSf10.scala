@@ -42,7 +42,13 @@ object GenSf10 {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(t: String, df: DataFrame, parts: Int = 64): Unit = {
       val out = s"$Root/$t.parquet"
-      if (new java.io.File(out).exists()) { println(s"GENSF10 skip $t"); return }
+      // skip only on Spark's _SUCCESS marker, not bare existence — a
+      // directory left by a crashed run would otherwise be certified as
+      // a complete table on the next run (r19 ADVICE); mode("overwrite")
+      // replaces any partial remnant
+      if (new java.io.File(out, "_SUCCESS").exists()) {
+        println(s"GENSF10 skip $t"); return
+      }
       df.repartition(parts).write.mode("overwrite").parquet(out)
       println(s"GENSF10 wrote $t")
     }

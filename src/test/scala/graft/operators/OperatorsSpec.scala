@@ -233,6 +233,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got === brute)
   }
 
+  test("countOverlaps served from a persisted endpoint histogram is " +
+      "value-identical and never rescans the raw intervals (r19)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val left = (1 to 60).map { i =>
+      val a = rnd.nextInt(40).toLong; (i.toLong % 7, a, a + rnd.nextInt(12))
+    }.toDF("lk", "ls", "le")
+    val right = (1 to 80).map { _ =>
+      val a = rnd.nextInt(40).toLong - 5; (a, a + rnd.nextInt(10))
+    }.toDF("rs", "re")
+    val direct = IntervalJoin.countOverlaps(left, right,
+        "ls", "le", "rs", "re", leftKey = "lk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      IntervalJoin.overlapHistogram(right, "rs", "re")
+        .write.mode("overwrite").saveAsTable("ivl_hist")
+      val served = IntervalJoin.countOverlapsFromHistogram(
+        left, s.table("ivl_hist"), "ls", "le", leftKey = "lk")
+      assert(served.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === direct)
+      // the serve plan's only scans are the histogram table and the
+      // left side — the raw interval relation is out of the loop
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("ivl_hist"), plan)
+      assert(!plan.toLowerCase.contains("localtablescan [rs"), plan)
+    } finally s.sql("DROP TABLE IF EXISTS ivl_hist")
+    // fractional bounds must refuse the exact-long histogram encoding
+    val frac = Seq((0.5, 1.5)).toDF("rs", "re")
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapHistogram(frac, "rs", "re")
+    }
+  }
+
   test("funnel: strict first-occurrence ordering; drop-off leaves the stage") {
     val s = spark
     import s.implicits._

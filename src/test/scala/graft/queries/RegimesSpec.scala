@@ -82,6 +82,35 @@ class RegimesSpec extends AnyFunSuite with SparkSpec {
     assert(dist == default)
   }
 
+  test("q144 centrality degenerate mass: zero-truncating per-edge shares are " +
+      "value-identical across regimes (r19, VERDICT r18 #4)") {
+    // A 50-leaf star at initMass=10: the hub's per-edge share
+    // (10·17/20)/50 = 8/50 TRUNCATES TO 0 — the one arithmetic corner
+    // where driver and distributed forms could diverge if either
+    // dropped zero-mass sends (the driver merges an explicit 0, the
+    // distributed agg sums rows of 0; both must still add base mass).
+    // Two rounds so the truncated round feeds the next one: after r1
+    // every leaf holds exactly base=1 (hub sent 0) and the hub holds
+    // 401; after r2 the LEAVES' sends truncate ((1·17/20)=0) and the
+    // hub collapses back to base while leaves get 1+6=7.
+    import spark.implicits._
+    val pairs = (1L to 50L).map(l => (0L, l)).toDF("da", "db")
+    def run(): Seq[(Long, Long, Long)] =
+      graft.llm.TextDedup.pairGraphCentrality(pairs, iters = 2,
+          initMass = 10L, dampNum = 17L, dampDen = 20L)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    val default = run()
+    val dist = forced { run() }
+    assert(dist == default)
+    // pin the truncation actually happened: r2 hub mass is pure base
+    // (every leaf's send truncated to 0), leaves are base + 6
+    val byId = default.map(r => r._1 -> r._2).toMap
+    assert(byId(0L) == 1L, s"hub mass ${byId(0L)} — fixture no longer degenerate")
+    assert(byId(1L) == 7L, s"leaf mass ${byId(1L)}")
+    assert(default.count(_._1 > 0) == 50 && default.forall(r =>
+      if (r._1 == 0L) r._3 == 50L else r._3 == 1L))
+  }
+
   test("chooseBroadcastRegime always shuffles when forced") {
     val tiny = spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row("a", "b")),
