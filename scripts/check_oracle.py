@@ -8,14 +8,25 @@ For each query dir under verifyOutDir (written by graft.Verify), runs
 the matching SQL from oracle_sql.json in DuckDB over views named after
 the parquet tables in sfDir, sorts columns by name and rows by all
 columns, and compares values.
+
+ORACLE_TIMEOUT_SEC (env, default 0 = off): per-query wall budget for
+the DuckDB side, enforced via con.interrupt() — the sf10 knob (r19,
+VERDICT r18 #1): a query whose oracle cannot finish inside the budget
+is reported as TIMEOUT (listed separately, NOT a failure when the
+knob is on) and quoted in BASELINE.md as an engine win with timings;
+the Spark output's existence and row count are still printed.
 """
 import json
-import math
+
 import os
 import sys
+import threading
 
 import duckdb
+import numpy as np
 import pandas as pd
+
+TIMEOUT = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -33,12 +44,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def values_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    return a == b
+def first_mismatch(g: pd.DataFrame, x: pd.DataFrame):
+    """Vectorized per-column equality (exact, NaN==NaN true — the same
+    semantics the old per-cell loop implemented), reporting the first
+    bad cell. The r18 row-by-row loop was fine at sf0.01 but is
+    minutes per multi-million-row query at sf10."""
+    for c in g.columns:
+        ga, xa = g[c].values, x[c].values
+        with np.errstate(invalid="ignore"):
+            eq = np.asarray(ga == xa)
+        if eq.ndim == 0:  # incomparable dtypes collapse to a scalar
+            eq = np.full(len(g), bool(eq))
+        try:
+            eq = eq | (pd.isna(ga) & pd.isna(xa))
+        except TypeError:
+            pass
+        if not bool(np.all(eq)):
+            i = int(np.nonzero(~np.asarray(eq, dtype=bool))[0][0])
+            return (i, c, g[c].iloc[i], x[c].iloc[i])
+    return None
 
 
 def main() -> int:
@@ -53,7 +77,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     for name, sql in sorted(oracles.items()):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
@@ -61,12 +85,27 @@ def main() -> int:
             print(f"FAIL {name}: no spark output ({e})")
             n_fail += 1
             continue
+        timer = threading.Timer(TIMEOUT, con.interrupt) if TIMEOUT > 0 else None
         try:
+            if timer:
+                timer.start()
             exp = con.execute(sql).df()
+        except duckdb.Error as e:
+            if TIMEOUT > 0 and "INTERRUPT" in str(e).upper():
+                print(f"TIMEOUT {name}: duckdb oracle > {TIMEOUT}s "
+                      f"(spark output exists, {len(got)} rows) — engine win")
+                n_timeout += 1
+            else:
+                print(f"FAIL {name}: oracle sql error: {e}")
+                n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         g, x = canon(got), canon(exp)
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(x.columns)}")
@@ -76,20 +115,16 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(g)} vs {len(x)}")
             n_fail += 1
             continue
-        bad = None
-        for i in range(len(g)):
-            for c in g.columns:
-                if not values_equal(g[c].iloc[i], x[c].iloc[i]):
-                    bad = (i, c, g[c].iloc[i], x[c].iloc[i])
-                    break
-            if bad:
-                break
+        bad = first_mismatch(g, x)
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
+    if n_timeout:
+        print(f"== {n_timeout} timeout (oracle exceeded {TIMEOUT}s budget; "
+              "recorded as engine wins) ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if n_pass == 0:
         # an empty oracle map (or all-fail run) must never read as success —

@@ -1,11 +1,17 @@
-// Scratch generator (r18, VERDICT r17 next-round #8): an sf10 slice —
-// ONLY the tables the candidate-density-superlinear operators read
-// (documents, embeddings, orders) at 10x sf1 — so those operators'
-// volume evidence stretches another decade without paying a DuckDB
-// oracle that would take hours at this size (Sf10Spot asserts growth
-// and replica-independence invariants instead of hashes).
+// Scratch generator. r18 (VERDICT r17 #8) built an sf10 slice — only
+// the tables the candidate-density-superlinear operators read
+// (documents, embeddings, orders) — for Sf10Spot's growth/independence
+// invariants. r19 (VERDICT r18 #1) extends it to EVERY driver table so
+// the FULL 155-query oracle + paired bench can run at sf10: the
+// dual-regime thresholds that never flip at bench scales (count-map
+// caps, the LM model bound, union-find probes, MaxDriverEdges, the ENA
+// broadcast byte cap) flip naturally at this volume, putting the
+// distributed forms under oracle gating without the FORCE switch.
+// Oracles DuckDB cannot finish inside the ORACLE_TIMEOUT_SEC budget
+// are recorded as engine wins (see scripts/check_oracle.py).
 //
-// Construction (the GenSf1 conventions, one decade up):
+// Construction (the GenSf1 conventions, one decade up — keys offset
+// rep*K with referential integrity preserved, exactly as GenSf1):
 //  - documents: the dup-rate-preserving token-suffix replication —
 //    every token gets a per-replica suffix, so replicas are 10
 //    independent gram universes (no cross-replica shingle, LSH
@@ -84,6 +90,47 @@ object GenSf10 {
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority")))
 
+    // r19: the remaining driver tables. Dims copy verbatim (TPC-H
+    // holds them fixed); fact/dim keys shift by rep*K with referential
+    // integrity preserved (lineitem's order/part/supp keys shift with
+    // their parents', matching orders' o_custkey shift above, so joins
+    // see 10 independent sf1 universes). sf1 key offsets top out below
+    // 10^10, so rep*K never collides across replicas.
+    write("region", read("region"), parts = 1)
+    write("nation", read("nation"), parts = 1)
+    replicate("customer", (d, rep) => d.select(
+      (col("c_custkey") + lit(rep * K)).as("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment")), parts = 16)
+    replicate("supplier", (d, rep) => d.select(
+      (col("s_suppkey") + lit(rep * K)).as("s_suppkey"),
+      col("s_name"), col("s_nationkey"), col("s_acctbal")), parts = 4)
+    replicate("part", (d, rep) => d.select(
+      (col("p_partkey") + lit(rep * K)).as("p_partkey"),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")), parts = 16)
+    replicate("lineitem", (d, rep) => d.select(
+      (col("l_orderkey") + lit(rep * K)).as("l_orderkey"),
+      (col("l_partkey") + lit(rep * K)).as("l_partkey"),
+      (col("l_suppkey") + lit(rep * K)).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), parts = 64)
+    // events replicate per-user over the same month (10 independent
+    // user populations — the GenSf1 stance); K is safely above sf1's
+    // 9e9+ event/user id ceiling
+    replicate("events", (d, rep) => d.select(
+      (col("event_id") + lit(rep * K)).as("event_id"),
+      col("ts"),
+      (col("user_id") + lit(rep * K)).as("user_id"),
+      col("event_type"), col("value"), col("props")), parts = 64)
+
+    // row-count report (the GenSf1 convention)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      println(s"GENSF10 $t rows=" +
+        spark.read.parquet(s"$Root/$t.parquet").count())
+    }
     spark.stop()
   }
 }
