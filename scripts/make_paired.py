@@ -19,6 +19,7 @@ or steal_pct is high was contended by FOREIGN load, and the committed
 artifact records that fact instead of absorbing it as engine drift.
 """
 import json
+import os
 import sys
 
 
@@ -43,8 +44,10 @@ def main() -> None:
     weak = {n: r for n, r in rows.items()
             if r["ratio"] > 2.0 and r["spark"] >= 1.0}
     out = {
-        "protocol": "warm best-of-3 both sides, back-to-back same box, "
-                    "spark layout-normalized (see BASELINE.md)",
+        "protocol": os.environ.get(
+            "PAIRED_PROTOCOL",
+            "warm best-of-3 both sides, back-to-back same box, "
+            "spark layout-normalized (see BASELINE.md)"),
         "sf": spark.get("sf"),
         "n_queries": len(rows),
         "spark_total_sec": round(st, 3),
