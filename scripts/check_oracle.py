@@ -68,6 +68,11 @@ def first_mismatch(g: pd.DataFrame, x: pd.DataFrame):
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # spill instead of dying: at sf10 the md5-heavy oracles' hash
+    # tables can pass the box's free RAM when anything else is resident
+    # (r19: an unbounded run OOM'd the whole process mid-suite)
+    con.execute("PRAGMA memory_limit='60GB'")
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         # driver testdata tables are plain files; locally generated
         # scale dirs (GenSf1) are Spark-layout directories — glob those
@@ -94,6 +99,16 @@ def main() -> int:
             if TIMEOUT > 0 and "INTERRUPT" in str(e).upper():
                 print(f"TIMEOUT {name}: duckdb oracle > {TIMEOUT}s "
                       f"(spark output exists, {len(got)} rows) — engine win")
+                n_timeout += 1
+            elif TIMEOUT > 0 and "OUT OF MEMORY" in str(e).upper():
+                # budgeted-scale mode only: a non-spillable oracle
+                # operator exhausting the single process's memory is the
+                # same verdict as a timeout — the oracle engine cannot
+                # run this query at this scale. In unbudgeted gate runs
+                # an OOM stays a FAIL.
+                print(f"OOM {name}: duckdb oracle exhausted its memory "
+                      f"budget (spark output exists, {len(got)} rows) "
+                      "— engine win")
                 n_timeout += 1
             else:
                 print(f"FAIL {name}: oracle sql error: {e}")
@@ -123,8 +138,8 @@ def main() -> int:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
     if n_timeout:
-        print(f"== {n_timeout} timeout (oracle exceeded {TIMEOUT}s budget; "
-              "recorded as engine wins) ==")
+        print(f"== {n_timeout} timeout/oom (oracle exceeded its "
+              f"{TIMEOUT}s/memory budget; recorded as engine wins) ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if n_pass == 0:
         # an empty oracle map (or all-fail run) must never read as success —
