@@ -17,14 +17,29 @@ totals on both sides (make_paired drops one-sided rows into
 Spark-side timing.
 """
 import json
+import multiprocessing
 import os
 import sys
+import tempfile
 import threading
 import time
 
 import duckdb
 
 TIMEOUT = float(os.environ.get("DUCK_TIMEOUT_SEC", "0"))
+
+
+def connect_views(sf_dir):
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=32")
+    con.execute("PRAGMA memory_limit='60GB'")
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
 
 
 def run_sql(con, sql) -> bool:
@@ -45,49 +60,84 @@ def run_sql(con, sql) -> bool:
         timer.cancel()
 
 
+def child_bench(sf_dir, sql, runs, result_path):
+    """Budgeted-mode child: warm + best-of-N for ONE query, isolated so
+    an oracle that overshoots DuckDB's memory accounting into a kernel
+    kill (q106 at sf10) takes down only its own measurement."""
+    try:
+        con = connect_views(sf_dir)
+        if not run_sql(con, sql):  # warm (untimed)
+            json.dump({"timeout": True}, open(result_path, "w"))
+            return
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            if not run_sql(con, sql):
+                json.dump({"timeout": True}, open(result_path, "w"))
+                return
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        json.dump({"best": best}, open(result_path, "w"))
+    except Exception as e:  # noqa: BLE001 — recorded for the parent
+        json.dump({"error": f"{type(e).__name__}: {e}"},
+                  open(result_path, "w"))
+
+
 def main() -> None:
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     oracle = json.load(open(oracle_path))
-    con = duckdb.connect()
-    con.execute("PRAGMA threads=32")
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        path = f"{sf_dir}/{t}.parquet"
-        src = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
-    # warm pass (untimed), then best-of-N; a warm-pass timeout skips the
-    # timed loop for that query outright (no point paying the budget 4x)
-    timeouts = {}
-    for name, sql in sorted(oracle.items()):
-        try:
-            if not run_sql(con, sql):
+    results, timeouts = {}, {}
+
+    if TIMEOUT > 0:
+        tmpdir = tempfile.mkdtemp(prefix="duck_bench_")
+        backstop = (runs + 1) * TIMEOUT + 60
+        for name, sql in sorted(oracle.items()):
+            rp = os.path.join(tmpdir, name + ".json")
+            proc = multiprocessing.Process(
+                target=child_bench, args=(sf_dir, sql, runs, rp))
+            proc.start()
+            proc.join(backstop)
+            if proc.is_alive():
+                proc.kill()
+                proc.join()
+            if not os.path.exists(rp):
                 timeouts[name] = TIMEOUT
-                print(f"TIMEOUT {name}: > {TIMEOUT}s (warm)", file=sys.stderr)
-        except Exception as e:
-            print(f"WARM-FAIL {name}: {e}", file=sys.stderr)
-    results = {}
-    for name, sql in sorted(oracle.items()):
-        if name in timeouts:
-            results[name] = None
-            continue
-        best = None
-        for _ in range(runs):
-            t0 = time.time()
+                results[name] = None
+                print(f"OOM/KILL {name}: child exit {proc.exitcode} — "
+                      "engine win", file=sys.stderr)
+                continue
+            r = json.load(open(rp))
+            if r.get("timeout"):
+                timeouts[name] = TIMEOUT
+                results[name] = None
+                print(f"TIMEOUT {name}: > {TIMEOUT}s", file=sys.stderr)
+            elif "error" in r:
+                results[name] = -1.0
+                print(f"FAIL {name}: {r['error']}", file=sys.stderr)
+            else:
+                results[name] = r["best"]
+    else:
+        con = connect_views(sf_dir)
+        # warm pass (untimed), then best-of-N
+        for name, sql in sorted(oracle.items()):
             try:
-                if not run_sql(con, sql):
-                    timeouts[name] = TIMEOUT
-                    results[name] = None
+                con.execute(sql).fetchall()
+            except Exception as e:
+                print(f"WARM-FAIL {name}: {e}", file=sys.stderr)
+        for name, sql in sorted(oracle.items()):
+            best = None
+            for _ in range(runs):
+                t0 = time.time()
+                try:
+                    con.execute(sql).fetchall()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception:
+                    best = -1.0
                     break
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            except Exception:
-                best = -1.0
-                break
-        else:
             results[name] = best
-        if name not in results:
-            results[name] = best
+
     total = sum(v for v in results.values() if v and v > 0)
     out = {"metric": "duckdb_total", "value": total,
            "unit": "sec", "runs": runs, "sf": sf_dir,

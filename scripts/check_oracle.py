@@ -10,17 +10,24 @@ the parquet tables in sfDir, sorts columns by name and rows by all
 columns, and compares values.
 
 ORACLE_TIMEOUT_SEC (env, default 0 = off): per-query wall budget for
-the DuckDB side, enforced via con.interrupt() — the sf10 knob (r19,
-VERDICT r18 #1): a query whose oracle cannot finish inside the budget
-is reported as TIMEOUT (listed separately, NOT a failure when the
-knob is on) and quoted in BASELINE.md as an engine win with timings;
-the Spark output's existence and row count are still printed.
+the DuckDB side — the sf10 knob (r19, VERDICT r18 #1): a query whose
+oracle cannot finish inside the budget is reported as TIMEOUT (listed
+separately, NOT a failure when the knob is on) and quoted in
+BASELINE.md as an engine win with timings; the Spark output's
+existence and row count are still printed. In budgeted mode every
+oracle executes in a FORKED CHILD process: at sf10 some oracle
+operators overshoot DuckDB's own memory accounting far enough that
+the kernel kills the process (q106's 500k-doc string_split pipeline
+took >120 GB), and without isolation one such query destroys the
+whole run's artifact. A child killed by the kernel or raising
+duckdb's OOM is classified OOM (engine win); a child still alive at
+the budget is terminated and classified TIMEOUT.
 """
 import json
-
+import multiprocessing
 import os
 import sys
-import threading
+import tempfile
 
 import duckdb
 import numpy as np
@@ -65,8 +72,7 @@ def first_mismatch(g: pd.DataFrame, x: pd.DataFrame):
     return None
 
 
-def main() -> int:
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def connect_views(sf_dir: str):
     con = duckdb.connect()
     # spill instead of dying: at sf10 the md5-heavy oracles' hash
     # tables can pass the box's free RAM when anything else is resident
@@ -80,6 +86,24 @@ def main() -> int:
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
+def child_oracle(sf_dir: str, sql: str, result_path: str) -> None:
+    """Budgeted-mode child: run one oracle, parquet the result. Errors
+    land in <result_path>.err so the parent can classify them."""
+    try:
+        con = connect_views(sf_dir)
+        con.execute(sql).df().to_parquet(result_path)
+    except Exception as e:  # noqa: BLE001 — classified by the parent
+        with open(result_path + ".err", "w") as f:
+            f.write(f"{type(e).__name__}: {e}")
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = connect_views(sf_dir) if TIMEOUT <= 0 else None
+    tmpdir = tempfile.mkdtemp(prefix="oracle_check_")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = n_timeout = 0
@@ -90,37 +114,52 @@ def main() -> int:
             print(f"FAIL {name}: no spark output ({e})")
             n_fail += 1
             continue
-        timer = threading.Timer(TIMEOUT, con.interrupt) if TIMEOUT > 0 else None
-        try:
-            if timer:
-                timer.start()
-            exp = con.execute(sql).df()
-        except duckdb.Error as e:
-            if TIMEOUT > 0 and "INTERRUPT" in str(e).upper():
+        if TIMEOUT > 0:
+            rp = os.path.join(tmpdir, name + ".parquet")
+            proc = multiprocessing.Process(
+                target=child_oracle, args=(sf_dir, sql, rp))
+            proc.start()
+            proc.join(TIMEOUT)
+            if proc.is_alive():
+                proc.terminate()
+                proc.join(10)
+                if proc.is_alive():
+                    proc.kill()
+                    proc.join()
                 print(f"TIMEOUT {name}: duckdb oracle > {TIMEOUT}s "
                       f"(spark output exists, {len(got)} rows) — engine win")
                 n_timeout += 1
-            elif TIMEOUT > 0 and "OUT OF MEMORY" in str(e).upper():
-                # budgeted-scale mode only: a non-spillable oracle
-                # operator exhausting the single process's memory is the
-                # same verdict as a timeout — the oracle engine cannot
-                # run this query at this scale. In unbudgeted gate runs
-                # an OOM stays a FAIL.
-                print(f"OOM {name}: duckdb oracle exhausted its memory "
-                      f"budget (spark output exists, {len(got)} rows) "
-                      "— engine win")
+                continue
+            if os.path.exists(rp + ".err"):
+                msg = open(rp + ".err").read()
+                if "OUT OF MEMORY" in msg.upper():
+                    print(f"OOM {name}: duckdb oracle exhausted its "
+                          f"memory budget (spark output exists, "
+                          f"{len(got)} rows) — engine win")
+                    n_timeout += 1
+                else:
+                    print(f"FAIL {name}: oracle sql error: {msg}")
+                    n_fail += 1
+                continue
+            if not os.path.exists(rp):
+                # no result, no error file: the kernel killed the child
+                # mid-allocation (exitcode < 0) — same OOM verdict
+                print(f"OOM {name}: duckdb oracle child killed "
+                      f"(exit {proc.exitcode}; spark output exists, "
+                      f"{len(got)} rows) — engine win")
                 n_timeout += 1
-            else:
+                continue
+            try:
+                exp = pd.read_parquet(rp)
+            finally:
+                os.remove(rp)
+        else:
+            try:
+                exp = con.execute(sql).df()
+            except Exception as e:
                 print(f"FAIL {name}: oracle sql error: {e}")
                 n_fail += 1
-            continue
-        except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
-            n_fail += 1
-            continue
-        finally:
-            if timer:
-                timer.cancel()
+                continue
         g, x = canon(got), canon(exp)
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(x.columns)}")
