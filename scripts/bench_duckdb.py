@@ -66,9 +66,13 @@ def child_bench(sf_dir, sql, runs, result_path):
     kill (q106 at sf10) takes down only its own measurement."""
     try:
         con = connect_views(sf_dir)
-        if not run_sql(con, sql):  # warm (untimed)
-            json.dump({"timeout": True}, open(result_path, "w"))
-            return
+        # DUCK_WARM_PASS=false: cold single-run protocol (the sf10
+        # anchor — at that volume a warm pass doubles a multi-hour run;
+        # the Spark side then also runs SPARK_GRAFT_WARM_PASS=false)
+        if os.environ.get("DUCK_WARM_PASS", "true") == "true":
+            if not run_sql(con, sql):  # warm (untimed)
+                json.dump({"timeout": True}, open(result_path, "w"))
+                return
         best = None
         for _ in range(runs):
             t0 = time.time()
