@@ -4754,6 +4754,54 @@ object QueryPackExt {
       ORDER BY zkey DESC, b.o_orderkey LIMIT 20"""
     })
 
+  /** L133's serve path, oracle-gated (r19): q64's overlap counts
+    * answered from a pre-built [[graft.operators.IntervalJoin
+    * .overlapHistogram]] instead of the raw transit intervals — the
+    * build-once/serve-many stance of q77 (L52) and q91 (L66) applied
+    * to interval counting. The gate runs build + serve in one lineage
+    * (like q77's index+probe); the serve-plan raw-scan ABSENCE from a
+    * persisted histogram is plan-asserted in OperatorsSpec. The
+    * oracle is q64's verbatim — the served relation must be
+    * value-identical to the direct operator's.
+    */
+  private val q156 = Q("q156_overlap_count_served",
+    (s, dir) => {
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1990-01-01"))).cast("long")
+      val w = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate").between("1995-03-01", "1995-03-31"))
+        .select(col("o_orderkey").as("w_key"),
+          day(col("o_orderdate")).as("w_s"),
+          (day(col("o_orderdate")) + 7).as("w_e"))
+      val tr = t(s, dir, "lineitem")
+        .select(day(col("l_shipdate")).as("t_s"),
+          (day(col("l_shipdate")) + 1 +
+            col("l_linenumber").cast("long") * 3).as("t_e"))
+      val hist = graft.operators.IntervalJoin.overlapHistogram(
+        tr, "t_s", "t_e")
+      graft.operators.IntervalJoin
+        .countOverlapsFromHistogram(w, hist, "w_s", "w_e",
+          leftKey = "w_key")
+        .harnessSorted(col("w_key"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT o_orderkey AS w_key,
+               date_diff('day', DATE '1990-01-01', o_orderdate) AS w_s,
+               date_diff('day', DATE '1990-01-01', o_orderdate) + 7 AS w_e
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+      tr AS (
+        SELECT date_diff('day', DATE '1990-01-01', l_shipdate) AS t_s,
+               date_diff('day', DATE '1990-01-01', l_shipdate) + 1
+                 + CAST(l_linenumber AS BIGINT) * 3 AS t_e
+        FROM lineitem)
+      SELECT w_key, count(*) AS n_overlapping
+      FROM w JOIN tr ON w_s <= t_e AND t_s <= w_e
+      GROUP BY w_key ORDER BY w_key"""))
+
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64,
@@ -4764,7 +4812,7 @@ object QueryPackExt {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
-    q149, q150, q151, q152, q153, q154, q155)
+    q149, q150, q151, q152, q153, q154, q155, q156)
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
