@@ -96,7 +96,7 @@ object IntervalJoin {
       lStart: String, lEnd: String,
       rStart: String, rEnd: String,
       bucketWidth: Long = DeriveWidth): DataFrame = {
-    require(bucketWidth >= 0, "bucketWidth must be positive (0 = derive)")
+    require(bucketWidth >= 0, "bucketWidth must be nonnegative (0 = derive)")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty, s"column names must be disjoint, clash: $clash")
     val width =

@@ -1258,36 +1258,44 @@ object QueryPackExt {
                AS head_tokens
       FROM m ORDER BY doc_id"""))
 
-  /** The aggregate twin of q58: per urgent March-1995 order window,
-    * COUNT the lineitem ship→receipt transit intervals that overlap
-    * it, via [[graft.operators.IntervalJoin.countOverlaps]]'s rank
-    * form — two cumulative-count lookups per distinct window bound,
-    * no candidate pair ever formed, cost linear in both inputs
-    * regardless of interval density. The oracle is the plain overlap
-    * join + GROUP BY.
+  /** Shared between q64 (the direct rank-cascade form) and q156
+    * (L133's histogram-served form): the urgent March-1995 order
+    * windows, the derived lineitem transit intervals, and the ONE
+    * oracle SQL both gates compare against (r19 ADVICE — a single
+    * definition, so editing either query cannot silently diverge the
+    * build+serve gate from the direct operator's).
     */
-  private val q64 = Q("q64_count_overlaps",
-    (s, dir) => {
-      val day = (c: org.apache.spark.sql.Column) =>
-        datediff(c, to_date(lit("1990-01-01"))).cast("long")
-      val w = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT" &&
-          col("o_orderdate").between("1995-03-01", "1995-03-31"))
-        .select(col("o_orderkey").as("w_key"),
-          day(col("o_orderdate")).as("w_s"),
-          (day(col("o_orderdate")) + 7).as("w_e"))
-      // the synthetic lineitem has no receipt date; transit length is
-      // derived deterministically from the line number (4..22 days)
-      val tr = t(s, dir, "lineitem")
-        .select(day(col("l_shipdate")).as("t_s"),
-          (day(col("l_shipdate")) + 1 +
-            col("l_linenumber").cast("long") * 3).as("t_e"))
-      graft.operators.IntervalJoin
-        .countOverlaps(w, tr, "w_s", "w_e", "t_s", "t_e",
-          leftKey = "w_key")
-        .harnessSorted(col("w_key"))
-    },
-    Some("""
+  private def overlapDay(c: org.apache.spark.sql.Column) =
+    datediff(c, to_date(lit("1990-01-01"))).cast("long")
+
+  private def overlapWindows(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate").between("1995-03-01", "1995-03-31"))
+      .select(col("o_orderkey").as("w_key"),
+        overlapDay(col("o_orderdate")).as("w_s"),
+        (overlapDay(col("o_orderdate")) + 7).as("w_e"))
+
+  /** The synthetic lineitem has no receipt date; transit length is
+    * derived deterministically from the line number (4..22 days).
+    */
+  private def transitIntervals(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(overlapDay(col("l_shipdate")).as("t_s"),
+        (overlapDay(col("l_shipdate")) + 1 +
+          col("l_linenumber").cast("long") * 3).as("t_e"))
+
+  /** The `AND t_s <= t_e` guard in `tr` pins [[graft.operators
+    * .IntervalJoin]]'s documented malformed-interval filtering (both
+    * the direct and the histogram form drop reversed intervals, for
+    * which overlap is undefined). On this dataset it is vacuous —
+    * `t_e = t_s + 1 + 3·l_linenumber > t_s` always — but without it
+    * the oracle's join predicate alone would count a reversed
+    * interval fully contained in a window (r19 ADVICE).
+    */
+  private val overlapCountOracle = Some("""
       WITH w AS (
         SELECT o_orderkey AS w_key,
                date_diff('day', DATE '1990-01-01', o_orderdate) AS w_s,
@@ -1299,10 +1307,28 @@ object QueryPackExt {
         SELECT date_diff('day', DATE '1990-01-01', l_shipdate) AS t_s,
                date_diff('day', DATE '1990-01-01', l_shipdate) + 1
                  + CAST(l_linenumber AS BIGINT) * 3 AS t_e
-        FROM lineitem)
+        FROM lineitem
+        WHERE date_diff('day', DATE '1990-01-01', l_shipdate) <=
+              date_diff('day', DATE '1990-01-01', l_shipdate) + 1
+                + CAST(l_linenumber AS BIGINT) * 3)
       SELECT w_key, count(*) AS n_overlapping
       FROM w JOIN tr ON w_s <= t_e AND t_s <= w_e
-      GROUP BY w_key ORDER BY w_key"""))
+      GROUP BY w_key ORDER BY w_key""")
+
+  /** The aggregate twin of q58: per urgent March-1995 order window,
+    * COUNT the lineitem ship→receipt transit intervals that overlap
+    * it, via [[graft.operators.IntervalJoin.countOverlaps]]'s rank
+    * form — two cumulative-count lookups per distinct window bound,
+    * no candidate pair ever formed, cost linear in both inputs
+    * regardless of interval density. The oracle is the plain overlap
+    * join + GROUP BY.
+    */
+  private val q64 = Q("q64_count_overlaps",
+    (s, dir) => graft.operators.IntervalJoin
+      .countOverlaps(overlapWindows(s, dir), transitIntervals(s, dir),
+        "w_s", "w_e", "t_s", "t_e", leftKey = "w_key")
+      .harnessSorted(col("w_key")),
+    overlapCountOracle)
 
   // ------------------------------------------------ streaming batch twins
   //
@@ -4766,41 +4792,14 @@ object QueryPackExt {
     */
   private val q156 = Q("q156_overlap_count_served",
     (s, dir) => {
-      val day = (c: org.apache.spark.sql.Column) =>
-        datediff(c, to_date(lit("1990-01-01"))).cast("long")
-      val w = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT" &&
-          col("o_orderdate").between("1995-03-01", "1995-03-31"))
-        .select(col("o_orderkey").as("w_key"),
-          day(col("o_orderdate")).as("w_s"),
-          (day(col("o_orderdate")) + 7).as("w_e"))
-      val tr = t(s, dir, "lineitem")
-        .select(day(col("l_shipdate")).as("t_s"),
-          (day(col("l_shipdate")) + 1 +
-            col("l_linenumber").cast("long") * 3).as("t_e"))
       val hist = graft.operators.IntervalJoin.overlapHistogram(
-        tr, "t_s", "t_e")
+        transitIntervals(s, dir), "t_s", "t_e")
       graft.operators.IntervalJoin
-        .countOverlapsFromHistogram(w, hist, "w_s", "w_e",
-          leftKey = "w_key")
+        .countOverlapsFromHistogram(overlapWindows(s, dir), hist,
+          "w_s", "w_e", leftKey = "w_key")
         .harnessSorted(col("w_key"))
     },
-    Some("""
-      WITH w AS (
-        SELECT o_orderkey AS w_key,
-               date_diff('day', DATE '1990-01-01', o_orderdate) AS w_s,
-               date_diff('day', DATE '1990-01-01', o_orderdate) + 7 AS w_e
-        FROM orders
-        WHERE o_orderpriority = '1-URGENT'
-          AND o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
-      tr AS (
-        SELECT date_diff('day', DATE '1990-01-01', l_shipdate) AS t_s,
-               date_diff('day', DATE '1990-01-01', l_shipdate) + 1
-                 + CAST(l_linenumber AS BIGINT) * 3 AS t_e
-        FROM lineitem)
-      SELECT w_key, count(*) AS n_overlapping
-      FROM w JOIN tr ON w_s <= t_e AND t_s <= w_e
-      GROUP BY w_key ORDER BY w_key"""))
+    overlapCountOracle)
 
   val all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q34, q35, q36,
     q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
