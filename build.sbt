@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc JVM flag passthrough for measured experiments (GC choice,
+  // -Xms pinning); empty by default so the baseline JVM is unchanged
+  sys.env.get("SPARK_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").toSeq)

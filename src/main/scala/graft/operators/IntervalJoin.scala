@@ -260,7 +260,29 @@ object IntervalJoin {
       .select(col("__x.__side").as("__side"), col("__x.__v").as("__v"),
         lit(0L).as("__c"), lit(1).as("__isq"), col("__k"),
         col("__x.__sgn").as("__sgn"))
-    cascadeCount(rh, lq, leftKey)
+    // Materialize the endpoint histogram ONCE (r21, guide §2.4/§5):
+    // the cascade's plan references its input three times — [[PrefixSum
+    // .withRangeBucket]]'s min/max stats broadcast, [[PrefixSum
+    // .inclusive]]'s bucket-offset broadcast, and the main cascade —
+    // and the stats subtree's column pruning rewrites the histogram
+    // aggregate (count pruned out), so Spark's exchange reuse does NOT
+    // cover it: the right-side corpus was scanned + endpoint-exploded
+    // + aggregated TWICE per query (measured: 2 of q64's 3 jobs each
+    // ran the full 600k-row lineitem pass; the plan held two disjoint
+    // scan→Generate→HashAggregate subtrees; sf0.1 best-of-3
+    // 0.94 → 0.79 s). The histogram is the operator's own
+    // value-bounded frame (≤ 2 narrow rows per distinct endpoint —
+    // exactly what [[overlapHistogram]] persists as the write-side
+    // layout), so localCheckpoint pins report-scale rows, never the
+    // corpus; MEMORY_AND_DISK spills rather than OOMs on pathological
+    // near-unique domains. One corpus pass by construction; the stats
+    // and offset jobs read materialized rows. [[
+    // countOverlapsFromHistogram]] deliberately does NOT checkpoint:
+    // its histogram input is already a persisted value-bounded table,
+    // re-reading it is as cheap as the checkpoint write (measured
+    // neutral on q156), and the serve plan keeps visibly scanning the
+    // histogram relation (the OperatorsSpec scan-absence gate).
+    cascadeCount(rh.localCheckpoint(), lq, leftKey)
   }
 
   /** The shared tail of the rank-form count: one side-tagged prefix-sum
