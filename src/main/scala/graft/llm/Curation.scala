@@ -121,23 +121,36 @@ object Curation {
     */
   private def keepFilter(
       corpus: DataFrame, keepIds: DataFrame, maxInline: Int): DataFrame = {
-    val ck = keepIds.localCheckpoint()
     // enforced here as well as in the default, so explicit caller
     // values cannot re-enable the inline cut in forced oracle runs
     val effMax = if (graft.Regimes.forceDistributed) 0 else maxInline
-    val probe =
-      if (effMax > 0) ck.limit(effMax + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    def idBytes: Long = probe.foldLeft(0L)((acc, r) => acc + (r.get(0) match {
-      case s: String => 40L + 2L * s.length // object header + char payload
-      case _         => 16L                 // boxed numeric
-    }))
-    if (effMax > 0 && probe.length <= effMax &&
-        idBytes <= InlineKeepListMaxBytes) {
-      graft.operators.Checkpoints.release(ck)
-      corpus.filter(col("doc_id").isInCollection(probe.toSeq.map(_.get(0))))
-    } else
-      corpus.join(ck, Seq("doc_id"))
+    // LAZY checkpoint + one internal-row count (r21, guide §1/§2: the
+    // eager checkpoint ran a materialization job whose only output —
+    // the row count — Spark discarded, and the old `limit(effMax+1)`
+    // probe then re-read the blocks through CollectLimit's incremental
+    // scale-up, 2-3 more driver round trips per barrier. The count job
+    // below computes every partition (so the checkpoint is complete,
+    // exactly like the eager path) AND returns the row count, so the
+    // bounded probe needs no second scan decision: n ≤ effMax already
+    // bounds the collect. Jobs per barrier: inline 3-4 → 2, overflow
+    // 2 → 1; the stage pipeline still executes exactly once.
+    val ck = keepIds.localCheckpoint(eager = false)
+    if (effMax > 0) {
+      val n = ck.queryExecution.toRdd.count()
+      if (n <= effMax) {
+        val probe = ck.collect() // bounded: n ≤ maxInline rows
+        val idBytes = probe.foldLeft(0L)((acc, r) => acc + (r.get(0) match {
+          case s: String => 40L + 2L * s.length // object header + char payload
+          case _         => 16L                 // boxed numeric
+        }))
+        if (idBytes <= InlineKeepListMaxBytes) {
+          graft.operators.Checkpoints.release(ck)
+          return corpus.filter(
+            col("doc_id").isInCollection(probe.toSeq.map(_.get(0))))
+        }
+      }
+    }
+    corpus.join(ck, Seq("doc_id"))
   }
 
   /** Order-independent corpus digest per `by` group: `bit_xor` over
