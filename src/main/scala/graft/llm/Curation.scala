@@ -429,7 +429,11 @@ object Curation {
         coalesce(col("mean_seen"), lit(0.0)).as("mean_seen"))
       .withColumn("keep",
         !col("is_dup") && col("overlap") <= maxOverlap && col("quality_ok"))
-      .localCheckpoint()
+      // lazy (r21): the final plan's first flags-consumer (the
+      // training-order offset broadcast) materializes the verdict
+      // frame; the keep-list and final join then read blocks — the
+      // dedicated checkpoint job disappears
+      .localCheckpoint(eager = false)
     val order = Sampling.trainingOrder(flags.filter(col("keep")), seed)
     flags.join(order, Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_dup"), col("n_grams"),

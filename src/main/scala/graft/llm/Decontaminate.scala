@@ -513,7 +513,9 @@ object Decontaminate {
               .as("overlap"),
             coalesce(col("bloom_hit"), lit(0L)).as("bloom_hit"))
       }
-    audited.localCheckpoint()
+    // lazy (r21): the caller's first action materializes the audit
+    // frame; downstream multi-consumers then read blocks
+    audited.localCheckpoint(eager = false)
   }
 
   /** Surgical decontamination — strip the leaked SPANS, keep the

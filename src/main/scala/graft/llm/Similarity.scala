@@ -246,14 +246,18 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("embedding").as("cv")),
         Seq("vec_id"))
       .withColumn("cn", l2norm(col("cv")))
-      .localCheckpoint() // pool-sized; read by every greedy step
+      // pool-sized; read by every greedy step. Lazy (r21): the first
+      // step's eager checkpoint job materializes it — one fewer job
+      .localCheckpoint(eager = false)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("mmr").desc, col("vec_id"))
     var selected = cands.withColumn("mmr", col("qsim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("query_id"), lit(1L).as("rnk"), col("vec_id"),
         col("qsim"), col("mmr"))
-      .localCheckpoint()
+      // lazy: step 2's eager checkpoint (or the caller's action when
+      // k == 1) materializes it before any release touches it
+      .localCheckpoint(eager = false)
     for (t <- 2 to k) {
       val selIds = selected.select(col("query_id"), col("vec_id"))
       // selected vectors read back from the pool — selections ARE
@@ -412,13 +416,23 @@ object Similarity {
     require(seed.nonEmpty, "no non-null embeddings to select from")
     val picks = scala.collection.mutable.ArrayBuffer(
       (1L, seed(0).getLong(0), 0.0))
+    // LAZY per-step checkpoints (r21): each step's TakeOrdered(1)
+    // selection job computes every partition of the current state, so
+    // it doubles as the materialization job — the old eager form paid
+    // a dedicated checkpoint job per step (k-1 extra driver round
+    // trips). The previous step's blocks are released only AFTER the
+    // selection has materialized the new state (a lazy checkpoint
+    // cannot recompute once its parent's blocks are dropped).
     var state = pool
       .filter(col("vec_id") =!= seed(0).getLong(0))
       .withColumn("md", dist2(col("embedding"), typedLit(centerOf(seed(0)))))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    var pendingRelease: Option[DataFrame] = None
     for (t <- 2 to k) {
       val top = state.orderBy(col("md").desc, col("vec_id")).limit(1)
-        .collect()
+        .collect() // materializes `state` in full
+      pendingRelease.foreach(graft.operators.Checkpoints.release)
+      pendingRelease = None
       if (top.nonEmpty) {
         picks += ((t.toLong, top(0).getLong(0),
           top(0).getAs[Double]("md")))
@@ -427,11 +441,14 @@ object Similarity {
           .filter(col("vec_id") =!= top(0).getLong(0))
           .withColumn("md", least(col("md"),
             dist2(col("embedding"), typedLit(centerOf(top(0))))))
-          .localCheckpoint()
-        graft.operators.Checkpoints.release(prev)
+          .localCheckpoint(eager = false)
+        pendingRelease = Some(prev)
       }
     }
+    // the final state may be unmaterialized — its parent must survive
+    // until both are dropped together
     graft.operators.Checkpoints.release(state)
+    pendingRelease.foreach(graft.operators.Checkpoints.release)
     import spark.implicits._
     picks.toSeq.toDF("rnk", "vec_id", "dist2")
   }

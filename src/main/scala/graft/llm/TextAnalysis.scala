@@ -346,7 +346,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val stop = tc
       .groupBy(col("tok"))
@@ -388,7 +388,7 @@ object TextAnalysis {
     val bgc = TextDedup.gramHashes(docs, 2)
       .groupBy(col("doc_id"), col("gh"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val counts = bgc.groupBy(col("gh")).agg(sum(col("c")).as("corpus_c"))
     bgc.join(counts, "gh")
       .groupBy(col("doc_id"))
@@ -412,7 +412,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -465,7 +465,7 @@ object TextAnalysis {
   def familiarityBucketsApprox(
       docs: DataFrame, n: Int = 3, accuracy: Int = 10000): DataFrame = {
     require(n >= 2, "need at least two buckets")
-    val scores = familiarityScores(docs).localCheckpoint()
+    val scores = familiarityScores(docs).localCheckpoint(eager = false)
     val probs = (1 until n).map(_.toDouble / n).toArray
     val cuts = scores.agg(
       percentile_approx(col("familiarity"), typedlit(probs), lit(accuracy))
@@ -699,7 +699,7 @@ object TextAnalysis {
             lit(null).cast("string").as("tok"))))).as("x"))
       .groupBy(col("x.t").as("t"), col("x.k").as("k"), col("x.tok").as("tok"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val bgc = model.filter(col("t") === 1)
       .select(col("k").as("bg"), col("c").as("n_ab"))
     // total bigram mass — includes the sub-minCount tail by definition

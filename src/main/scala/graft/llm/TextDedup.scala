@@ -373,7 +373,13 @@ object TextDedup {
       checkpointSignatures: Boolean): (DataFrame, DataFrame) = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rows = nHashes / bands
-    val sets = shingleSets(docs, shingleK).localCheckpoint()
+    // LAZY checkpoint (r21): every caller consumes `sets` through
+    // full-partition actions (the signature agg, Jaccard rerank,
+    // posting-frame explode), so the first consumer's job materializes
+    // and truncates it — same exactly-once pipeline guarantee as the
+    // eager form, minus one dedicated materialization job per index
+    // build (the 120-200 ms TextDedup:376 job in every minhash query).
+    val sets = shingleSets(docs, shingleK).localCheckpoint(eager = false)
 
     // signature via explode -> scalar permutations -> partial-aggregated
     // min: the set elements are ALREADY 31-bit gram hashes (md5 happened
@@ -390,7 +396,10 @@ object TextDedup {
         min(TextFns.minhashPerm(0, col("gh"))).as("mh_0"),
         (1 until nHashes).map(s =>
           min(TextFns.minhashPerm(s, col("gh"))).as(s"mh_$s")): _*)
-    val mh = if (checkpointSignatures) mh0.localCheckpoint() else mh0
+    // lazy for the same reason: the LSH self-join's first bucket read
+    // materializes it; the second read (and any rerank) hits blocks
+    val mh = if (checkpointSignatures) mh0.localCheckpoint(eager = false)
+      else mh0
     // one 128-bit bucket key per band: md5 of the band's minhash values
     // in seed order (order-independent aggregate inputs ⇒ deterministic)
     val bandStructs = (0 until bands).map { b =>
@@ -666,7 +675,10 @@ object TextDedup {
       // the same join without it; the identical DP volume costs 0.03 s
       // in a codegen'd Project). The fence pins the candidate frame
       // (pair-list-sized, tiny) so the DP runs exactly once per pair.
-      .localCheckpoint()
+      // Lazy (r21): the LogicalRDD fence exists at plan time either
+      // way; the single consumer's job materializes it, saving the
+      // dedicated checkpoint job.
+      .localCheckpoint(eager = false)
     cand
       .select(col("da"), col("db"),
         // thresholded builtin = banded O(len·maxDist) DP, -1 above it
@@ -756,7 +768,8 @@ object TextDedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucketWidth: Option[Int] = None): DataFrame = {
-    val sig = simhashSignatures(docs).localCheckpoint() // reused by both join sides
+    val sig = simhashSignatures(docs) // reused by both join sides
+      .localCheckpoint(eager = false) // lazy: first side's scan materializes
     val banded = simhashBands(sig)
     val capped =
       maxBucketWidth.fold(banded)(capBucketWidth(banded, Seq("band", "chunk"), _))
@@ -868,10 +881,13 @@ object TextDedup {
     lastStarRounds = 0
     val smallMax =
       if (graft.Regimes.forceDistributed) 0 else smallGraphMaxEdges
+    // lazy + count (r21, the keepFilter fusion): one job materializes
+    // the symmetric edge set AND returns the small-graph probe count,
+    // replacing the eager-checkpoint job + incremental limit probe
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // SMALL-GRAPH REGIME (r12): near-dup graphs are usually tiny next
     // to their corpus (edges ≈ dup pairs, not docs), and the
     // distributed loop pays 2–3 scheduler round trips PER ROUND — at
@@ -891,7 +907,7 @@ object TextDedup {
       idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType
     if (integralIds && smallMax > 0 &&
-        edges.limit(smallMax + 1).count() <= smallMax) {
+        edges.queryExecution.toRdd.count() <= smallMax) {
       val es = edges
         .select(col("a").cast("long"), col("b").cast("long")).collect()
       graft.operators.Checkpoints.release(edges)
@@ -1159,7 +1175,10 @@ object TextDedup {
     // set, whose union's two branches each executed the full LSH
     // lineage — measured 2.4 s of the 3.3 s sf1 total for a 2.5k-edge
     // graph; re-running the lineage twice was the whole "drift".)
-    val p0 = pairs.select(col("da"), col("db")).localCheckpoint()
+    // lazy + count (r21, the keepFilter fusion): the count job below
+    // materializes the checkpoint and IS the bounded-regime probe —
+    // one job instead of eager-checkpoint + limit-count
+    val p0 = pairs.select(col("da"), col("db")).localCheckpoint(eager = false)
 
     // bounded regime: run the k rounds as driver Long loops — same
     // order-free integer arithmetic, zero iteration jobs (see scaladoc).
@@ -1168,7 +1187,7 @@ object TextDedup {
     // checkpointed pair list and never materializes a single Row on
     // the driver; the collect happens only on a bounded verdict.
     val bounded = !graft.Regimes.forceDistributed &&
-      p0.limit(MaxDriverEdges + 1).count() <= MaxDriverEdges
+      p0.queryExecution.toRdd.count() <= MaxDriverEdges
     if (bounded) {
       val probe = p0.collect()
       graft.operators.Checkpoints.release(p0)

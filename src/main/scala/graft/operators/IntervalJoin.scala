@@ -282,7 +282,10 @@ object IntervalJoin {
     // re-reading it is as cheap as the checkpoint write (measured
     // neutral on q156), and the serve plan keeps visibly scanning the
     // histogram relation (the OperatorsSpec scan-absence gate).
-    cascadeCount(rh.localCheckpoint(), lq, leftKey)
+    // lazy (r21): the first consumer (the range-stats broadcast build)
+    // materializes the histogram; the offset and cascade reads hit
+    // blocks — one corpus pass, one fewer dedicated job
+    cascadeCount(rh.localCheckpoint(eager = false), lq, leftKey)
   }
 
   /** The shared tail of the rank-form count: one side-tagged prefix-sum
