@@ -253,6 +253,20 @@ object FreqItemsAgg {
     private[functions] var keys = new Array[UTF8String](16)
     private[functions] var cnt = new Array[Long](16)
     private[functions] var er = new Array[Long](16)
+    // cached key hashCodes (r21): the index maintenance paths (probe,
+    // unlink's backward shift, re-link, rehash) previously re-hashed
+    // key BYTES on every touch — under eviction churn that is 3-4
+    // murmur passes per evicted row. The cache turns every internal
+    // hash into an int read; only findEntry hashes its PROBE key.
+    private var hs = new Array[Int](16)
+    // cached 8-byte big-endian unsigned key prefixes (r21): the
+    // candidate rebuild and the eval/trim orders sort by KEY, and
+    // UTF8String.compareTo byte loops dominated the q125 eviction
+    // profile. Prefixes order identically to compareTo on the first
+    // 8 bytes (unsigned compare, shorter keys zero-padded — a genuine
+    // 0x00 byte ties and falls back), so sorts compare one long and
+    // touch key bytes only on prefix ties.
+    private var kp = new Array[Long](16)
     private var idx = new Array[Int](64)
     private var mask = 63
     private var cands = new Array[Int](0)
@@ -261,35 +275,41 @@ object FreqItemsAgg {
 
     def size: Int = n
 
-    /** Entry id of `k`, or -1. One hash, one probe chain, no alloc. */
+    /** Entry id of `k`, or -1. One hash, one probe chain, no alloc;
+      * the cached-hash compare rejects probe-chain neighbours without
+      * touching key bytes.
+      */
     private[functions] def findEntry(k: UTF8String): Int = {
-      var s = k.hashCode & mask
+      val h = k.hashCode
+      var s = h & mask
       while (true) {
         val e = idx(s)
         if (e == 0) return -1
-        if (keys(e - 1).equals(k)) return e - 1
+        if (hs(e - 1) == h && keys(e - 1).equals(k)) return e - 1
         s = (s + 1) & mask
       }
       -1
     }
 
     private def putIndex(e: Int): Unit = {
-      var s = keys(e).hashCode & mask
+      var s = hs(e) & mask
       while (idx(s) != 0) s = (s + 1) & mask
       idx(s) = e + 1
     }
 
-    /** Unlink `k` from the index by backward-shift deletion: later
-      * probe-chain members whose home slot precedes the hole slide
-      * back, so chains stay contiguous with no tombstones.
+    /** Unlink entry `e` from the index by backward-shift deletion:
+      * later probe-chain members whose home slot precedes the hole
+      * slide back, so chains stay contiguous with no tombstones. Slot
+      * identity (idx(s) == e+1) replaces key equality — no byte
+      * compares, no hashing.
       */
-    private def removeIndex(k: UTF8String): Unit = {
-      var s = k.hashCode & mask
-      while (idx(s) == 0 || !keys(idx(s) - 1).equals(k)) s = (s + 1) & mask
+    private def removeIndexEntry(e: Int): Unit = {
+      var s = hs(e) & mask
+      while (idx(s) != e + 1) s = (s + 1) & mask
       var hole = s
       var j = (hole + 1) & mask
       while (idx(j) != 0) {
-        val home = keys(idx(j) - 1).hashCode & mask
+        val home = hs(idx(j) - 1) & mask
         if (((j - home) & mask) >= ((j - hole) & mask)) {
           idx(hole) = idx(j); hole = j
         }
@@ -308,13 +328,35 @@ object FreqItemsAgg {
     /** Append a NEW entry (key must be absent and owned by this
       * buffer — callers clone when the source may reuse its bytes).
       */
+    /** First 8 key bytes as a big-endian unsigned long (0-padded). */
+    private def prefix64(k: UTF8String): Long = {
+      val len = math.min(k.numBytes, 8)
+      var p = 0L
+      var i = 0
+      while (i < len) { p = (p << 8) | (k.getByte(i) & 0xffL); i += 1 }
+      p << (8 * (8 - len))
+    }
+
+    /** Key order (lexicographic bytes): prefix longs first, full
+      * compare only on a prefix tie. Entries have UNIQUE keys, so the
+      * order is total.
+      */
+    private def keyLess(a: Int, b: Int): Boolean = {
+      val pa = kp(a); val pb = kp(b)
+      if (pa != pb) java.lang.Long.compareUnsigned(pa, pb) < 0
+      else keys(a).compareTo(keys(b)) < 0
+    }
+
     private[functions] def append(k: UTF8String, c: Long, e: Long): Unit = {
       if (n == keys.length) {
         keys = java.util.Arrays.copyOf(keys, n * 2)
         cnt = java.util.Arrays.copyOf(cnt, n * 2)
         er = java.util.Arrays.copyOf(er, n * 2)
+        hs = java.util.Arrays.copyOf(hs, n * 2)
+        kp = java.util.Arrays.copyOf(kp, n * 2)
       }
-      keys(n) = k; cnt(n) = c; er(n) = e
+      keys(n) = k; cnt(n) = c; er(n) = e; hs(n) = k.hashCode
+      kp(n) = prefix64(k)
       n += 1
       if (2 * n > idx.length) rehash(idx.length * 2) // re-links everything
       else putIndex(n - 1)
@@ -324,14 +366,48 @@ object FreqItemsAgg {
       * overwrite in place, re-link. The caller sets cnt/er.
       */
     private[functions] def replaceKeyAt(e: Int, k: UTF8String): Unit = {
-      removeIndex(keys(e))
+      removeIndexEntry(e)
       keys(e) = k
+      hs(e) = k.hashCode
+      kp(e) = prefix64(k)
       putIndex(e)
     }
 
     /** Entry id of the eviction victim (lowest count, ties by largest
       * key) via the lazy candidate cache; sets `curMin` to its count.
       */
+    /** In-place quicksort of entry ids by key ASC (r21: replaces the
+      * boxed-Integer comparator sort in the candidate rebuild — the
+      * rebuild runs once per distinct minimum and sorted ~capacity ids
+      * through an object sort with per-compare unboxing).
+      */
+    private def sortIdsByKey(a: Array[Int], lo0: Int, hi0: Int): Unit = {
+      val lo = lo0; val hi = hi0
+      if (hi - lo < 1) return
+      if (hi - lo < 12) { // insertion sort for small runs
+        var i = lo + 1
+        while (i <= hi) {
+          val v = a(i)
+          var j = i - 1
+          while (j >= lo && keyLess(v, a(j))) {
+            a(j + 1) = a(j); j -= 1
+          }
+          a(j + 1) = v
+          i += 1
+        }
+        return
+      }
+      val pivot = a(lo + (hi - lo) / 2)
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (keyLess(a(i), pivot)) i += 1
+        while (keyLess(pivot, a(j))) j -= 1
+        if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+      }
+      sortIdsByKey(a, lo, j)
+      sortIdsByKey(a, i, hi)
+    }
+
     private[functions] def evictMinEntry(): Int = {
       while (true) {
         if (nCands == 0) {
@@ -342,17 +418,13 @@ object FreqItemsAgg {
           var c = 0
           i = 0
           while (i < n) { if (cnt(i) == m) c += 1; i += 1 }
-          val ids = new Array[Integer](c)
+          if (cands.length < c) cands = new Array[Int](c)
           c = 0; i = 0
           while (i < n) {
-            if (cnt(i) == m) { ids(c) = Integer.valueOf(i); c += 1 }
+            if (cnt(i) == m) { cands(c) = i; c += 1 }
             i += 1
           }
-          java.util.Arrays.sort(ids, (a: Integer, b: Integer) =>
-            keys(a.intValue).compareTo(keys(b.intValue)))
-          if (cands.length < c) cands = new Array[Int](c)
-          i = 0
-          while (i < c) { cands(i) = ids(i).intValue; i += 1 }
+          sortIdsByKey(cands, 0, c - 1)
           nCands = c
         }
         nCands -= 1
@@ -368,18 +440,45 @@ object FreqItemsAgg {
 
     /** Entry ids sorted by (est DESC, key ASC) — the eval/trim order. */
     private[functions] def sortedIds(): Array[Int] = {
-      val ids = new Array[Integer](n)
+      val ids = new Array[Int](n)
       var i = 0
-      while (i < n) { ids(i) = Integer.valueOf(i); i += 1 }
-      java.util.Arrays.sort(ids, (a: Integer, b: Integer) => {
-        val ca = cnt(a.intValue); val cb = cnt(b.intValue)
-        if (ca != cb) java.lang.Long.compare(cb, ca)
-        else keys(a.intValue).compareTo(keys(b.intValue))
-      })
-      val out = new Array[Int](n)
-      i = 0
-      while (i < n) { out(i) = ids(i).intValue; i += 1 }
-      out
+      while (i < n) { ids(i) = i; i += 1 }
+      sortIdsByEst(ids, 0, n - 1)
+      ids
+    }
+
+    /** In-place quicksort by (est DESC, key ASC); keys are unique, so
+      * the order is total and stability is moot.
+      */
+    /** (est DESC, key ASC) order between entry ids. */
+    private def estLess(x: Int, p: Int): Boolean = {
+      val cx = cnt(x); val cp = cnt(p)
+      cx > cp || (cx == cp && keyLess(x, p))
+    }
+
+    private def sortIdsByEst(a: Array[Int], lo0: Int, hi0: Int): Unit = {
+      val lo = lo0; val hi = hi0
+      if (hi - lo < 1) return
+      if (hi - lo < 12) {
+        var i = lo + 1
+        while (i <= hi) {
+          val v = a(i)
+          var j = i - 1
+          while (j >= lo && estLess(v, a(j))) { a(j + 1) = a(j); j -= 1 }
+          a(j + 1) = v
+          i += 1
+        }
+        return
+      }
+      val p = a(lo + (hi - lo) / 2)
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (estLess(a(i), p)) i += 1
+        while (estLess(p, a(j))) j -= 1
+        if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+      }
+      sortIdsByEst(a, lo, j)
+      sortIdsByEst(a, i, hi)
     }
 
     /** Keep the top `capacity` entries by (est DESC, key ASC) and
@@ -391,13 +490,16 @@ object FreqItemsAgg {
       val nk = new Array[UTF8String](keys.length)
       val nc = new Array[Long](keys.length)
       val ne = new Array[Long](keys.length)
+      val nh = new Array[Int](keys.length)
+      val np = new Array[Long](keys.length)
       var i = 0
       while (i < m) {
         val e = order(i)
-        nk(i) = keys(e); nc(i) = cnt(e); ne(i) = er(e)
+        nk(i) = keys(e); nc(i) = cnt(e); ne(i) = er(e); nh(i) = hs(e)
+        np(i) = kp(e)
         i += 1
       }
-      keys = nk; cnt = nc; er = ne
+      keys = nk; cnt = nc; er = ne; hs = nh; kp = np
       n = m
       java.util.Arrays.fill(idx, 0)
       var e = 0
