@@ -296,7 +296,6 @@ object TextDedup {
     // session-registered functions (callers must not depend on a prior
     // gramHashes call having registered them as a side effect)
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // tok is consumed twice (gram front end + reassembly join) but NOT
     // checkpointed: it is corpus-sized, and re-scanning beats pinning
     // an exploded copy of the corpus in executor memory — the fence
@@ -304,11 +303,16 @@ object TextDedup {
     val tok = spread(docs, "doc_id")
       .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
-    val grams = tok
-      .withColumn("h", TextFns.hash31(col("tok")))
-      .withColumn("gh", gramExpr(k, TextFns.shingleCoef, w))
-      .filter(col("gh").isNotNull)
-      .select(col("doc_id"), col("pos"), col("gh"))
+    // positioned grams assemble IN-ROW over the concrete token-hash
+    // array (r21; the [[TextFns.gramHashArray]] twin emits IDENTICAL
+    // gh values to the old window form, and posexplode's 0-based index
+    // IS the gram's start position): scan → project → explode, all
+    // codegen — no exploded-token window, no per-doc sort
+    val grams = spread(docs, "doc_id")
+      .withColumn("hs", TextFns.tokenHashes(col("text")))
+      .select(col("doc_id"),
+        posexplode(TextFns.gramHashArray(col("hs"), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("gh"))
     val covered = grams.join(markedOf(grams), Seq("gh"))
       .select(col("doc_id").as("cdoc"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))

@@ -49,8 +49,14 @@ object Skew {
       explode(sequence(lit(0), lit(factor - 1))))
     salted
       // hint the shuffle join: broadcasting the replicated side would
-      // make the salt pointless (broadcast joins don't skew)
-      .join(replicated.hint("merge"),
+      // make the salt pointless (broadcast joins don't skew). SHUFFLED
+      // HASH, not merge (r21, guide §3.1): the exchange on (key, salt)
+      // — the thing that spreads the hot key — is identical under
+      // both, but merge additionally SORTS the salted big side per
+      // partition; the small side is contractually broadcast-small,
+      // so its per-partition replicated build table is bounded and the
+      // hash build is safe at any big-side scale.
+      .join(replicated.hint("shuffle_hash"),
         salted(key) === replicated(key) && salted("__salt") === replicated("__salt"))
       .drop(salted("__salt")).drop(replicated("__salt")).drop(replicated(key))
   }

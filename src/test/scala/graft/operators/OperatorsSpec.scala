@@ -87,7 +87,10 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(salted.select("k", "v", "name").collect().toSeq.sortBy(_.toString)
       === plain.select("k", "v", "name").collect().toSeq.sortBy(_.toString))
     val plan = salted.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), plan) // hint respected
+    // hint respected: a SHUFFLE join (never broadcast — that would
+    // defeat the salt); shuffled-hash since r21 (same exchange on
+    // (key, salt), no sort of the salted big side)
+    assert(plan.contains("ShuffledHashJoin"), plan)
     assert(plan.contains("__salt"), s"join keys should include the salt:\n$plan")
   }
 
