@@ -279,13 +279,19 @@ object TextAnalysis {
     require(k >= 2, "k must be at least 2")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tokh = TextDedup.spread(docs, "doc_id")
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
-    val grams = tokh
-      .withColumn("gh", TextDedup.gramExpr(k, TextFns.shingleCoef, w))
-      .filter(col("gh").isNotNull)
-      .select(col("doc_id"), col("pos"), col("gh"))
+    // one shared spread subtree (exchange reuse dedups the shuffle);
+    // positioned grams assemble IN-ROW over the concrete token-hash
+    // array (r21 — the gramHashArray twin, value-identical to the old
+    // window form with posexplode's index as the gram position), so
+    // the exploded-token frame and its per-doc gram-window sort are
+    // gone, and n_tokens is a per-row projection instead of an
+    // explode + count
+    val sp = TextDedup.spread(docs, "doc_id")
+    val grams = sp
+      .withColumn("hs", TextFns.tokenHashes(col("text")))
+      .select(col("doc_id"),
+        posexplode(TextFns.gramHashArray(col("hs"), k)))
+      .select(col("doc_id"), col("pos"), col("col").as("gh"))
     // repeat marking as a whole-partition window count (one pipeline,
     // no groupBy + join-back of the same gram subtree); both window
     // partitions are doc_id-prefixed
@@ -296,7 +302,9 @@ object TextAnalysis {
       .withColumn("__gap", col("pos") - lag(col("pos"), 1).over(w))
       .groupBy(col("doc_id"))
       .agg(sum(least(lit(k), coalesce(col("__gap"), lit(k)))).as("__cov"))
-    tokh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    sp.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1) // 0-token/null docs had no rows before
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("__cov"), lit(0L)).as("n_covered"),

@@ -240,11 +240,19 @@ object TextDedup {
   }
 
   private[llm] def gramHashes(docs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tokenHashRows(docs)
-      .withColumn("gh", gramExpr(k, TextFns.shingleCoef, w))
-      .filter(col("gh").isNotNull)
-      .select(col("doc_id"), col("gh"))
+    // IN-ROW assembly over the concrete token-hash array (r21): emits
+    // the identical gh multiset as the old window form (the
+    // [[TextFns.gramHashArray]] twin assertion) with the tokenize +
+    // hash + gram fold fused into the scan's codegen — no exploded-
+    // token frame, no per-doc window sort. The spread exchange's
+    // doc_id hash-partitioning survives the projection and the explode
+    // (both narrow), so downstream groupBy(doc_id) consumers still
+    // aggregate without a further exchange, exactly as before.
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    spread(docs, "doc_id")
+      .withColumn("hs", TextFns.tokenHashes(col("text")))
+      .select(col("doc_id"),
+        explode(TextFns.gramHashArray(col("hs"), k)).as("gh"))
   }
 
   /** Per-doc distinct gram-hash sets (docs with ≥ k tokens). The
@@ -1381,15 +1389,18 @@ object TextDedup {
     // families): a 31-bit min-hash space would make E[min] ≈ 2³¹/m for
     // m grams — at corpus scale unrelated docs collide on equal
     // fingerprints and the fp-equality self-join goes hot-key
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val fp = tokenHashRows(docs)
-      .withColumn("gh",
-        gramExpr(shingleK, TextFns.shingleCoef, w) * lit(1L << 31) +
-          gramExpr(shingleK, TextFns.shingleCoefB, w))
-      .filter(col("gh").isNotNull)
-      .groupBy(col("doc_id"))
-      .agg(min(col("gh")).as("fp"))
-      .localCheckpoint() // reused by both join sides
+    // IN-ROW fingerprint (r21): [[TextFns.fingerprintFromHashes]] is
+    // the value-identical streaming twin (asserted in StreamOpsSpec) —
+    // same token hashes, coefficient families, packing, and min — so
+    // the whole fingerprint is one codegen projection over the scan:
+    // no exploded-token frame, no per-doc window, no pre-join exchange.
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val fp = spread(docs, "doc_id")
+      .withColumn("hs", TextFns.tokenHashes(col("text")))
+      .select(col("doc_id"),
+        TextFns.fingerprintFromHashes(col("hs"), shingleK).as("fp"))
+      .filter(col("fp").isNotNull)
+      .localCheckpoint(eager = false) // reused by both join sides
     fp.as("a")
       .join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -4792,8 +4792,20 @@ object QueryPackExt {
     */
   private val q156 = Q("q156_overlap_count_served",
     (s, dir) => {
+      // materialize the BUILD once (r21): the gate runs build + serve
+      // in one lineage, and the serve cascade references its histogram
+      // input three times (range stats, bucket offsets, main cascade) —
+      // against a live build plan that re-ran the lineitem endpoint
+      // pass per reference (the exact duplication ddb732c closed for
+      // q64's direct form; countOverlapsFromHistogram itself rightly
+      // never checkpoints, because a PRODUCTION serve reads a persisted
+      // table). The lazy checkpoint is the in-lineage stand-in for that
+      // persisted table: the first cascade consumer executes the build
+      // exactly once, inside the timed region — the row still measures
+      // build + serve, just not build × 3 + serve.
       val hist = graft.operators.IntervalJoin.overlapHistogram(
         transitIntervals(s, dir), "t_s", "t_e")
+        .localCheckpoint(eager = false)
       graft.operators.IntervalJoin
         .countOverlapsFromHistogram(overlapWindows(s, dir), hist,
           "w_s", "w_e", leftKey = "w_key")
