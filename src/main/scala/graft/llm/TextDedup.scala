@@ -1389,17 +1389,22 @@ object TextDedup {
     // families): a 31-bit min-hash space would make E[min] ≈ 2³¹/m for
     // m grams — at corpus scale unrelated docs collide on equal
     // fingerprints and the fp-equality self-join goes hot-key
-    // IN-ROW fingerprint (r21): [[TextFns.fingerprintFromHashes]] is
-    // the value-identical streaming twin (asserted in StreamOpsSpec) —
-    // same token hashes, coefficient families, packing, and min — so
-    // the whole fingerprint is one codegen projection over the scan:
-    // no exploded-token frame, no per-doc window, no pre-join exchange.
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val fp = spread(docs, "doc_id")
-      .withColumn("hs", TextFns.tokenHashes(col("text")))
-      .select(col("doc_id"),
-        TextFns.fingerprintFromHashes(col("hs"), shingleK).as("fp"))
-      .filter(col("fp").isNotNull)
+    // Deliberately the WINDOW form, not TextFns.fingerprintFromHashes
+    // (r21, measured): the in-row twin folds TWO coefficient families
+    // × k element_at lookups per position through higher-order-function
+    // lambdas, which are CodegenFallback — interpreted per element —
+    // and q34 regressed 0.19 → 6.3 s when tried. The lead-fold window
+    // runs inside WholeStageCodegen; its per-doc sort is the cheaper
+    // price here (single-family gram consumers are the opposite trade —
+    // see gramHashes).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val fp = tokenHashRows(docs)
+      .withColumn("gh",
+        gramExpr(shingleK, TextFns.shingleCoef, w) * lit(1L << 31) +
+          gramExpr(shingleK, TextFns.shingleCoefB, w))
+      .filter(col("gh").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(min(col("gh")).as("fp"))
       .localCheckpoint(eager = false) // reused by both join sides
     fp.as("a")
       .join(fp.as("b"),
