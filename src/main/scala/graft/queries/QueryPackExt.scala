@@ -3315,8 +3315,23 @@ object QueryPackExt {
         .select((col("pos") + 1).cast("long").as("rnk"),
           col("col.item").as("token"),
           col("col.est").as("est"), col("col.err").as("err"))
-      val exact = stream.groupBy(col("token"))
+      // exact ground truth on the INTEGER token id (r21): the string
+      // twin built 2M concat/lpad tokens just to group them; the id
+      // groups with pure integer arithmetic and the identical string
+      // rebuilds once per GROUP (~400k) for the 20-row join. The
+      // sketch side keeps consuming real strings — it is the operator
+      // under test.
+      val tokId = when(b < 20 && blk < lit(20000) - lit(1000) * b,
+          -(b + 1)).otherwise((blk * 80 + (b - 20)) % 400000)
+      val exact = s.range(n).select(tokId.as("tid"))
+        .groupBy(col("tid"))
         .agg(count(lit(1)).as("n"))
+        .select(
+          when(col("tid") < 0,
+            concat(lit("h"), lpad((-col("tid") - 1).cast("string"), 2, "0")))
+            .otherwise(concat(lit("t"), col("tid").cast("string")))
+            .as("token"),
+          col("n"))
       sketch.join(exact, Seq("token"))
         .select(col("rnk"), col("token"), col("n"),
           (col("est") >= col("n") &&
