@@ -20,10 +20,10 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>&1 | tail -2
 
 python3 - "$QS" "$TAG" <<'EOF'
-import json, sys
+import json, os, sys
 qs, tag = sys.argv[1].split(','), sys.argv[2]
 cur = json.load(open(f'/tmp/ab_{tag}.json'))
-base = json.load(open('BENCH_FULL_r21_before.json'))
+base = json.load(open(os.environ.get('AB_BASELINE', 'BENCH_FULL_r22_before.json')))
 for q in qs:
     b, c = base['queries'].get(q), cur['queries'].get(q)
     if c is None: print(f'{q}: MISSING'); continue

@@ -36,6 +36,8 @@ object Bench {
         (totalBytes / targetBytes).toInt)) // floor: fractional partitions cost a task
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
       derivedParts(4 << 20, 2).toString)
+    val layoutParts = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_PARTS",
+      derivedParts(2 << 20, 4).toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
@@ -113,8 +115,7 @@ object Bench {
       else {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_bench_sf").toString
-        val parts = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_PARTS",
-          derivedParts(2 << 20, 4).toString).toInt
+        val parts = layoutParts
         Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
           .filter(_.getName.endsWith(".parquet"))
           .foreach { f =>
@@ -220,8 +221,19 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v > 0 => v }.sum
+    // resolved-config echo (r22; additions-only — every pre-existing
+    // key is unchanged): PERF_r21 flagged `suspect_cpus_ignored`
+    // because the data-proportional partition policy derives 4-8
+    // partitions at sf0.1's ~17 MB, so an 8-core and a 32-core leg run
+    // the same handful of tasks and their ratios read ≈1. The bench
+    // DOES honor $SPARK_GRAFT_CPUS (master above); echoing the
+    // resolved master/cpus/partition values into both JSON records
+    // lets the driver verify the legs really differed instead of
+    // inferring "cpus ignored" from flat ratios.
+    val confEcho =
+      s""""cpus":$cpus,"master":"local[$cpus]","shuffle_partitions":$shuffleParts,"layout_partitions":$layoutParts,"input_bytes":$totalBytes"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"n_failed":${errors.size},$confEcho,"sf":"$sfDir"}"""
     // STDOUT gets a COMPACT but COMPLETE line (r16 VERDICT #1: the
     // driver's log tail held only the last ~8 KB of the full line, so
     // BENCH_r16.json preserved 31 of 154 query vectors — a misleading
@@ -237,7 +249,7 @@ object Bench {
     val qsShort = results.map { case (k, v, _) => s"${jstr(k)}:${r4(v)}" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir","full_record":"see SPARK_GRAFT_BENCH_JSON file (BENCH_FULL artifact); stdout values rounded, runs omitted"}""")
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"n_failed":${errors.size},$confEcho,"sf":"$sfDir","full_record":"see SPARK_GRAFT_BENCH_JSON file (BENCH_FULL artifact); stdout values rounded, runs omitted"}""")
     // Persist the FULL per-query metric line as a repo artifact: the
     // driver's BENCH_r*.json preserves only a truncated tail (31 of
     // 129 queries in r13), blinding round-over-round comparison to

@@ -373,41 +373,46 @@ object FreqItemsAgg {
       putIndex(e)
     }
 
-    /** Entry id of the eviction victim (lowest count, ties by largest
-      * key) via the lazy candidate cache; sets `curMin` to its count.
-      */
     /** In-place quicksort of entry ids by key ASC (r21: replaces the
       * boxed-Integer comparator sort in the candidate rebuild — the
       * rebuild runs once per distinct minimum and sorted ~capacity ids
-      * through an object sort with per-compare unboxing).
+      * through an object sort with per-compare unboxing). Recurses on
+      * the SMALLER partition and loops on the larger (r22, ADVICE:
+      * capacity is caller-supplied, and a middle-element pivot alone
+      * would give O(n) stack depth on adversarial orderings; this
+      * bounds the stack at O(log n) like the TimSort it replaced).
       */
     private def sortIdsByKey(a: Array[Int], lo0: Int, hi0: Int): Unit = {
-      val lo = lo0; val hi = hi0
-      if (hi - lo < 1) return
-      if (hi - lo < 12) { // insertion sort for small runs
-        var i = lo + 1
-        while (i <= hi) {
-          val v = a(i)
-          var j = i - 1
-          while (j >= lo && keyLess(v, a(j))) {
-            a(j + 1) = a(j); j -= 1
+      var lo = lo0; var hi = hi0
+      while (hi - lo >= 1) {
+        if (hi - lo < 12) { // insertion sort for small runs
+          var i = lo + 1
+          while (i <= hi) {
+            val v = a(i)
+            var j = i - 1
+            while (j >= lo && keyLess(v, a(j))) {
+              a(j + 1) = a(j); j -= 1
+            }
+            a(j + 1) = v
+            i += 1
           }
-          a(j + 1) = v
-          i += 1
+          return
         }
-        return
+        val pivot = a(lo + (hi - lo) / 2)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (keyLess(a(i), pivot)) i += 1
+          while (keyLess(pivot, a(j))) j -= 1
+          if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+        }
+        if (j - lo < hi - i) { sortIdsByKey(a, lo, j); lo = i }
+        else { sortIdsByKey(a, i, hi); hi = j }
       }
-      val pivot = a(lo + (hi - lo) / 2)
-      var i = lo; var j = hi
-      while (i <= j) {
-        while (keyLess(a(i), pivot)) i += 1
-        while (keyLess(pivot, a(j))) j -= 1
-        if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
-      }
-      sortIdsByKey(a, lo, j)
-      sortIdsByKey(a, i, hi)
     }
 
+    /** Entry id of the eviction victim (lowest count, ties by largest
+      * key) via the lazy candidate cache; sets `curMin` to its count.
+      */
     private[functions] def evictMinEntry(): Int = {
       while (true) {
         if (nCands == 0) {
@@ -447,38 +452,40 @@ object FreqItemsAgg {
       ids
     }
 
-    /** In-place quicksort by (est DESC, key ASC); keys are unique, so
-      * the order is total and stability is moot.
-      */
     /** (est DESC, key ASC) order between entry ids. */
     private def estLess(x: Int, p: Int): Boolean = {
       val cx = cnt(x); val cp = cnt(p)
       cx > cp || (cx == cp && keyLess(x, p))
     }
 
+    /** In-place quicksort by (est DESC, key ASC); keys are unique, so
+      * the order is total and stability is moot. Same smaller-partition
+      * recursion bound as [[sortIdsByKey]] (r22).
+      */
     private def sortIdsByEst(a: Array[Int], lo0: Int, hi0: Int): Unit = {
-      val lo = lo0; val hi = hi0
-      if (hi - lo < 1) return
-      if (hi - lo < 12) {
-        var i = lo + 1
-        while (i <= hi) {
-          val v = a(i)
-          var j = i - 1
-          while (j >= lo && estLess(v, a(j))) { a(j + 1) = a(j); j -= 1 }
-          a(j + 1) = v
-          i += 1
+      var lo = lo0; var hi = hi0
+      while (hi - lo >= 1) {
+        if (hi - lo < 12) {
+          var i = lo + 1
+          while (i <= hi) {
+            val v = a(i)
+            var j = i - 1
+            while (j >= lo && estLess(v, a(j))) { a(j + 1) = a(j); j -= 1 }
+            a(j + 1) = v
+            i += 1
+          }
+          return
         }
-        return
+        val p = a(lo + (hi - lo) / 2)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (estLess(a(i), p)) i += 1
+          while (estLess(p, a(j))) j -= 1
+          if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+        }
+        if (j - lo < hi - i) { sortIdsByEst(a, lo, j); lo = i }
+        else { sortIdsByEst(a, i, hi); hi = j }
       }
-      val p = a(lo + (hi - lo) / 2)
-      var i = lo; var j = hi
-      while (i <= j) {
-        while (estLess(a(i), p)) i += 1
-        while (estLess(p, a(j))) j -= 1
-        if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
-      }
-      sortIdsByEst(a, lo, j)
-      sortIdsByEst(a, i, hi)
     }
 
     /** Keep the top `capacity` entries by (est DESC, key ASC) and

@@ -124,21 +124,19 @@ object Curation {
     // enforced here as well as in the default, so explicit caller
     // values cannot re-enable the inline cut in forced oracle runs
     val effMax = if (graft.Regimes.forceDistributed) 0 else maxInline
-    // LAZY checkpoint + one internal-row count (r21, guide §1/§2: the
-    // eager checkpoint ran a materialization job whose only output —
-    // the row count — Spark discarded, and the old `limit(effMax+1)`
-    // probe then re-read the blocks through CollectLimit's incremental
-    // scale-up, 2-3 more driver round trips per barrier. The count job
-    // below computes every partition (so the checkpoint is complete,
-    // exactly like the eager path) AND returns the row count, so the
-    // bounded probe needs no second scan decision: n ≤ effMax already
-    // bounds the collect. Jobs per barrier: inline 3-4 → 2, overflow
-    // 2 → 1; the stage pipeline still executes exactly once.
+    // LAZY checkpoint + ONE fused materialize-and-probe job (r22,
+    // guide §1.5/§2.4; the r21 form ran a count job and then a collect
+    // job). [[graft.operators.Checkpoints.countAndCollect]] drains
+    // every partition — completing the checkpoint exactly like the
+    // eager path — and ships the bounded id list back with the counts,
+    // so the inline regime pays ONE driver round trip per barrier.
+    // Jobs per barrier: inline 2 → 1, overflow 1 (unchanged — the
+    // join's first consumer materializes); the stage pipeline still
+    // executes exactly once.
     val ck = keepIds.localCheckpoint(eager = false)
     if (effMax > 0) {
-      val n = ck.queryExecution.toRdd.count()
+      val (n, probe) = graft.operators.Checkpoints.countAndCollect(ck, effMax)
       if (n <= effMax) {
-        val probe = ck.collect() // bounded: n ≤ maxInline rows
         val idBytes = probe.foldLeft(0L)((acc, r) => acc + (r.get(0) match {
           case s: String => 40L + 2L * s.length // object header + char payload
           case _         => 16L                 // boxed numeric
@@ -375,31 +373,45 @@ object Curation {
       maxOverlap: Double = 0.2,
       minTokens: Int = 5,
       seed: String = "inc1"): DataFrame = {
-    // each slice pays its gram front end ONCE: the history grams live
-    // in the index's own posting arrays (document frequency = explode
-    // + count over `sets` — history text is never re-shingled), and
-    // the increment is SIGNED ONCE (r17: its index is built here, the
-    // probe consumes the buckets, and the shared gram frame explodes
-    // out of the same checkpointed posting arrays — the old shape
-    // re-shingled the increment for incG and paid a second checkpoint
-    // job for it). Neither side's single-consumer signature frame
-    // checkpoints (minhashIndexImpl); the set checkpoints are released
-    // by the harness's Checkpoints.releaseLeaked between queries, the
+    // ALL THREE slices pay ONE gram front end (r22; the r21 shape ran
+    // two minhashIndexImpl builds plus a third eval-side gram pipeline
+    // — three spread exchanges, three tokenize+gram passes, two set
+    // checkpoints): history, increment and eval rows are tagged and
+    // shingled in a single spread → tokenize → gram → collect_set
+    // pipeline whose ONE lazy checkpoint every downstream consumer
+    // filters by tag. Per-(tag, doc_id) sets are value-identical to
+    // per-slice builds — grams are a pure per-row function of text —
+    // so every verdict below is unchanged. Each side's single-consumer
+    // signature frame still derives separately from the (cheap,
+    // block-backed) filtered sets and never checkpoints
+    // (bucketsFromSets); the set checkpoint is released by the
+    // harness's Checkpoints.releaseLeaked between queries, the
     // minhashIndex convention.
-    val (buckets, sets) = TextDedup.minhashIndexImpl(history, shingleK,
-      nHashes = 12, bands = 4, maxBucketWidth = None,
-      checkpointSignatures = false)
-    val (incB, incS) = TextDedup.minhashIndexImpl(increment, shingleK,
-      nHashes = 12, bands = 4, maxBucketWidth = None,
-      checkpointSignatures = false)
+    val tagged = history.select(lit(0).as("__slice"), col("doc_id"), col("text"))
+      .unionByName(
+        increment.select(lit(1).as("__slice"), col("doc_id"), col("text")))
+      .unionByName(
+        evalDocs.select(lit(2).as("__slice"), col("doc_id"), col("text")))
+    val allSets = TextDedup.shingleSetsTagged(tagged, shingleK, "__slice")
+      .localCheckpoint(eager = false)
+    def slice(n: Int): DataFrame =
+      allSets.filter(col("__slice") === n).drop("__slice")
+    val sets = slice(0) // history posting arrays
+    val incS = slice(1) // increment posting arrays
+    val buckets = TextDedup.bucketsFromSets(sets, nHashes = 12, bands = 4,
+      maxBucketWidth = None, checkpointSignatures = false)
+    val incB = TextDedup.bucketsFromSets(incS, nHashes = 12, bands = 4,
+      maxBucketWidth = None, checkpointSignatures = false)
     val dupIds = TextDedup
       .probePrebuilt(incB, incS, buckets, sets, threshold = 0.5)
       .select(col("new_id").as("doc_id")).distinct()
       .withColumn("__dup", lit(true))
     // the shared distinct gram frame IS the increment's posting arrays
     val incG = incS.select(col("doc_id"), explode(col("sh")).as("gh"))
-    val evalG = TextDedup.gramHashes(evalDocs, shingleK)
-      .select(col("gh")).distinct()
+    // per-doc sets exploded + global distinct ≡ the old
+    // gramHashes(evalDocs).distinct — both are the union of the eval
+    // docs' distinct gram sets
+    val evalG = slice(2).select(explode(col("sh")).as("gh")).distinct()
     val histDf = sets.select(explode(col("sh")).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).as("__df"))
     // contamination AND familiarity = the ONE audit kernel in ONE pass

@@ -70,6 +70,14 @@ object Dsir {
       .select(col("doc_id"), col("n_toks"),
         round((col("st") + col("n_toks")).cast("double") /
           (col("sr") + col("n_toks")).cast("double"), 9).as("score"))
+      // lazy fence (r22, guide §2.4): BOTH consumers — the quantile
+      // threshold's histogram agg and the final keep projection — would
+      // otherwise re-execute the whole token-bucket scoring pass
+      // (tokenize raw ×2 per execution: the rTokens explode AND the
+      // rCounts side of `ratios`). One narrow row per scored doc pins;
+      // the threshold's hist agg materializes it, the final read hits
+      // blocks. Released by the harness broom between queries.
+      .localCheckpoint(eager = false)
 
     // exact quantile threshold over the (rounded) score distribution —
     // histogram interpolation, never a buffered group

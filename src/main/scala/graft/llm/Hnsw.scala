@@ -162,15 +162,20 @@ object Hnsw {
         val q = vecs(i); val nq = norms(i)
         var ep = entry
         var l = levels(entry)
-        // greedy descent through layers above the node's level
+        // greedy descent through layers above the node's level. The
+        // current entry point's similarity is CACHED across neighbor
+        // comparisons (r22): the old form recomputed cosine(q, ep) for
+        // every neighbor probe — identical comparison sequence, half
+        // the dot products on the descent path.
+        var epSim = cosine(q, nq, vecs(ep), norms(ep))
         while (l > levels(i)) {
           if (l <= maxLevel) {
             var improved = true
             while (improved) {
               improved = false
               links(l)(ep).foreach { nb =>
-                if (cosine(q, nq, vecs(nb), norms(nb)) >
-                    cosine(q, nq, vecs(ep), norms(ep))) { ep = nb; improved = true }
+                val s = cosine(q, nq, vecs(nb), norms(nb))
+                if (s > epSim) { ep = nb; epSim = s; improved = true }
               }
             }
           }
@@ -213,13 +218,16 @@ object Hnsw {
     val norms = g.norms
     var ep = g.entry
     var l = g.levels(g.entry)
+    // entry-point similarity cached across neighbor probes (r22) —
+    // same comparison sequence as recomputing it per neighbor
+    var epSim = cosine(q, nq, g.vecs(ep), norms(ep))
     while (l > 0) {
       var improved = true
       while (improved) {
         improved = false
         g.links(l)(ep).foreach { nb =>
-          if (cosine(q, nq, g.vecs(nb), norms(nb)) >
-              cosine(q, nq, g.vecs(ep), norms(ep))) { ep = nb; improved = true }
+          val s = cosine(q, nq, g.vecs(nb), norms(nb))
+          if (s > epSim) { ep = nb; epSim = s; improved = true }
         }
       }
       l -= 1

@@ -1283,6 +1283,12 @@ object Similarity {
         round(dotD(col("embedding"), col("__centroid")) /
           (l2norm(col("embedding")) * sqrt(dotD(col("__centroid"),
             col("__centroid")))), 9).as("sim"))
+      // lazy fence (r22, guide §2.4): the quantile threshold's
+      // histogram agg and the final outlier projection both consume
+      // the cosine pass — without the fence each re-runs the centroid
+      // build + broadcast join + per-row interpreted dot folds. One
+      // narrow row per vector pins; released by the harness broom.
+      .localCheckpoint(eager = false)
     // route the percentile form by probing the SCAN, not the scored
     // subplan — |scored| == |e| (the centroid join is inner on a
     // complete key set), so the cosine pipeline never re-executes

@@ -538,6 +538,13 @@ object TextAnalysis {
       .withColumn("dl", size(col("w")).cast("long"))
       .select(Seq(col("doc_id"), col("dl")) ++ ts.map(t =>
         size(filter(col("w"), x => x === t)).cast("double").as(s"tf_$t")): _*)
+      // lazy fence (r22, guide §2.4): the corpus-stats agg AND the
+      // scoring projection both consume this frame — without the fence
+      // each re-runs the tokenize + per-term filter pass over the
+      // corpus. One narrow row per doc pins; the stats agg
+      // materializes it, the scorer reads blocks. Released by the
+      // harness broom between queries.
+      .localCheckpoint(eager = false)
     val statCols = Seq(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl")) ++ ts.map(t =>

@@ -267,6 +267,27 @@ object TextDedup {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("gh")).as("sh"))
 
+  /** [[shingleSets]] with an extra passthrough grouping column — the
+    * shared front end for multi-slice callers (r22):
+    * [[graft.llm.Curation.incrementGate]] shingles its history,
+    * increment and eval slices in ONE tagged spread → tokenize → gram
+    * → collect_set pipeline instead of three. Per-(tag, doc_id) sets
+    * are value-identical to per-slice [[shingleSets]] runs (grams are
+    * a pure per-row function of text), and the groupBy still rides the
+    * spread's doc_id hash-partitioning (a superset grouping key
+    * satisfies the narrower clustering), so no extra exchange appears.
+    */
+  private[llm] def shingleSetsTagged(
+      docs: DataFrame, k: Int, tagCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    spread(docs, "doc_id")
+      .withColumn("hs", TextFns.tokenHashes(col("text")))
+      .select(col(tagCol), col("doc_id"),
+        explode(TextFns.gramHashArray(col("hs"), k)).as("gh"))
+      .groupBy(col(tagCol), col("doc_id"))
+      .agg(collect_set(col("gh")).as("sh"))
+  }
+
   /** Verbatim-span removal — the suffix-array dedup analog ("dedup at
     * the span level, not the document level"): any `k`-token window
     * that appears VERBATIM in at least one OTHER document marks all k
@@ -304,13 +325,6 @@ object TextDedup {
     // session-registered functions (callers must not depend on a prior
     // gramHashes call having registered them as a side effect)
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    // tok is consumed twice (gram front end + reassembly join) but NOT
-    // checkpointed: it is corpus-sized, and re-scanning beats pinning
-    // an exploded copy of the corpus in executor memory — the fence
-    // pattern is for SMALL frames guarding expensive expressions
-    val tok = spread(docs, "doc_id")
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("tok"))
     // positioned grams assemble IN-ROW over the concrete token-hash
     // array (r21; the [[TextFns.gramHashArray]] twin emits IDENTICAL
     // gh values to the old window form, and posexplode's 0-based index
@@ -321,25 +335,42 @@ object TextDedup {
       .select(col("doc_id"),
         posexplode(TextFns.gramHashArray(col("hs"), k)))
       .select(col("doc_id"), col("pos"), col("col").as("gh"))
-    val covered = grams.join(markedOf(grams), Seq("gh"))
-      .select(col("doc_id").as("cdoc"),
+    // covered POSITIONS aggregate to one per-doc set (r22; the r21
+    // shape kept them as rows, LEFT-joined the corpus-sized exploded
+    // token frame against them on (doc_id, pos), and rebuilt each doc
+    // with an array_sort(collect_list(struct)) — a per-doc struct sort
+    // over EVERY token. collect_set ≡ the old row-level distinct, and
+    // the reassembly below never sorts: duplication-bounded work only.)
+    val cov = grams.join(markedOf(grams), Seq("gh"))
+      .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
-      .distinct()
-    tok
-      .join(covered,
-        col("doc_id") === col("cdoc") && col("pos") === col("cpos"), "left")
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("cpos").isNotNull, 1L).otherwise(0L)).as("n_covered"),
-        (sum(when(col("cpos").isNotNull, 1L).otherwise(0L)).cast("double") /
-          count(lit(1))).as("cov_frac"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("cpos").isNull, struct(col("pos"), col("tok"))))),
-            s => s.getField("tok")),
-          " ").as("clean_text"))
+      .agg(collect_set(col("cpos")).as("cps"))
+    // reassembly is IN-ROW over the token array: kept positions =
+    // array_except(0..n-1, cps) — hash-set codegen, ascending because
+    // array_except preserves left order — then one O(1) element_at per
+    // kept token. (The transform lambda is CodegenFallback, but its
+    // per-element body is a single array index — nothing like the
+    // k-element_at-per-position fold that sank the q34 in-row form.)
+    val kept = array_except(
+      sequence(lit(0), size(col("w")) - 1), col("cps"))
+    spread(docs, "doc_id")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1) // the exploded form emitted no row
+      //  for 0-token docs; the doc-level form must drop them explicitly
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        when(col("cps").isNull, 0L)
+          .otherwise(size(col("cps")).cast("long")).as("n_covered"),
+        (when(col("cps").isNull, 0L)
+          .otherwise(size(col("cps")).cast("long")).cast("double") /
+          size(col("w")).cast("long")).as("cov_frac"),
+        when(col("cps").isNull, array_join(col("w"), " "))
+          .otherwise(array_join(
+            transform(kept, p => element_at(col("w"), p + 1)), " "))
+          .as("clean_text"))
   }
 
   /** The MinHash-LSH front end in persisted-index form:
@@ -383,8 +414,6 @@ object TextDedup {
       bands: Int,
       maxBucketWidth: Option[Int],
       checkpointSignatures: Boolean): (DataFrame, DataFrame) = {
-    require(nHashes % bands == 0, "bands must divide nHashes")
-    val rows = nHashes / bands
     // LAZY checkpoint (r21): every caller consumes `sets` through
     // full-partition actions (the signature agg, Jaccard rerank,
     // posting-frame explode), so the first consumer's job materializes
@@ -392,7 +421,27 @@ object TextDedup {
     // eager form, minus one dedicated materialization job per index
     // build (the 120-200 ms TextDedup:376 job in every minhash query).
     val sets = shingleSets(docs, shingleK).localCheckpoint(eager = false)
+    (bucketsFromSets(sets, nHashes, bands, maxBucketWidth,
+      checkpointSignatures), sets)
+  }
 
+  /** The signature + banded-bucket back half of [[minhashIndexImpl]],
+    * split out (r22) so callers that derive several index sides from
+    * ONE shared gram front end ([[graft.llm.Curation.incrementGate]]
+    * shingles history, increment and eval slices in a single tagged
+    * pipeline) can bucket each side without re-shingling it. `sets` is
+    * any `(doc_id, sh)` shingle-set frame — per-doc values, so buckets
+    * computed from a filtered shared frame are identical to buckets
+    * computed from a per-side build.
+    */
+  private[llm] def bucketsFromSets(
+      sets: DataFrame,
+      nHashes: Int,
+      bands: Int,
+      maxBucketWidth: Option[Int],
+      checkpointSignatures: Boolean): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val rows = nHashes / bands
     // signature via explode -> scalar permutations -> partial-aggregated
     // min: the set elements are ALREADY 31-bit gram hashes (md5 happened
     // once per token in gramHashes), so the 12 linear perms apply
@@ -423,9 +472,8 @@ object TextDedup {
     val allBuckets = mh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val buckets = maxBucketWidth
+    maxBucketWidth
       .fold(allBuckets)(capBucketWidth(allBuckets, Seq("band", "bucket"), _))
-    (buckets, sets)
   }
 
   /** Persist a [[minhashIndex]] as bucketed tables — the production
@@ -893,9 +941,9 @@ object TextDedup {
     lastStarRounds = 0
     val smallMax =
       if (graft.Regimes.forceDistributed) 0 else smallGraphMaxEdges
-    // lazy + count (r21, the keepFilter fusion): one job materializes
-    // the symmetric edge set AND returns the small-graph probe count,
-    // replacing the eager-checkpoint job + incremental limit probe
+    // lazy checkpoint: the fused probe below (or, for non-integral ids
+    // and forced runs, the distributed loop's first round) materializes
+    // the symmetric edge set — no dedicated checkpoint job
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .distinct()
@@ -904,25 +952,35 @@ object TextDedup {
     // to their corpus (edges ≈ dup pairs, not docs), and the
     // distributed loop pays 2–3 scheduler round trips PER ROUND — at
     // bench scale that is most of the operator's cost (q61: ~12 of 15
-    // jobs are loop floors). When a bounded probe (`limit(n+1).count`
-    // over the already-checkpointed symmetric edge set — reads at most
-    // n+1 rows) shows ≤ `smallGraphMaxEdges` edges of integral ids,
-    // close the components with one driver-side union-find whose
-    // representative is the component MINIMUM — the exact relation the
-    // fixpoint computes, hash-identical, in 2 jobs instead of
-    // 3×diameter. ~1e5 edges × 16 B is MBs on the driver; a graph that
-    // overflows the probe takes the distributed loop below, which
-    // remains the 100 TB path. Pass 0 to force the distributed loop
-    // (the rail/equivalence specs do).
+    // jobs are loop floors). ONE fused materialize-and-probe job (r22,
+    // [[graft.operators.Checkpoints.countAndCollect]]): it drains the
+    // symmetric edge set — completing the lazy checkpoint — and ships
+    // the edges back with the counts, so a graph of ≤
+    // `smallGraphMaxEdges` edges of integral ids closes its components
+    // with one driver-side union-find whose representative is the
+    // component MINIMUM — the exact relation the fixpoint computes,
+    // hash-identical, in 1 job instead of 3×diameter. ~1e5 edges ×
+    // 16 B is MBs on the driver; a graph that overflows the probe
+    // takes the distributed loop below, which remains the 100 TB path
+    // (its blocks are already whole from the drain). Pass 0 to force
+    // the distributed loop (the rail/equivalence specs do).
     val idType = edges.schema("a").dataType
     val integralIds =
       idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType
-    if (integralIds && smallMax > 0 &&
-        edges.queryExecution.toRdd.count() <= smallMax) {
-      val es = edges
-        .select(col("a").cast("long"), col("b").cast("long")).collect()
+    val smallEdges: Option[Array[org.apache.spark.sql.Row]] =
+      if (integralIds && smallMax > 0) {
+        val (n, rows) =
+          graft.operators.Checkpoints.countAndCollect(edges, smallMax.toLong)
+        if (n <= smallMax) Some(rows) else None
+      } else None
+    if (smallEdges.isDefined) {
+      val es = smallEdges.get
       graft.operators.Checkpoints.release(edges)
+      def idAt(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+        case l: java.lang.Long    => l
+        case n: java.lang.Integer => n.toLong
+      }
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
       def find(x: Long): Long = {
         var r = x
@@ -932,13 +990,13 @@ object TextDedup {
         r
       }
       es.foreach { row =>
-        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        val ra = find(idAt(row, 0)); val rb = find(idAt(row, 1))
         if (ra != rb) { // smaller root absorbs: root IS the component min
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
       val members = new java.util.TreeSet[java.lang.Long]()
-      es.foreach { r => members.add(r.getLong(0)); members.add(r.getLong(1)) }
+      es.foreach { r => members.add(idAt(r, 0)); members.add(idAt(r, 1)) }
       def asId(v: Long): Any =
         if (idType == org.apache.spark.sql.types.IntegerType) v.toInt else v
       val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](members.size())
@@ -1187,24 +1245,23 @@ object TextDedup {
     // set, whose union's two branches each executed the full LSH
     // lineage — measured 2.4 s of the 3.3 s sf1 total for a 2.5k-edge
     // graph; re-running the lineage twice was the whole "drift".)
-    // lazy + count (r21, the keepFilter fusion): the count job below
-    // materializes the checkpoint and IS the bounded-regime probe —
-    // one job instead of eager-checkpoint + limit-count
     val p0 = pairs.select(col("da"), col("db")).localCheckpoint(eager = false)
 
     // bounded regime: run the k rounds as driver Long loops — same
     // order-free integer arithmetic, zero iteration jobs (see scaladoc).
-    // The probe COUNTS first (the buildGramSetProbe convention, r19
-    // ADVICE): an oversized graph costs one count job over the
-    // checkpointed pair list and never materializes a single Row on
-    // the driver; the collect happens only on a bounded verdict.
-    val bounded = !graft.Regimes.forceDistributed &&
-      p0.queryExecution.toRdd.count() <= MaxDriverEdges
-    if (bounded) {
-      val probe = p0.collect()
-      graft.operators.Checkpoints.release(p0)
-      return driverCentrality(pairs.sparkSession, probe, iters, initMass,
-        dampNum, dampDen)
+    // ONE fused materialize-and-probe job (r22, countAndCollect; the
+    // r21 form ran a count job and then a collect job): the drain
+    // completes the checkpoint either way, and an oversized graph
+    // ships back only per-partition prefixes, never the full pair
+    // list — the distributed loop then reads whole blocks.
+    if (!graft.Regimes.forceDistributed) {
+      val (n, probe) =
+        graft.operators.Checkpoints.countAndCollect(p0, MaxDriverEdges.toLong)
+      if (n <= MaxDriverEdges) {
+        graft.operators.Checkpoints.release(p0)
+        return driverCentrality(pairs.sparkSession, probe, iters, initMass,
+          dampNum, dampDen)
+      }
     }
 
     val sym = p0.select(col("da").as("a"), col("db").as("b"))

@@ -24,6 +24,48 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
+  /** ONE-job fused materialize-and-probe (r22; guide §1.5/§2.4 driver
+    * round trips — the r21 form still ran a `count()` job and then a
+    * separate `collect()` job on every bounded verdict): fully drains
+    * every partition of `df`'s physical RDD — completing lazy
+    * `localCheckpoint` blocks exactly like `count()` does — while ALSO
+    * shipping up to `cap + 1` rows per partition back with the counts,
+    * so a bounded frame needs no second job to collect.
+    *
+    * Returns `(n, rows)`: `rows` holds EVERY row of the frame
+    * (external `Row`s in `df.schema`) iff `n <= cap`; for an oversized
+    * frame each partition stops copying at `cap + 1` rows (the drain
+    * still completes, so checkpoint blocks are whole) and `rows` is
+    * empty — only `n` is meaningful. Driver transfer is bounded by
+    * `numPartitions × (cap + 1)` rows; callers size `cap` like they
+    * sized the old `collect()` bound.
+    */
+  def countAndCollect(df: DataFrame, cap: Long)
+      : (Long, Array[org.apache.spark.sql.Row]) = {
+    val schema = df.schema
+    val parts = df.queryExecution.toRdd
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.catalyst.InternalRow]
+        var n = 0L
+        while (it.hasNext) {
+          val r = it.next() // rows are buffer-backed and reused: copy
+          if (n <= cap) buf += r.copy()
+          n += 1L
+        }
+        Iterator.single((n, buf.toArray))
+      }
+      .collect()
+    val n = parts.iterator.map(_._1).sum
+    if (n > cap) (n, Array.empty)
+    else {
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema)
+      (n, parts.iterator.flatMap(_._2)
+        .map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row]).toArray)
+    }
+  }
+
   /** Unpersist the pinned blocks behind a `localCheckpoint`ed frame.
     * No-op for frames that aren't checkpoint scans. Non-blocking: the
     * caller never waits on block eviction.
