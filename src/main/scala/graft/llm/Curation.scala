@@ -397,7 +397,13 @@ object Curation {
     def slice(n: Int): DataFrame =
       allSets.filter(col("__slice") === n).drop("__slice")
     val sets = slice(0) // history posting arrays
-    val incS = slice(1) // increment posting arrays
+    // the increment slice is read THREE times (signatures, rerank,
+    // shared gram frame) but is a small fraction of the shared blocks
+    // (a 0.1% daily batch at production shape): its own lazy fence
+    // means the second and third reads touch increment-sized blocks
+    // instead of re-filtering the full union (r22; measured the
+    // remaining task-time cost of the shared frame)
+    val incS = slice(1).localCheckpoint(eager = false)
     val buckets = TextDedup.bucketsFromSets(sets, nHashes = 12, bands = 4,
       maxBucketWidth = None, checkpointSignatures = false)
     val incB = TextDedup.bucketsFromSets(incS, nHashes = 12, bands = 4,

@@ -284,8 +284,18 @@ object IntervalJoin {
     // histogram relation (the OperatorsSpec scan-absence gate).
     // lazy (r21): the first consumer (the range-stats broadcast build)
     // materializes the histogram; the offset and cascade reads hit
-    // blocks — one corpus pass, one fewer dedicated job
-    cascadeCount(rh.localCheckpoint(eager = false), lq, leftKey)
+    // blocks — one corpus pass, one fewer dedicated job.
+    // The QUERY side is fenced too (r22): the cascade's three
+    // consumers (range stats, bucket offsets, main cascade) each
+    // re-scanned the left table and re-ran its ±1 endpoint explode —
+    // two narrow rows per query row pin (the query batch, not the
+    // corpus; the corpus side stays value-bounded via the histogram),
+    // and the second and third passes read blocks. The SERVE path
+    // ([[countOverlapsFromHistogram]]) is deliberately unchanged: its
+    // plan keeps visibly scanning both relations (the OperatorsSpec
+    // scan-absence gate).
+    cascadeCount(rh.localCheckpoint(eager = false),
+      lq.localCheckpoint(eager = false), leftKey)
   }
 
   /** The shared tail of the rank-form count: one side-tagged prefix-sum
@@ -368,7 +378,14 @@ object IntervalJoin {
       .select(col("__x.__side").as("__side"), col("__x.__v").as("__v"),
         lit(0L).as("__c"), lit(1).as("__isq"), col("__k"),
         col("__x.__sgn").as("__sgn"))
-    cascadeCount(rh, lq, leftKey)
+    // The HISTOGRAM side stays unfenced — re-reading the persisted
+    // value-bounded table is as cheap as a checkpoint write (measured
+    // neutral on q156) and the serve plan keeps visibly scanning the
+    // histogram relation (the OperatorsSpec scan-absence gate). The
+    // QUERY side is fenced exactly as in [[countOverlaps]] (r22): the
+    // cascade's three consumers otherwise re-scan the batch and re-run
+    // its ±1 endpoint explode per consumer.
+    cascadeCount(rh, lq.localCheckpoint(eager = false), leftKey)
   }
 
   private def requireIntegral(
