@@ -234,23 +234,32 @@ object TextDedup {
 
   private def tokenHashRows(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    spread(docs, "doc_id")
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), TextFns.hash31(col("col")).as("h"))
+    // tokenize + hash BEFORE the spread (r22, guide §2.3/§8): the
+    // exchange carries (doc_id, token-hash array) instead of raw text,
+    // and the md5 pass runs at SCAN parallelism instead of serializing
+    // onto the (narrower) shuffle width. posexplode of the hash array
+    // emits the identical (pos, h) rows — tokenHashes is
+    // transform(tokens, hash31), order-preserving by definition.
+    spread(docs.select(col("doc_id"),
+      TextFns.tokenHashes(col("text")).as("hs")), "doc_id")
+      .select(col("doc_id"), posexplode(col("hs")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
   }
 
   private[llm] def gramHashes(docs: DataFrame, k: Int): DataFrame = {
     // IN-ROW assembly over the concrete token-hash array (r21): emits
     // the identical gh multiset as the old window form (the
-    // [[TextFns.gramHashArray]] twin assertion) with the tokenize +
-    // hash + gram fold fused into the scan's codegen — no exploded-
-    // token frame, no per-doc window sort. The spread exchange's
-    // doc_id hash-partitioning survives the projection and the explode
-    // (both narrow), so downstream groupBy(doc_id) consumers still
-    // aggregate without a further exchange, exactly as before.
+    // [[TextFns.gramHashArray]] twin assertion) — no exploded-token
+    // frame, no per-doc window sort. r22 (guide §2.3/§8): the
+    // tokenize + md5 pass is PROJECTED BEFORE the spread, so it runs
+    // at scan parallelism and the exchange carries the narrow
+    // (doc_id, hs) rows; only the integer gram fold and the explode
+    // run post-shuffle. The exchange's doc_id hash-partitioning still
+    // feeds downstream groupBy(doc_id) consumers with no further
+    // exchange, exactly as before.
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    spread(docs, "doc_id")
-      .withColumn("hs", TextFns.tokenHashes(col("text")))
+    spread(docs.select(col("doc_id"),
+      TextFns.tokenHashes(col("text")).as("hs")), "doc_id")
       .select(col("doc_id"),
         explode(TextFns.gramHashArray(col("hs"), k)).as("gh"))
   }
@@ -280,8 +289,10 @@ object TextDedup {
   private[llm] def shingleSetsTagged(
       docs: DataFrame, k: Int, tagCol: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    spread(docs, "doc_id")
-      .withColumn("hs", TextFns.tokenHashes(col("text")))
+    // same projected spread as [[gramHashes]] (r22): hash map-side,
+    // shuffle (tag, doc_id, hs)
+    spread(docs.select(col(tagCol), col("doc_id"),
+      TextFns.tokenHashes(col("text")).as("hs")), "doc_id")
       .select(col(tagCol), col("doc_id"),
         explode(TextFns.gramHashArray(col("hs"), k)).as("gh"))
       .groupBy(col(tagCol), col("doc_id"))
@@ -329,8 +340,16 @@ object TextDedup {
     // array (r21; the [[TextFns.gramHashArray]] twin emits IDENTICAL
     // gh values to the old window form, and posexplode's 0-based index
     // IS the gram's start position): scan → project → explode, all
-    // codegen — no exploded-token window, no per-doc sort
-    val grams = spread(docs, "doc_id")
+    // codegen — no exploded-token window, no per-doc sort. The spread
+    // stays on RAW TEXT here, unlike [[gramHashes]]' projected form:
+    // this operator's three consumers (marked-gram agg, covered join,
+    // reassembly) REUSE the one text exchange, and a projected
+    // (w, hs) spread splits under column pruning into three separate
+    // exchanges of wider rows (measured r22: 3 scans, 5 exchanges,
+    // zero ReusedExchange, bench flat locally — strictly more shuffle
+    // bytes at scale, so rejected).
+    val base = spread(docs, "doc_id")
+    val grams = base
       .withColumn("hs", TextFns.tokenHashes(col("text")))
       .select(col("doc_id"),
         posexplode(TextFns.gramHashArray(col("hs"), k)))
@@ -354,7 +373,7 @@ object TextDedup {
     // k-element_at-per-position fold that sank the q34 in-row form.)
     val kept = array_except(
       sequence(lit(0), size(col("w")) - 1), col("cps"))
-    spread(docs, "doc_id")
+    base
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 1) // the exploded form emitted no row
       //  for 0-token docs; the doc-level form must drop them explicitly

@@ -193,9 +193,15 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
     // "every Generate is the constant-fan-out side tagger", not "no
     // Generate at all".
     assert(!p.contains("sequence("), p)
+    // r22: BOTH cascade inputs are lazy-checkpointed (the histogram
+    // since r21, the query-side ±1 tagger now too), so the fixed
+    // 2-way side-tagger Generates sit behind the ExistingRDD fences —
+    // the visible plan must show the two fences and may show NO
+    // Generate at all; any that does appear must still be the
+    // constant-fan-out tagger, never a replication explode.
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p)
     val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
-    assert(gens.nonEmpty &&
-      gens.forall(_.contains("explode(array(struct(__side")), p)
+    assert(gens.forall(_.contains("explode(array(struct(__side")), p)
   }
 
   test("q58: pair-level bucket join under the probe, pair-free rank form when forced") {
@@ -215,9 +221,11 @@ class PlanPropertiesSpec extends AnyFunSuite with SparkSpec {
       finally sys.props.remove("spark.graft.forceDistributed")
     }
     assert(!forced.contains("sequence("), forced)
+    // r22: the rank form's tagger Generates sit behind the two
+    // ExistingRDD fences (histogram + query side) — see the q64 pin
+    assert("Scan ExistingRDD".r.findAllIn(forced).size >= 2, forced)
     val fGens = forced.linesIterator.filter(_.contains("Generate")).toSeq
-    assert(fGens.nonEmpty &&
-      fGens.forall(_.contains("explode(array(struct(__side")), forced)
+    assert(fGens.forall(_.contains("explode(array(struct(__side")), forced)
     assert(!forced.contains("CartesianProduct"), forced)
   }
 
